@@ -1,0 +1,124 @@
+"""Source table registry (SURVEY §2.1 S1; reference `code/SQL_1…sql:275–504`).
+
+The reference scans 10 SQL Server tables cross-database. Our sources are
+the driver-provided parquet tables (TESTDATA.md). Two contracts live here:
+
+1. **Typed ingest.** Money-like columns arrive as ``double`` but are exact
+   2-decimal values (verified against the data). We cast them to
+   ``DECIMAL`` *at the scan* and never do floating-point math on them
+   afterwards — all derived measures are exact decimal arithmetic, which
+   is what makes Spark results bit-identical to the DuckDB oracle (and,
+   at 100 TB, makes aggregation results independent of partitioning /
+   reduction order — a float SUM is not reproducible across shuffles,
+   a decimal SUM is).
+
+2. **Single source of truth for scales.** ``TYPED_DECIMALS`` drives both
+   the Spark-side casts (`typed_table`) and the oracle-side SQL text
+   (`typed_source_sql`), so the two sides cannot drift.
+
+Scale note: these are plain ``spark.read.parquet`` scans — Catalyst
+pushes filters and prunes columns into the parquet reader, so every
+downstream operator automatically benefits (check ``PushedFilters`` /
+``ReadSchema`` in `.explain("formatted")`). No collect, no inference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# column -> DECIMAL(p, s) applied at ingest (all verified exact 2-decimal in data)
+TYPED_DECIMALS: dict[str, dict[str, str]] = {
+    "lineitem": {
+        "l_quantity": "decimal(12,2)",
+        "l_extendedprice": "decimal(14,2)",
+        "l_discount": "decimal(4,2)",
+        "l_tax": "decimal(4,2)",
+    },
+    "orders": {"o_totalprice": "decimal(14,2)"},
+    "customer": {"c_acctbal": "decimal(14,2)"},
+    "supplier": {"s_acctbal": "decimal(14,2)"},
+    "part": {"p_retailprice": "decimal(14,2)"},
+    "events": {"value": "decimal(14,2)"},
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Raw parquet scan for one source table."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def typed_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Source table with the exact-decimal ingest casts applied."""
+    df = load_table(spark, sf_dir, name)
+    for col, dtype in TYPED_DECIMALS.get(name, {}).items():
+        df = df.withColumn(col, F.col(col).cast(dtype))
+    return df
+
+
+def typed_source_sql(name: str) -> str:
+    """DuckDB-side SELECT applying the identical casts to the registered view.
+
+    The driver pre-registers each parquet table as a view named ``name``;
+    this returns a sub-select string usable inside a CTE.
+    """
+    casts = TYPED_DECIMALS.get(name, {})
+    if not casts:
+        return f"SELECT * FROM {name}"
+    cols = ", ".join(
+        f"CAST({c} AS {t.upper()}) AS {c}" if c in casts else c for c, t in _ordered(name, casts)
+    )
+    return f"SELECT {cols} FROM {name}"
+
+
+def _ordered(name: str, casts: dict[str, str]):
+    # we only know cast columns statically; use * EXCLUDE-free portable form:
+    # emit cast columns plus passthroughs via explicit list per table
+    passthrough = {
+        "lineitem": [
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        ],
+        "orders": [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+        "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+        "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+        "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    }
+    return [(c, casts.get(c, "")) for c in passthrough[name]]
+
+
+def register_sources(spark: SparkSession, sf_dir: str, typed: bool = True) -> None:
+    """Register every source table as a temp view (typed by default)."""
+    for name in TABLES:
+        df = typed_table(spark, sf_dir, name) if typed else load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
