@@ -16,7 +16,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_mini_dw_spark import fixtures_spec as spec
+from etl_mini_dw_spark.functions import dimdate
+from etl_mini_dw_spark.oracle import fixture_sql
 from etl_mini_dw_spark.plans import analytics
+from etl_mini_dw_spark.sources import staging
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -28,9 +32,62 @@ def _register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str 
         ORACLE_SQL[name] = sql
 
 
+# The SCD2 open-row sentinel (9999-12-31) overflows Arrow ns timestamps in
+# pandas conversion on BOTH engines, so oracle-compared outputs carry
+# validity columns as ISO strings; the library keeps real timestamps.
+def _ts_as_str(df: DataFrame, *cols: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    for c in cols:
+        if c in df.columns:
+            df = df.withColumn(c, F.date_format(c, "yyyy-MM-dd HH:mm:ss"))
+    return df
+
+
+def _ts_as_str_sql(sql: str, *cols: str) -> str:
+    repl = ", ".join(f"strftime({c}, '%Y-%m-%d %H:%M:%S') AS {c}" for c in cols)
+    return f"SELECT * REPLACE ({repl}) FROM ({sql})"
+
+
 _register(
     "flagship_revenue_by_month_segment",
     analytics.flagship_revenue_by_month_segment,
     analytics.FLAGSHIP_ORACLE_SQL,
 )
 _register("q1_pricing_summary", analytics.q1_pricing_summary, analytics.Q1_ORACLE_SQL)
+
+# --- M1: DimDate (G1/P4/P8/X1) -------------------------------------------
+# raw DATE columns convert to date-objects on Spark but datetime64 on
+# DuckDB→pandas; the compared output keeps the ISO string `full_date`
+# instead of `date_value` (library callers get the real DATE column).
+_register(
+    "dim_date_build",
+    lambda spark, sf_dir: dimdate.build_dim_date(spark).drop("date_value"),
+    f"SELECT * EXCLUDE (date_value) FROM ({dimdate.dim_date_oracle_sql()})",
+)
+
+# --- M2: staging delta extracts (S2/S3, F1/F3, P1/P6/P7) ------------------
+for _dim_key, _dim in spec.DIMS.items():
+    _register(
+        f"delta_extract_{_dim_key}",
+        (
+            lambda d: lambda spark, sf_dir: _ts_as_str(
+                staging.delta_extract(spark, sf_dir, d, spec.LOW), "valid_from", "valid_to"
+            )
+        )(_dim),
+        _ts_as_str_sql(fixture_sql.delta_extract_sql(_dim, spec.LOW), "valid_from", "valid_to"),
+    )
+    _register(
+        f"delta_extract_{_dim_key}_incremental",
+        (
+            lambda d: lambda spark, sf_dir: _ts_as_str(
+                staging.delta_extract(spark, sf_dir, d, spec.MID), "valid_from", "valid_to"
+            )
+        )(_dim),
+        _ts_as_str_sql(fixture_sql.delta_extract_sql(_dim, spec.MID), "valid_from", "valid_to"),
+    )
+    _register(
+        f"current_snapshot_{_dim_key}",
+        (lambda d: lambda spark, sf_dir: staging.current_snapshot(spark, sf_dir, d))(_dim),
+        fixture_sql.current_snapshot_sql(_dim),
+    )
