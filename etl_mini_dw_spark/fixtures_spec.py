@@ -33,6 +33,9 @@ HIGH = "9999-12-31 00:00:00"
 HIGH_GUARD = "9999-12-30 00:00:00"
 LOW = "1900-01-01 00:00:00"  # seed watermark (`code/SQL_1…sql:250–255`)
 MID = "1996-06-01 00:00:00"  # epoch-split point for incremental tests
+# deterministic stand-in for SYSUTCDATETIME() when closing deleted rows
+# (`code/SQL_1…sql:978`) so both engines agree
+NOW_FIXED = "2002-01-01 00:00:00"
 
 UNKNOWN_NK = -1  # unknown-member natural key (`code/SQL_1…sql:622–630`)
 
@@ -83,6 +86,21 @@ PRODUCT = DimSpec(
 )
 
 DIMS = {"customer": CUSTOMER, "salesperson": SALESPERSON, "product": PRODUCT}
+
+# warehouse attribute -> logical type ('string' | 'int'); drives the
+# unknown-member row values ('Unknown' / -1, `code/SQL_1…sql:622–630`)
+ATTR_TYPES: dict[str, str] = {
+    "customer_name": "string",
+    "customer_main_sellerid": "int",
+    "customer_category_name": "string",
+    "salesperson_fullname": "string",
+    "salesperson_lastname": "string",
+    "product_name": "string",
+}
+
+
+def attr_cols(dim: DimSpec) -> list[str]:
+    return [dim.name_attr, *dim.extra_attrs]
 
 # suppliers acting as salespeople (reference F4 `IsSalesperson = 1`,
 # `code/SQL_1…sql:358`): synthesized as key-arithmetic so both engines agree

@@ -1,0 +1,223 @@
+"""Generic SCD2 dimension loader (SURVEY §2.11 X2–X4; `code/SQL_1…sql:915–1327`).
+
+The reference implements three structurally-identical stored procedures
+(customer / salesperson / product), each doing close-out → versioned
+insert → delete-detection inside a transaction. Here that is ONE
+parameterized, *pure-plan* implementation: every function takes
+DataFrames in and returns a lazy DataFrame out — no actions, no
+mutation. The orchestrator (etl/orchestrate.py) is the only layer that
+writes, which gives the reference's transactional all-or-nothing
+semantics via compute-full-post-state → single atomic swap
+(SURVEY §7 hard-part 7).
+
+Spark-first notes (100 TB):
+- All joins here are NK-equi-joins against *dimension-sized* inputs →
+  broadcast-hash in practice; no shuffle of the big fact side is ever
+  involved in dimension maintenance.
+- Surrogate keys: ``row_number() OVER (ORDER BY nk, active_from)`` — a
+  deterministic single-partition window, which is the correctness-simple
+  choice for dimension tables (even at 100 TB fact scale, dims are
+  ~millions of rows and SK assignment is per-batch-delta, not per-fact).
+  The fact table's SK strategy is different — see operators/fact.py.
+- Change detection (F5) uses null-safe equality (``<=>``) instead of the
+  reference's ``ISNULL(x,'')`` pattern — it normalizes the reference's
+  int-vs-'' implicit-cast quirk away (`code/SQL_1…sql:940`, SURVEY §2.3 F5).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_mini_dw_spark.fixtures_spec import (
+    ATTR_TYPES,
+    HIGH,
+    LOW,
+    UNKNOWN_NK,
+    DimSpec,
+    attr_cols,
+)
+from etl_mini_dw_spark.sources import staging
+
+
+def _ts(lit: str) -> Column:
+    return F.lit(lit).cast("timestamp")
+
+
+def unknown_member_row(spark: SparkSession, dim: DimSpec) -> DataFrame:
+    """The NK=-1 'Unknown' member every dim holds (`code/SQL_1…sql:622–630`)."""
+    cols = [F.lit(UNKNOWN_NK).cast("bigint").alias(dim.nk)]
+    for a in attr_cols(dim):
+        if ATTR_TYPES[a] == "int":
+            cols.append(F.lit(-1).cast("int").alias(a))
+        else:
+            cols.append(F.lit("Unknown").alias(a))
+    cols += [
+        F.lit(True).alias("is_current"),
+        _ts(LOW).alias("active_from"),
+        _ts(HIGH).alias("active_to"),
+    ]
+    return spark.range(1).select(*cols)
+
+
+def assign_surrogate_keys(df: DataFrame, dim: DimSpec, offset: Column | None = None) -> DataFrame:
+    """C1 IDENTITY replacement: deterministic row_number SKs (+ batch offset)."""
+    w = Window.orderBy(dim.nk, "active_from")
+    sk = F.row_number().over(w).cast("int")
+    if offset is not None:
+        sk = (sk + offset).cast("int")
+    return df.select(sk.alias(dim.sk), "*")
+
+
+def dim_initial(
+    spark: SparkSession, sf_dir: str, dim: DimSpec, as_of: str | None = None
+) -> DataFrame:
+    """Initial (full-history) load (`code/SQL_1…sql:602–659`).
+
+    Seed watermark 1900 ⇒ the delta view returns all history; union the
+    unknown member; assign SKs.
+    """
+    staged = staging.delta_extract(spark, sf_dir, dim, LOW, as_of=as_of)
+    shaped = staged.withColumnRenamed("valid_from", "active_from").withColumnRenamed(
+        "valid_to", "active_to"
+    )
+    unioned = shaped.unionByName(unknown_member_row(spark, dim))
+    return assign_surrogate_keys(unioned, dim)
+
+
+def change_predicate(dim: DimSpec, left_prefix: str = "", right_prefix: str = "src_") -> Column:
+    """F5: OR-chain of null-safe attribute inequalities (`code/SQL_1…sql:938–940`)."""
+    terms = [
+        ~(F.col(f"{left_prefix}{a}").eqNullSafe(F.col(f"{right_prefix}{a}"))) for a in dim.tracked
+    ]
+    return reduce(lambda a, b: a | b, terms)
+
+
+def scd2_increment(
+    dim_df: DataFrame,
+    staged: DataFrame,
+    snapshot: DataFrame,
+    dim: DimSpec,
+    now_ts: str,
+) -> DataFrame:
+    """One incremental SCD2 merge pass; returns the tagged post-state.
+
+    Output = dim post-state plus a ``change_tag`` column in
+    {'kept','closed','inserted','deleted'} so the orchestrator can count
+    run-log metrics (X7) in the same single action that writes the table.
+
+    Mirrors `code/SQL_1…sql:927–987`:
+    1. close-out: current dim row ⋈ live staged row on NK, any tracked
+       attr differs → ``is_current=0, active_to=src.valid_from``
+    2. versioned insert: staged rows with no current match or changed
+       attrs (J5), suppressing identical (nk, from, to) versions (J6)
+    3. delete-detect: current dim NKs absent from the live snapshot (J5)
+       → close at ``now_ts`` (never the unknown member)
+    """
+    nk = dim.nk
+    src_cols = [nk, *attr_cols(dim), "is_current", "valid_from", "valid_to"]
+    src = staged.select([F.col(c).alias(f"src_{c}") for c in src_cols])
+
+    cur = dim_df.filter(F.col("is_current"))
+
+    # 1. close-out pairs: live staged row vs current dim row, attrs differ
+    live_src = src.filter(F.col("src_is_current"))
+    closeout = (
+        cur.join(live_src, cur[nk] == live_src[f"src_{nk}"], "inner")
+        .filter(change_predicate(dim))
+        .select(cur[nk].alias("_co_nk"), F.col("src_valid_from").alias("_co_to"))
+    )
+
+    # 2. rows to insert (J5 new-or-changed, then J6 identical-version guard)
+    cur_attrs = cur.select(
+        F.col(nk).alias(f"cur_{nk}"), *[F.col(a).alias(f"cur_{a}") for a in dim.tracked]
+    )
+    ins = (
+        src.join(cur_attrs, F.col(f"src_{nk}") == F.col(f"cur_{nk}"), "left")
+        .filter(
+            F.col(f"cur_{nk}").isNull()
+            | reduce(
+                lambda a, b: a | b,
+                [~(F.col(f"src_{a}").eqNullSafe(F.col(f"cur_{a}"))) for a in dim.tracked],
+            )
+        )
+        .select(
+            *[F.col(f"src_{c}").alias(c) for c in src_cols],
+        )
+        .withColumnRenamed("valid_from", "active_from")
+        .withColumnRenamed("valid_to", "active_to")
+        .join(
+            dim_df.select(nk, "active_from", "active_to"),
+            on=[nk, "active_from", "active_to"],
+            how="left_anti",
+        )
+    )
+
+    # 3. delete detection: current NKs gone from source (excluding unknown)
+    deleted = (
+        cur.join(snapshot, on=nk, how="left_anti")
+        .filter(F.col(nk) != UNKNOWN_NK)
+        .select(F.col(nk).alias("_del_nk"))
+    )
+
+    # assemble post-state for existing rows
+    base = (
+        dim_df.join(F.broadcast(closeout), dim_df[nk] == F.col("_co_nk"), "left")
+        .join(F.broadcast(deleted), dim_df[nk] == F.col("_del_nk"), "left")
+        .withColumn(
+            "change_tag",
+            F.when(F.col("is_current") & F.col("_co_nk").isNotNull(), "closed")
+            .when(F.col("is_current") & F.col("_del_nk").isNotNull(), "deleted")
+            .otherwise("kept"),
+        )
+        .withColumn(
+            "active_to",
+            F.when(F.col("change_tag") == "closed", F.col("_co_to"))
+            .when(F.col("change_tag") == "deleted", _ts(now_ts))
+            .otherwise(F.col("active_to")),
+        )
+        .withColumn(
+            "is_current",
+            F.when(F.col("change_tag").isin("closed", "deleted"), F.lit(False)).otherwise(
+                F.col("is_current")
+            ),
+        )
+        .drop("_co_nk", "_co_to", "_del_nk")
+    )
+
+    # new rows: SK = max existing SK + deterministic row_number
+    max_sk = dim_df.agg(F.max(dim.sk).alias("_max_sk"))
+    inserted = (
+        assign_surrogate_keys(ins.crossJoin(F.broadcast(max_sk)), dim, offset=F.col("_max_sk"))
+        .drop("_max_sk")
+        .withColumn("change_tag", F.lit("inserted"))
+    )
+    return base.unionByName(inserted)
+
+
+def dim_two_phase(
+    spark: SparkSession,
+    sf_dir: str,
+    dim: DimSpec,
+    split: str,
+    now_ts: str,
+) -> DataFrame:
+    """Initial load as-of ``split`` + one incremental pass to the present.
+
+    This is the full SCD2 lifecycle in one lazy plan — the
+    incremental-equals-full test target (SURVEY §5 item 4) and the
+    oracle-checked centerpiece for X2–X4.
+    """
+    dim0 = dim_initial(spark, sf_dir, dim, as_of=split)
+    # data-driven watermark advance (X8, `code/SQL_1…sql:643–651`):
+    # MAX(valid_from) of the ingested batch, read back like the
+    # reference's scalar tracker lookup (P11 → collect + re-inject)
+    wm_row = (
+        dim0.filter(F.col(dim.nk) != UNKNOWN_NK).agg(F.max("active_from").alias("wm")).first()
+    )
+    wm = wm_row["wm"].strftime("%Y-%m-%d %H:%M:%S")
+    staged = staging.delta_extract(spark, sf_dir, dim, wm)
+    snapshot = staging.current_snapshot(spark, sf_dir, dim)
+    return scd2_increment(dim0, staged, snapshot, dim, now_ts)

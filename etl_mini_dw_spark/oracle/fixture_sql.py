@@ -102,12 +102,24 @@ def _warehouse_shape_sql(dim: DimSpec, versions: str) -> str:
     """
 
 
-def delta_extract_sql(dim: DimSpec, watermark: str, as_of: str | None = None) -> str:
-    """Mirror of ``delta_extract`` (S2 view + F1 watermark predicate)."""
+def delta_extract_sql(
+    dim: DimSpec,
+    watermark: str | None = None,
+    as_of: str | None = None,
+    watermark_expr: str | None = None,
+) -> str:
+    """Mirror of ``delta_extract`` (S2 view + F1 watermark predicate).
+
+    ``watermark`` is a timestamp literal; ``watermark_expr`` an arbitrary
+    SQL scalar expression (e.g. a scalar subquery reading a tracker CTE,
+    the reference's P11 pattern `code/SQL_1…sql:263–265`).
+    """
+    wm = f"TIMESTAMP '{watermark}'" if watermark is not None else watermark_expr
+    assert wm is not None
     qualifying = f"""
     SELECT * FROM ({versions_as_of_sql(dim, as_of)})
-    WHERE valid_from > TIMESTAMP '{watermark}'
-       OR (valid_to > TIMESTAMP '{watermark}' AND valid_to < TIMESTAMP '{HIGH}')
+    WHERE valid_from > {wm}
+       OR (valid_to > {wm} AND valid_to < TIMESTAMP '{HIGH}')
     """
     return _warehouse_shape_sql(dim, qualifying)
 

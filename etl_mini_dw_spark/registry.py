@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_mini_dw_spark import fixtures_spec as spec
 from etl_mini_dw_spark.functions import dimdate
-from etl_mini_dw_spark.oracle import fixture_sql
+from etl_mini_dw_spark.operators import scd2
+from etl_mini_dw_spark.oracle import fixture_sql, warehouse_sql
 from etl_mini_dw_spark.plans import analytics
 from etl_mini_dw_spark.sources import staging
 
@@ -90,4 +91,31 @@ for _dim_key, _dim in spec.DIMS.items():
         f"current_snapshot_{_dim_key}",
         (lambda d: lambda spark, sf_dir: staging.current_snapshot(spark, sf_dir, d))(_dim),
         fixture_sql.current_snapshot_sql(_dim),
+    )
+
+# --- M4: SCD2 dimension builds (X2–X4, J5/J6/J8, F5, C1) ------------------
+for _dim_key, _dim in spec.DIMS.items():
+    _register(
+        f"scd2_{_dim_key}_initial",
+        (
+            lambda d: lambda spark, sf_dir: _ts_as_str(
+                scd2.dim_initial(spark, sf_dir, d), "active_from", "active_to"
+            )
+        )(_dim),
+        _ts_as_str_sql(warehouse_sql.dim_initial_sql(_dim), "active_from", "active_to"),
+    )
+    _register(
+        f"scd2_{_dim_key}_two_phase",
+        (
+            lambda d: lambda spark, sf_dir: _ts_as_str(
+                scd2.dim_two_phase(spark, sf_dir, d, spec.MID, spec.NOW_FIXED),
+                "active_from",
+                "active_to",
+            )
+        )(_dim),
+        _ts_as_str_sql(
+            warehouse_sql.dim_two_phase_sql(_dim, spec.MID, spec.NOW_FIXED),
+            "active_from",
+            "active_to",
+        ),
     )
