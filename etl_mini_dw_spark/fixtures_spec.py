@@ -110,3 +110,16 @@ SALESPERSON_FILTER_MOD = 7  # s_suppkey % 7 != 0 → is_salesperson
 # member fallback trigger, FIXTURES.md §B rule 4): l_orderkey % 101 == 0
 UNKNOWN_SUPP_MOD = 101
 UNKNOWN_SUPP_OFFSET = 100_000
+
+# synthesized fact "edits": order lines with l_orderkey % 113 == 0 get a
+# second version (quantity+1) 90 days later — exercises the fact UPDATE
+# pass (F6 changed-measure + late-dimension repair, `code/SQL_1…sql:1367–1403`)
+FACT_EDIT_MOD = 113
+FACT_EDIT_DAYS = 90
+FACT_SPLIT = "1999-01-01 00:00:00"  # two-phase fact load split point
+
+# DimDate horizon covering the sales data (reference builds 2000–2050 to
+# cover WWI; our orders span 1995–2001 — facts outside the horizon are
+# dropped by the intentional inner join, `code/SQL_1…sql:1446–1447`)
+DATE_START = "1995-01-01"
+DATE_END = "2001-12-31"

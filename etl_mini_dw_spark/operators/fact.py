@@ -1,0 +1,295 @@
+"""FactSales loader (SURVEY §2.11 X5; reference `code/SQL_1…sql:1339–1539`).
+
+The reference's fact pipeline: delta view (OrderLines⋈Orders + derived
+measures + composite NK + GREATEST change-ts, `code/SQL_1…sql:488–510`) →
+UPDATE pass for changed/late-resolved facts (F6) → INSERT pass with
+temporal as-of dim resolution, unknown-member fallback, and an
+*intentional* inner DimDate join (`code/SQL_1…sql:1446–1447`).
+
+Spark-first design decisions:
+- **As-of joins are broadcast range-joins.** The fact side is the 100 TB
+  side; each dim is dimension-sized. We broadcast the dim and join on
+  ``nk`` equality + half-open interval residual — a BroadcastHashJoin on
+  nk with a range filter, never a shuffle of the fact. (SURVEY §7
+  hard-part 6: the half-open convention is standardized here; the
+  reference's initial load used inclusive BETWEEN, its incremental used
+  half-open — we use half-open everywhere, documented deviation.)
+- **Exact decimal measures.** qty*price*(1-tax) in DECIMAL — identical
+  under any partitioning, and identical to the DuckDB oracle
+  (P2 `code/SQL_1…sql:498–499`; the formula's minus is reproduced).
+- **Surrogate keys.** Initial build: ``row_number() OVER (ORDER BY
+  sales_nk)`` — deterministic and oracle-checkable, but a single-partition
+  window. That is acceptable at bench scale and for dimension tables, NOT
+  at 100 TB fact scale: there, switch to ``zipWithIndex``-style block
+  offsets or hash-based keys (documented here, enforced nowhere — the
+  deterministic SK is part of the correctness contract with the oracle).
+- **Storage partitioning** (orchestrator): FactSales is written
+  partitioned by order-date prefix so date filters become partition
+  pruning — the reference only had a date index (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_mini_dw_spark import fixtures_spec as spec
+from etl_mini_dw_spark.functions.dimdate import build_dim_date
+from etl_mini_dw_spark.operators import scd2
+from etl_mini_dw_spark.sources.tables import typed_table
+
+# (fact column, dim spec, dim nk column in the fact source)
+DIM_LINKS = [
+    ("sales_customerid", spec.CUSTOMER, "customer_nk"),
+    ("sales_salespersonid", spec.SALESPERSON, "salesperson_nk"),
+    ("sales_productid", spec.PRODUCT, "product_nk"),
+]
+
+MEASURES = [
+    "sales_quantity",
+    "sales_unitprice",
+    "sales_taxrate",
+    "sales_value",
+    "sales_value_aftertax",
+]
+
+
+def _ts(lit: str) -> Column:
+    return F.lit(lit).cast("timestamp")
+
+
+def src_sales(
+    spark: SparkSession, sf_dir: str, watermark: str, as_of: str | None = None
+) -> DataFrame:
+    """The ``src_sales`` delta view (S2 fact, `code/SQL_1…sql:488–510`).
+
+    J1 inner join OrderLines⋈Orders; P5 composite NK; P2 exact-decimal
+    measures; P3 GREATEST change-ts; F2 watermark predicate. The
+    synthesized edit stream (fixtures_spec.FACT_EDIT_MOD) plus a
+    latest-per-NK window reproduce a mutable source table the driver's
+    immutable testdata doesn't have.
+    """
+    li = typed_table(spark, sf_dir, "lineitem")
+    orders = typed_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    raw = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "inner").select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        "l_suppkey",
+        "l_partkey",
+        "o_orderdate",
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_tax").alias("tax"),
+        # P3 greatest-of-two change timestamp (`code/SQL_1…sql:500–501`)
+        F.greatest("l_shipdate", "o_orderdate").alias("lastedit"),
+    )
+    edits = raw.filter((F.col("l_orderkey") % spec.FACT_EDIT_MOD) == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        "l_suppkey",
+        "l_partkey",
+        "o_orderdate",
+        (F.col("qty") + F.lit(1)).cast("decimal(12,2)").alias("qty"),
+        "price",
+        "tax",
+        F.timestamp_add("DAY", F.lit(spec.FACT_EDIT_DAYS), F.col("lastedit")).alias("lastedit"),
+    )
+    hist = raw.unionByName(edits)
+    if as_of is not None:
+        hist = hist.filter(F.col("lastedit") <= _ts(as_of))
+    latest = (
+        hist.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+                    F.col("lastedit").desc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    value = (F.col("qty") * F.col("price")).cast("decimal(18,4)")
+    aftertax = (value * (F.lit(1).cast("decimal(4,2)") - F.col("tax"))).cast("decimal(18,6)")
+    return (
+        latest.filter(F.col("lastedit") > _ts(watermark))  # F2
+        .select(
+            # P5 composite natural key (`code/SQL_1…sql:490`)
+            F.concat_ws(
+                "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+            ).alias("sales_nk"),
+            F.col("o_custkey").alias("customer_nk"),
+            # unknown-member trigger: some rows point outside the dim
+            F.when(
+                (F.col("l_orderkey") % spec.UNKNOWN_SUPP_MOD) == 0,
+                F.col("l_suppkey") + spec.UNKNOWN_SUPP_OFFSET,
+            )
+            .otherwise(F.col("l_suppkey"))
+            .alias("salesperson_nk"),
+            F.col("l_partkey").alias("product_nk"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("qty").alias("sales_quantity"),
+            F.col("price").cast("decimal(14,4)").alias("sales_unitprice"),
+            (F.col("tax") * 100).cast("decimal(10,4)").alias("sales_taxrate"),
+            value.alias("sales_value"),
+            aftertax.alias("sales_value_aftertax"),
+            F.col("lastedit").alias("sales_lasteditedwhen"),
+        )
+    )
+
+
+def resolve_dimensions(facts: DataFrame, dims: dict[str, DataFrame]) -> DataFrame:
+    """J3 as-of (half-open) broadcast joins + P6/P12 unknown fallback.
+
+    ``dims`` maps fact FK column → SCD2 dim DataFrame. The unknown SK is
+    read per-dim via a broadcast of the NK=-1 row (P12's scalar-hoist,
+    `code/SQL_1…sql:861–866`) — no driver collect, stays one lazy plan.
+    """
+    out = facts
+    for fk_col, dim_spec, nk_col in DIM_LINKS:
+        dim = dims[fk_col]
+        d = dim.select(
+            F.col(dim_spec.nk).alias(f"_d_{nk_col}"),
+            F.col(dim_spec.sk).alias(f"_d_{fk_col}"),
+            F.col("active_from").alias("_d_from"),
+            F.col("active_to").alias("_d_to"),
+        )
+        unk = dim.filter(F.col(dim_spec.nk) == spec.UNKNOWN_NK).select(
+            F.col(dim_spec.sk).alias(f"_unk_{fk_col}")
+        )
+        out = (
+            out.join(
+                F.broadcast(d),
+                (F.col(nk_col) == F.col(f"_d_{nk_col}"))
+                & (F.col("sales_lasteditedwhen") >= F.col("_d_from"))
+                & (F.col("sales_lasteditedwhen") < F.col("_d_to")),
+                "left",
+            )
+            .crossJoin(F.broadcast(unk))
+            .withColumn(fk_col, F.coalesce(F.col(f"_d_{fk_col}"), F.col(f"_unk_{fk_col}")))
+            .drop(f"_d_{nk_col}", f"_d_{fk_col}", "_d_from", "_d_to", f"_unk_{fk_col}")
+        )
+    return out
+
+
+def _with_datekey(facts: DataFrame, dim_date: DataFrame) -> DataFrame:
+    """Intentional inner DimDate join (drops out-of-horizon facts,
+    `code/SQL_1…sql:1446–1447`); DimDate is broadcast."""
+    dd = dim_date.select(
+        F.col("date_value").alias("_dd_date"), F.col("date_key").alias("sales_order_datekey")
+    )
+    return facts.join(
+        F.broadcast(dd), F.col("order_date").cast("date") == F.col("_dd_date"), "inner"
+    ).drop("_dd_date")
+
+
+FACT_COLS = [
+    "sales_nk",
+    "sales_customerid",
+    "sales_salespersonid",
+    "sales_productid",
+    "sales_order_datekey",
+    *MEASURES,
+    "sales_lasteditedwhen",
+]
+
+
+def fact_initial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial fact load (`code/SQL_1…sql:804–902`), half-open as-of joins."""
+    dims = {
+        fk: scd2.dim_initial(spark, sf_dir, ds) for fk, ds, _ in DIM_LINKS
+    }
+    dd = build_dim_date(spark, spec.DATE_START, spec.DATE_END)
+    facts = src_sales(spark, sf_dir, spec.LOW)
+    resolved = _with_datekey(resolve_dimensions(facts, dims), dd).select(*FACT_COLS)
+    w = Window.orderBy("sales_nk")
+    return resolved.select(
+        F.row_number().over(w).cast("int").alias("sales_id"), "*"
+    )
+
+
+def fact_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial load as-of FACT_SPLIT + one incremental pass (X5 lifecycle).
+
+    Mirrors `code/SQL_1…sql:1339–1539`: UPDATE pass for matched NKs where
+    measures changed or a dim SK was unknown and the source row is newer
+    (F6), INSERT pass for new NKs (J5 anti-join); no deletes by design
+    (`code/SQL_1…sql:1464–1474`). Returns the post-state tagged
+    kept/updated/inserted.
+    """
+    dims = {fk: scd2.dim_initial(spark, sf_dir, ds) for fk, ds, _ in DIM_LINKS}
+    dd = build_dim_date(spark, spec.DATE_START, spec.DATE_END)
+
+    # phase 1: what the warehouse looked like after loading up to the split
+    f0 = src_sales(spark, sf_dir, spec.LOW, as_of=spec.FACT_SPLIT)
+    state0 = _with_datekey(resolve_dimensions(f0, dims), dd).select(*FACT_COLS)
+    w = Window.orderBy("sales_nk")
+    state0 = state0.select(F.row_number().over(w).cast("int").alias("sales_id"), "*")
+
+    # data-driven watermark advance (`code/SQL_1…sql:1493–1500`)
+    wm = state0.agg(F.max("sales_lasteditedwhen")).first()[0].strftime("%Y-%m-%d %H:%M:%S")
+
+    # phase 2 delta, resolved at the *new* edit time (late-dim repair path)
+    delta = src_sales(spark, sf_dir, wm)
+    resolved = _with_datekey(resolve_dimensions(delta, dims), dd).select(*FACT_COLS)
+
+    src = resolved.select([F.col(c).alias(f"src_{c}") for c in FACT_COLS])
+    unknowns = {
+        fk: dims[fk]
+        .filter(F.col(ds.nk) == spec.UNKNOWN_NK)
+        .select(F.col(ds.sk).alias(f"_unk_{fk}"))
+        for fk, ds, _ in DIM_LINKS
+    }
+
+    # F6 update predicate (`code/SQL_1…sql:1394–1402`): measures differ OR
+    # any dim SK resolved to unknown, AND the source row is newer
+    joined = state0.join(F.broadcast(src), state0.sales_nk == F.col("src_sales_nk"), "left")
+    for fk, _, _ in DIM_LINKS:
+        joined = joined.crossJoin(F.broadcast(unknowns[fk]))
+    measure_changed = None
+    for m in MEASURES:
+        t = ~(F.col(m).eqNullSafe(F.col(f"src_{m}")))
+        measure_changed = t if measure_changed is None else (measure_changed | t)
+    was_unknown = None
+    for fk, _, _ in DIM_LINKS:
+        t = F.col(fk) == F.col(f"_unk_{fk}")
+        was_unknown = t if was_unknown is None else (was_unknown | t)
+    should_update = (
+        F.col("src_sales_nk").isNotNull()
+        & (measure_changed | was_unknown)
+        & (F.col("src_sales_lasteditedwhen") > F.col("sales_lasteditedwhen"))
+    )
+    updated_cols = [F.col("sales_id")]
+    for c in FACT_COLS:
+        if c == "sales_order_datekey":
+            # the reference's UPDATE pass does not touch the date key
+            updated_cols.append(F.col(c))
+        elif c == "sales_nk":
+            updated_cols.append(F.col(c))
+        else:
+            updated_cols.append(
+                F.when(should_update, F.col(f"src_{c}")).otherwise(F.col(c)).alias(c)
+            )
+    base = joined.select(
+        *updated_cols,
+        F.when(should_update, F.lit("updated")).otherwise(F.lit("kept")).alias("change_tag"),
+    )
+
+    # INSERT pass: new NKs only (J5 anti-join, `code/SQL_1…sql:1448–1460`)
+    new_rows = resolved.join(state0.select("sales_nk"), on="sales_nk", how="left_anti")
+    max_sk = state0.agg(F.max("sales_id").alias("_max_sk"))
+    inserted = (
+        new_rows.crossJoin(F.broadcast(max_sk))
+        .select(
+            (F.row_number().over(Window.orderBy("sales_nk")) + F.col("_max_sk"))
+            .cast("int")
+            .alias("sales_id"),
+            *FACT_COLS,
+        )
+        .withColumn("change_tag", F.lit("inserted"))
+    )
+    return base.unionByName(inserted)

@@ -121,3 +121,182 @@ def dim_two_phase_sql(dim: DimSpec, split: str, now_ts: str) -> str:
     UNION ALL
     SELECT * FROM inserted
     """
+
+
+# --- FactSales mirrors (operators/fact.py) --------------------------------
+
+from etl_mini_dw_spark import fixtures_spec as spec
+from etl_mini_dw_spark.fixtures_spec import CUSTOMER, PRODUCT, SALESPERSON
+
+_MEASURES = [
+    "sales_quantity",
+    "sales_unitprice",
+    "sales_taxrate",
+    "sales_value",
+    "sales_value_aftertax",
+]
+
+
+def _raw_hist_ctes() -> str:
+    return f"""
+    raw AS (
+      SELECT l_orderkey, l_linenumber, o_custkey, l_suppkey, l_partkey, o_orderdate,
+             CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+             CAST(l_extendedprice AS DECIMAL(14,2)) AS price,
+             CAST(l_tax AS DECIMAL(4,2)) AS tax,
+             greatest(l_shipdate, o_orderdate) AS lastedit
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    hist AS (
+      SELECT * FROM raw
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, o_custkey, l_suppkey, l_partkey, o_orderdate,
+             CAST(qty + 1 AS DECIMAL(12,2)) AS qty, price, tax,
+             lastedit + {spec.FACT_EDIT_DAYS} * INTERVAL 1 DAY AS lastedit
+      FROM raw WHERE l_orderkey % {spec.FACT_EDIT_MOD} = 0
+    )"""
+
+
+def _src_ctes(sfx: str, as_of: str | None, wm_sql: str) -> str:
+    visible = f"SELECT * FROM hist"
+    if as_of is not None:
+        visible += f" WHERE lastedit <= TIMESTAMP '{as_of}'"
+    return f"""
+    latest{sfx} AS (
+      SELECT * FROM ({visible})
+      QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+                                 ORDER BY lastedit DESC) = 1
+    ),
+    src{sfx} AS (
+      SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS sales_nk,
+             o_custkey AS customer_nk,
+             CASE WHEN l_orderkey % {spec.UNKNOWN_SUPP_MOD} = 0
+                  THEN l_suppkey + {spec.UNKNOWN_SUPP_OFFSET}
+                  ELSE l_suppkey END AS salesperson_nk,
+             l_partkey AS product_nk,
+             o_orderdate AS order_date,
+             qty AS sales_quantity,
+             CAST(price AS DECIMAL(14,4)) AS sales_unitprice,
+             CAST(tax * 100 AS DECIMAL(10,4)) AS sales_taxrate,
+             CAST(qty * price AS DECIMAL(18,4)) AS sales_value,
+             CAST(CAST(qty * price AS DECIMAL(18,4))
+                  * (CAST(1 AS DECIMAL(4,2)) - tax) AS DECIMAL(18,6)) AS sales_value_aftertax,
+             lastedit AS sales_lasteditedwhen
+      FROM latest{sfx} WHERE lastedit > {wm_sql}
+    )"""
+
+
+def _dim_ctes() -> str:
+    return f"""
+    dimc AS ({dim_initial_sql(CUSTOMER)}),
+    dimsp AS ({dim_initial_sql(SALESPERSON)}),
+    dimp AS ({dim_initial_sql(PRODUCT)}),
+    dd AS (
+      SELECT CAST(d AS DATE) AS date_value,
+             CAST(year(d)*10000 + month(d)*100 + dayofmonth(d) AS INTEGER) AS date_key
+      FROM (SELECT unnest(generate_series(DATE '{spec.DATE_START}',
+                                          DATE '{spec.DATE_END}',
+                                          INTERVAL 1 DAY)) AS d)
+    )"""
+
+
+def _resolved_cte(name: str, src: str) -> str:
+    return f"""
+    {name} AS (
+      SELECT s.sales_nk,
+             COALESCE(dc.customer_id,
+                      (SELECT customer_id FROM dimc WHERE customer_nk = -1))
+               AS sales_customerid,
+             COALESCE(dsp.salesperson_id,
+                      (SELECT salesperson_id FROM dimsp WHERE salesperson_nk = -1))
+               AS sales_salespersonid,
+             COALESCE(dp.product_id,
+                      (SELECT product_id FROM dimp WHERE product_skunumber_nk = -1))
+               AS sales_productid,
+             dd.date_key AS sales_order_datekey,
+             s.sales_quantity, s.sales_unitprice, s.sales_taxrate,
+             s.sales_value, s.sales_value_aftertax, s.sales_lasteditedwhen
+      FROM {src} s
+      LEFT JOIN dimc dc ON s.customer_nk = dc.customer_nk
+        AND s.sales_lasteditedwhen >= dc.active_from
+        AND s.sales_lasteditedwhen < dc.active_to
+      LEFT JOIN dimsp dsp ON s.salesperson_nk = dsp.salesperson_nk
+        AND s.sales_lasteditedwhen >= dsp.active_from
+        AND s.sales_lasteditedwhen < dsp.active_to
+      LEFT JOIN dimp dp ON s.product_nk = dp.product_skunumber_nk
+        AND s.sales_lasteditedwhen >= dp.active_from
+        AND s.sales_lasteditedwhen < dp.active_to
+      JOIN dd ON CAST(s.order_date AS DATE) = dd.date_value
+    )"""
+
+
+def _double_measures(prefix: str = "") -> str:
+    return ", ".join(f"CAST({prefix}{m} AS DOUBLE) AS {m}" for m in _MEASURES)
+
+
+def fact_initial_sql() -> str:
+    return f"""
+    WITH {_raw_hist_ctes()},
+    {_src_ctes("0", None, f"TIMESTAMP '{LOW}'")},
+    {_dim_ctes()},
+    {_resolved_cte("resolved0", "src0")}
+    SELECT CAST(row_number() OVER (ORDER BY sales_nk) AS INTEGER) AS sales_id,
+           sales_nk, sales_customerid, sales_salespersonid, sales_productid,
+           sales_order_datekey, {_double_measures()}, sales_lasteditedwhen
+    FROM resolved0
+    """
+
+
+def fact_two_phase_sql() -> str:
+    upd_measures = " OR ".join(f"st.{m} IS DISTINCT FROM r.{m}" for m in _MEASURES)
+    was_unknown = """
+         st.sales_customerid = (SELECT customer_id FROM dimc WHERE customer_nk = -1)
+      OR st.sales_salespersonid = (SELECT salesperson_id FROM dimsp WHERE salesperson_nk = -1)
+      OR st.sales_productid = (SELECT product_id FROM dimp WHERE product_skunumber_nk = -1)"""
+    upd = f"""(r.sales_nk IS NOT NULL
+      AND (({upd_measures}) OR ({was_unknown}))
+      AND r.sales_lasteditedwhen > st.sales_lasteditedwhen)"""
+    upd_cols = ",\n             ".join(
+        f"CASE WHEN {upd} THEN r.{m} ELSE st.{m} END AS {m}"
+        for m in [
+            "sales_customerid",
+            "sales_salespersonid",
+            "sales_productid",
+            *_MEASURES,
+            "sales_lasteditedwhen",
+        ]
+    )
+    return f"""
+    WITH {_raw_hist_ctes()},
+    {_src_ctes("0", spec.FACT_SPLIT, f"TIMESTAMP '{LOW}'")},
+    {_dim_ctes()},
+    {_resolved_cte("resolved0", "src0")},
+    state0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY sales_nk) AS INTEGER) AS sales_id, *
+      FROM resolved0
+    ),
+    wmf AS (SELECT max(sales_lasteditedwhen) AS wm FROM state0),
+    {_src_ctes("f", None, "(SELECT wm FROM wmf)")},
+    {_resolved_cte("resolvedf", "srcf")},
+    base AS (
+      SELECT st.sales_id, st.sales_nk,
+             {upd_cols},
+             st.sales_order_datekey,
+             CASE WHEN {upd} THEN 'updated' ELSE 'kept' END AS change_tag
+      FROM state0 st
+      LEFT JOIN resolvedf r ON st.sales_nk = r.sales_nk
+    ),
+    msk AS (SELECT max(sales_id) AS m FROM state0),
+    inserted AS (
+      SELECT CAST(row_number() OVER (ORDER BY r.sales_nk) + msk.m AS INTEGER) AS sales_id,
+             r.sales_nk, r.sales_customerid, r.sales_salespersonid, r.sales_productid,
+             r.sales_quantity, r.sales_unitprice, r.sales_taxrate,
+             r.sales_value, r.sales_value_aftertax, r.sales_lasteditedwhen,
+             r.sales_order_datekey, 'inserted' AS change_tag
+      FROM resolvedf r, msk
+      WHERE NOT EXISTS (SELECT 1 FROM state0 st WHERE st.sales_nk = r.sales_nk)
+    )
+    SELECT sales_id, sales_nk, sales_customerid, sales_salespersonid, sales_productid,
+           sales_order_datekey, {_double_measures()}, sales_lasteditedwhen, change_tag
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM inserted)
+    """

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_mini_dw_spark import fixtures_spec as spec
 from etl_mini_dw_spark.functions import dimdate
-from etl_mini_dw_spark.operators import scd2
+from etl_mini_dw_spark.operators import fact, scd2
 from etl_mini_dw_spark.oracle import fixture_sql, warehouse_sql
 from etl_mini_dw_spark.plans import analytics
 from etl_mini_dw_spark.sources import staging
@@ -119,3 +119,24 @@ for _dim_key, _dim in spec.DIMS.items():
             "active_to",
         ),
     )
+
+
+# --- M5: FactSales (X5, J1/J3/J5, P2/P3/P5/P6/P12, F2/F6) -----------------
+def _measures_as_double(df: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    for m in fact.MEASURES:
+        df = df.withColumn(m, F.col(m).cast("double"))
+    return df
+
+
+_register(
+    "fact_sales_initial",
+    lambda spark, sf_dir: _measures_as_double(fact.fact_initial(spark, sf_dir)),
+    warehouse_sql.fact_initial_sql(),
+)
+_register(
+    "fact_sales_two_phase",
+    lambda spark, sf_dir: _measures_as_double(fact.fact_two_phase(spark, sf_dir)),
+    warehouse_sql.fact_two_phase_sql(),
+)
