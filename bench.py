@@ -1,0 +1,67 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. The driver records this per-round
+against BASELINE.md (FactSales initial: 231,412 rows in ~1.53 s on the
+reference; our sf0.1 fact is ~2.6× that row count — the 2×-of-baseline
+criterion at the same sf is the target, local Spark fixed overhead aside).
+
+Each query is forced with a full-materialization noop write (not count(),
+which lets Spark skip column evaluation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: flagship analytics + the warehouse core (dims, fact, dimdate)
+HEADLINE = [
+    "flagship_revenue_by_month_segment",
+    "q1_pricing_summary",
+    "dim_date_build",
+    "scd2_customer_two_phase",
+    "fact_sales_initial",
+    "fact_sales_two_phase",
+]
+
+
+def main() -> None:
+    from etl_mini_dw_spark.registry import QUERIES
+    from etl_mini_dw_spark.session import get_spark
+
+    spark = get_spark("etl_mini_dw_spark-bench")
+    # warm the JVM/codegen path so fixed startup cost isn't billed to q1
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    names += [n for n in sorted(QUERIES) if n.startswith("ext_") and n not in names]
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

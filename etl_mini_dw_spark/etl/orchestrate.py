@@ -1,0 +1,160 @@
+"""Warehouse orchestration (SURVEY §2.11 X6/X9; `code/SQL_1…sql:1799–1811`).
+
+``Warehouse`` owns the stateful side of the engine: the parquet table
+store, tracker, run log, and the run-order DAG (dims first, fact ALWAYS
+last; DimDate on demand — the reference's scheduling contract). Loaders
+stay pure; this layer is the only one that performs actions.
+
+Failure semantics (X6): each load computes the full post-state, writes it
+to a temp generation and swaps — on any exception nothing is swapped, a
+FAIL row is appended to the run log, and the error re-raised
+(`code/SQL_1…sql:1026–1044`). The tracker advances only after a
+successful swap, uniformly (fixing the reference's dim-vs-fact
+inconsistency, SURVEY §3.3).
+
+Scale notes: FactSales is stored partitioned by order-date *year* so date
+predicates become partition pruning (the reference only had a date index;
+SURVEY §4 physical-design decision). Dims are single-directory (tiny,
+always broadcast).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_mini_dw_spark import fixtures_spec as spec
+from etl_mini_dw_spark.etl import runlog, tracker
+from etl_mini_dw_spark.etl.store import ParquetStore
+from etl_mini_dw_spark.functions.dimdate import build_dim_date
+from etl_mini_dw_spark.operators import fact, scd2
+from etl_mini_dw_spark.sources import staging
+
+
+def _utcnow() -> datetime:
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, base_dir: str, sf_dir: str) -> None:
+        self.spark = spark
+        self.store = ParquetStore(base_dir)
+        self.sf_dir = sf_dir
+
+    # --- bootstrap (Stage 1) ---------------------------------------------
+    def init(self) -> None:
+        tracker.seed(self.spark, self.store)
+        if not self.store.exists("dim_date"):
+            self.store.write(
+                build_dim_date(self.spark, spec.DATE_START, spec.DATE_END), "dim_date"
+            )
+
+    # --- dimension loads (Stages 2–3, X2–X4) ------------------------------
+    def load_dim(self, dim_key: str, as_of: str | None = None, now_ts: str | None = None) -> dict:
+        dim = spec.DIMS[dim_key]
+        start = _utcnow()
+        run_name = f"etl_load_{dim.name}"
+        try:
+            wm = tracker.read_watermark(self.spark, self.store, dim.name)
+            staged = staging.delta_extract(self.spark, self.sf_dir, dim, wm, as_of=as_of)
+            if not self.store.exists(dim.name):
+                # initial load, A5 empty-table guard (`code/SQL_1…sql:603`)
+                post = scd2.dim_initial(self.spark, self.sf_dir, dim, as_of=as_of).withColumn(
+                    "change_tag", F.lit("inserted")
+                )
+            else:
+                current = self.store.read(self.spark, dim.name)
+                snapshot = staging.current_snapshot(self.spark, self.sf_dir, dim, as_of=as_of)
+                post = scd2.scd2_increment(
+                    current, staged, snapshot, dim, now_ts or _utcnow().strftime("%Y-%m-%d %H:%M:%S")
+                )
+            post = post.localCheckpoint()  # materialize once: metrics + write + wm
+            metrics = {r["change_tag"]: r["cnt"] for r in post.groupBy("change_tag").agg(F.count("*").alias("cnt")).collect()}
+            new_wm = (
+                staged.agg(F.max("valid_from")).first()[0]
+                if metrics.get("inserted") or metrics.get("closed")
+                else None
+            )
+            self.store.write(post.drop("change_tag"), dim.name)
+            tracker.advance(self.spark, self.store, dim.name, new_wm, _utcnow())
+            runlog.append(
+                self.spark,
+                self.store,
+                run_name,
+                start,
+                _utcnow(),
+                rows_inserted=metrics.get("inserted", 0),
+                rows_updated=metrics.get("closed", 0),
+                rows_deleted=metrics.get("deleted", 0),
+            )
+            return metrics
+        except Exception as e:  # X6 FAIL row + rethrow
+            runlog.append(
+                self.spark, self.store, run_name, start, _utcnow(), status="FAIL", error=str(e)[:500]
+            )
+            raise
+
+    # --- fact load (X5) ----------------------------------------------------
+    def load_fact(self, as_of: str | None = None) -> dict:
+        start = _utcnow()
+        run_name = "etl_load_fact_sales"
+        try:
+            dims = {
+                fk: self.store.read(self.spark, ds.name) for fk, ds, _ in fact.DIM_LINKS
+            }
+            dd = self.store.read(self.spark, "dim_date")
+            wm = tracker.read_watermark(self.spark, self.store, "fact_sales")
+            delta = fact.src_sales(self.spark, self.sf_dir, wm, as_of=as_of)
+            resolved = fact._with_datekey(fact.resolve_dimensions(delta, dims), dd).select(
+                *fact.FACT_COLS
+            )
+            if not self.store.exists("fact_sales"):
+                w = Window.orderBy("sales_nk")
+                post = resolved.select(
+                    F.row_number().over(w).cast("int").alias("sales_id"), "*"
+                ).withColumn("change_tag", F.lit("inserted"))
+            else:
+                state0 = self.store.read(self.spark, "fact_sales")
+                post = fact.fact_increment(state0, resolved, dims)
+            post = post.localCheckpoint()
+            metrics = {r["change_tag"]: r["cnt"] for r in post.groupBy("change_tag").agg(F.count("*").alias("cnt")).collect()}
+            new_wm = (
+                delta.agg(F.max("sales_lasteditedwhen")).first()[0]
+                if metrics.get("inserted") or metrics.get("updated")
+                else None
+            )
+            # partition by order-date year → partition pruning on date filters
+            post = post.drop("change_tag").withColumn(
+                "sales_year", (F.col("sales_order_datekey") / 10000).cast("int")
+            )
+            self.store.write(post, "fact_sales", partition_by=["sales_year"])
+            tracker.advance(self.spark, self.store, "fact_sales", new_wm, _utcnow())
+            runlog.append(
+                self.spark,
+                self.store,
+                run_name,
+                start,
+                _utcnow(),
+                rows_inserted=metrics.get("inserted", 0),
+                rows_updated=metrics.get("updated", 0),
+            )
+            return metrics
+        except Exception as e:
+            runlog.append(
+                self.spark, self.store, run_name, start, _utcnow(), status="FAIL", error=str(e)[:500]
+            )
+            raise
+
+    # --- full run (X9 DAG: dims first, fact always last) -------------------
+    def run_all(self, as_of: str | None = None, now_ts: str | None = None) -> dict[str, dict]:
+        self.init()
+        out = {}
+        for dim_key in spec.DIMS:
+            out[dim_key] = self.load_dim(dim_key, as_of=as_of, now_ts=now_ts)
+        out["fact_sales"] = self.load_fact(as_of=as_of)
+        return out
+
+    def table(self, name: str) -> DataFrame:
+        return self.store.read(self.spark, name)

@@ -212,31 +212,16 @@ def fact_initial(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def fact_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Initial load as-of FACT_SPLIT + one incremental pass (X5 lifecycle).
+def fact_increment(
+    state0: DataFrame, resolved: DataFrame, dims: dict[str, DataFrame]
+) -> DataFrame:
+    """One incremental fact merge pass → post-state tagged kept/updated/inserted.
 
     Mirrors `code/SQL_1…sql:1339–1539`: UPDATE pass for matched NKs where
     measures changed or a dim SK was unknown and the source row is newer
     (F6), INSERT pass for new NKs (J5 anti-join); no deletes by design
-    (`code/SQL_1…sql:1464–1474`). Returns the post-state tagged
-    kept/updated/inserted.
+    (`code/SQL_1…sql:1464–1474`).
     """
-    dims = {fk: scd2.dim_initial(spark, sf_dir, ds) for fk, ds, _ in DIM_LINKS}
-    dd = build_dim_date(spark, spec.DATE_START, spec.DATE_END)
-
-    # phase 1: what the warehouse looked like after loading up to the split
-    f0 = src_sales(spark, sf_dir, spec.LOW, as_of=spec.FACT_SPLIT)
-    state0 = _with_datekey(resolve_dimensions(f0, dims), dd).select(*FACT_COLS)
-    w = Window.orderBy("sales_nk")
-    state0 = state0.select(F.row_number().over(w).cast("int").alias("sales_id"), "*")
-
-    # data-driven watermark advance (`code/SQL_1…sql:1493–1500`)
-    wm = state0.agg(F.max("sales_lasteditedwhen")).first()[0].strftime("%Y-%m-%d %H:%M:%S")
-
-    # phase 2 delta, resolved at the *new* edit time (late-dim repair path)
-    delta = src_sales(spark, sf_dir, wm)
-    resolved = _with_datekey(resolve_dimensions(delta, dims), dd).select(*FACT_COLS)
-
     src = resolved.select([F.col(c).alias(f"src_{c}") for c in FACT_COLS])
     unknowns = {
         fk: dims[fk]
@@ -293,3 +278,24 @@ def fact_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("change_tag", F.lit("inserted"))
     )
     return base.unionByName(inserted)
+
+
+def fact_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial load as-of FACT_SPLIT + one incremental pass (X5 lifecycle)."""
+    dims = {fk: scd2.dim_initial(spark, sf_dir, ds) for fk, ds, _ in DIM_LINKS}
+    dd = build_dim_date(spark, spec.DATE_START, spec.DATE_END)
+
+    # phase 1: what the warehouse looked like after loading up to the split
+    f0 = src_sales(spark, sf_dir, spec.LOW, as_of=spec.FACT_SPLIT)
+    state0 = _with_datekey(resolve_dimensions(f0, dims), dd).select(*FACT_COLS)
+    w = Window.orderBy("sales_nk")
+    state0 = state0.select(F.row_number().over(w).cast("int").alias("sales_id"), "*")
+
+    # data-driven watermark advance (`code/SQL_1…sql:1493–1500`), read back
+    # to the driver like the reference's scalar tracker lookup (P11)
+    wm = state0.agg(F.max("sales_lasteditedwhen")).first()[0].strftime("%Y-%m-%d %H:%M:%S")
+
+    # phase 2 delta, resolved at the *new* edit time (late-dim repair path)
+    delta = src_sales(spark, sf_dir, wm)
+    resolved = _with_datekey(resolve_dimensions(delta, dims), dd).select(*FACT_COLS)
+    return fact_increment(state0, resolved, dims)

@@ -140,3 +140,92 @@ _register(
     lambda spark, sf_dir: _measures_as_double(fact.fact_two_phase(spark, sf_dir)),
     warehouse_sql.fact_two_phase_sql(),
 )
+
+
+# --- M6: validation suite + marts (Stage 4/5; A2/A3, J5/J7, O1/O2, C2–C5) --
+from etl_mini_dw_spark.oracle import validation_sql
+from etl_mini_dw_spark.plans import marts, validation
+
+def _two_phase(spark, sf_dir, dim_key):
+    d = spec.DIMS[dim_key]
+    return scd2.dim_two_phase(spark, sf_dir, d, spec.MID, spec.NOW_FIXED)
+
+
+for _dim_key, _dim in spec.DIMS.items():
+    _register(
+        f"validate_dup_current_{_dim_key}",
+        (
+            lambda k, d: lambda spark, sf_dir: validation.duplicate_current_per_nk(
+                _two_phase(spark, sf_dir, k), d.nk
+            )
+        )(_dim_key, _dim),
+        validation_sql.dup_current_sql(
+            warehouse_sql.dim_two_phase_sql(_dim, spec.MID, spec.NOW_FIXED), _dim.nk
+        ),
+    )
+    _register(
+        f"mart_{_dim_key}_current",
+        (
+            lambda k, d: lambda spark, sf_dir: marts.mart_dim_current(
+                _two_phase(spark, sf_dir, k), d
+            )
+        )(_dim_key, _dim),
+        validation_sql.mart_dim_sql(
+            warehouse_sql.dim_two_phase_sql(_dim, spec.MID, spec.NOW_FIXED), _dim
+        ),
+    )
+
+_register(
+    "validate_dup_versions_customer",
+    lambda spark, sf_dir: validation.duplicate_version_windows(
+        _two_phase(spark, sf_dir, "customer"), "customer_nk"
+    ),
+    validation_sql.dup_versions_sql(
+        warehouse_sql.dim_two_phase_sql(spec.CUSTOMER, spec.MID, spec.NOW_FIXED), "customer_nk"
+    ),
+)
+_register(
+    "validate_overlaps_customer",
+    lambda spark, sf_dir: validation.overlapping_windows(
+        _two_phase(spark, sf_dir, "customer"), "customer_nk", "customer_id"
+    ),
+    validation_sql.overlaps_sql(
+        warehouse_sql.dim_two_phase_sql(spec.CUSTOMER, spec.MID, spec.NOW_FIXED),
+        "customer_nk",
+        "customer_id",
+    ),
+)
+_register(
+    "validate_fact_nk_dups",
+    lambda spark, sf_dir: validation.duplicate_fact_nk(fact.fact_initial(spark, sf_dir)),
+    validation_sql.fact_nk_dups_sql(warehouse_sql.fact_initial_sql()),
+)
+_register(
+    "validate_fact_orphans_customer",
+    lambda spark, sf_dir: validation.fact_orphans(
+        fact.fact_initial(spark, sf_dir),
+        scd2.dim_initial(spark, sf_dir, spec.CUSTOMER),
+        "sales_customerid",
+        "customer_id",
+    ),
+    validation_sql.fact_orphans_sql(
+        warehouse_sql.fact_initial_sql(),
+        warehouse_sql.dim_initial_sql(spec.CUSTOMER),
+        "sales_customerid",
+        "customer_id",
+    ),
+)
+_register(
+    "validate_distinct_day_names",
+    lambda spark, sf_dir: validation.distinct_day_names(dimdate.build_dim_date(spark)),
+    f"SELECT DISTINCT day_of_week_name FROM ({dimdate.dim_date_oracle_sql()})",
+)
+_register(
+    "current_member_counts_customer",
+    lambda spark, sf_dir: validation.current_member_counts(
+        _two_phase(spark, sf_dir, "customer")
+    ),
+    validation_sql.current_counts_sql(
+        warehouse_sql.dim_two_phase_sql(spec.CUSTOMER, spec.MID, spec.NOW_FIXED)
+    ),
+)

@@ -1,0 +1,96 @@
+"""Warehouse lifecycle: initial load → incremental → idempotent re-run.
+
+Port of the reference's test strategy (SURVEY §5): zero-row Stage 5
+invariants after any run, the README-documented idempotence property
+(re-run ⇒ 0 inserted/updated/deleted), and run-log/tracker observability.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_mini_dw_spark import fixtures_spec as spec
+from etl_mini_dw_spark.etl.orchestrate import Warehouse
+from etl_mini_dw_spark.plans import validation
+
+
+@pytest.fixture(scope="module")
+def wh(spark, sf_dir, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("warehouse"))
+    w = Warehouse(spark, base, sf_dir)
+    w.init()
+    # phase 1: world as of MID; phase 2: present
+    w.run_all(as_of=spec.MID, now_ts=spec.NOW_FIXED)
+    w.run_all(now_ts=spec.NOW_FIXED)
+    return w
+
+
+def test_idempotent_rerun(wh):
+    metrics = wh.run_all(now_ts=spec.NOW_FIXED)
+    for table, m in metrics.items():
+        assert m.get("inserted", 0) == 0, (table, m)
+        assert m.get("updated", 0) == 0, (table, m)
+        assert m.get("closed", 0) == 0, (table, m)
+        assert m.get("deleted", 0) == 0, (table, m)
+
+
+def test_scd2_invariants(wh):
+    for key, dim in spec.DIMS.items():
+        df = wh.table(dim.name)
+        assert validation.duplicate_current_per_nk(df, dim.nk).count() == 0, key
+        assert validation.duplicate_version_windows(df, dim.nk).count() == 0, key
+        assert validation.overlapping_windows(df, dim.nk, dim.sk).count() == 0, key
+        assert validation.null_validity(df, dim.nk).count() == 0, key
+        # unknown member present and current
+        unk = df.filter(F.col(dim.nk) == spec.UNKNOWN_NK)
+        assert unk.count() == 1 and unk.first()["is_current"], key
+
+
+def test_fact_invariants(wh):
+    f = wh.table("fact_sales")
+    assert validation.duplicate_fact_nk(f).count() == 0
+    for fk, dim, _ in __import__(
+        "etl_mini_dw_spark.operators.fact", fromlist=["DIM_LINKS"]
+    ).DIM_LINKS:
+        d = wh.table(dim.name)
+        assert validation.fact_orphans(f, d, fk, dim.sk).count() == 0, fk
+
+
+def test_incremental_matches_direct_build(wh, spark, sf_dir):
+    """Two-phase warehouse state ≡ the oracle-checked two-phase plan."""
+    from etl_mini_dw_spark.operators import scd2
+
+    for key, dim in spec.DIMS.items():
+        direct = scd2.dim_two_phase(spark, sf_dir, dim, spec.MID, spec.NOW_FIXED).drop(
+            "change_tag"
+        )
+        stored = wh.table(dim.name)
+        assert stored.count() == direct.count(), key
+        assert (
+            stored.exceptAll(direct.select(*stored.columns)).count() == 0
+            and direct.select(*stored.columns).exceptAll(stored).count() == 0
+        ), key
+
+
+def test_runlog_and_tracker(wh, spark):
+    log = wh.table("etl_run_log")
+    assert log.filter(F.col("run_status") == "FAIL").count() == 0
+    # 3 full runs × 4 tables
+    assert log.count() == 12
+    tr = wh.table("etl_load_tracker")
+    rows = {r["table_name"]: r for r in tr.collect()}
+    assert set(rows) == {"dim_customer", "dim_salesperson", "dim_product", "fact_sales"}
+    for r in rows.values():
+        assert r["last_successful_execution_time"] is not None
+        assert r["last_successful_load"].year > 1900  # advanced past seed
+
+
+def test_fail_logging(spark, sf_dir, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("warehouse_fail"))
+    w = Warehouse(spark, base, "/nonexistent/dir")
+    w.init()
+    with pytest.raises(Exception):
+        w.load_dim("customer")
+    log = w.table("etl_run_log")
+    assert log.filter(F.col("run_status") == "FAIL").count() == 1
