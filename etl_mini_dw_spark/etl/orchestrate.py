@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_mini_dw_spark import fixtures_spec as spec
@@ -111,10 +111,8 @@ class Warehouse:
                 *fact.FACT_COLS
             )
             if not self.store.exists("fact_sales"):
-                w = Window.orderBy("sales_nk")
-                post = resolved.select(
-                    F.row_number().over(w).cast("int").alias("sales_id"), "*"
-                ).withColumn("change_tag", F.lit("inserted"))
+                # sales_id is key-derived in src_sales — no sequence needed
+                post = resolved.withColumn("change_tag", F.lit("inserted"))
             else:
                 state0 = self.store.read(self.spark, "fact_sales")
                 post = fact.fact_increment(state0, resolved, dims)

@@ -1,0 +1,168 @@
+"""Similarity search over the ``embeddings`` table (extension M8d).
+
+- **Brute-force cosine top-k** — the correctness baseline: queries ×
+  corpus with a higher-order-function dot product (JVM-side, no Python),
+  `Window.partitionBy(query)` + ``row_number`` for top-k.
+- **Sign-LSH bucketing** — the scale path: 8 hyperplane-sign bits (here:
+  signs of 8 fixed coordinates — deterministic and oracle-portable; in
+  production, signs of 8 random-projection dots) partition the corpus so
+  candidate generation is a per-bucket join, not corpus². At 100 TB the
+  bucket id is also the storage partition key, so a query probes one
+  partition (an IVF-style index expressed as partition pruning).
+
+Cosine values are rounded to 6 dp: both engines compute the same
+left-to-right fold over the same float32→double casts, and rounding
+removes any 1-ulp divergence risk from the hash comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_mini_dw_spark.sources.tables import load_table
+
+N_QUERIES = 5  # vec_id < 5 act as the query set
+TOP_K = 5
+LSH_DIMS = [0, 8, 16, 24, 32, 40, 48, 56]
+NEAR_DUP_COSINE = 0.93
+
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NORM = (
+    "sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+)
+
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, 65),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM_SQL = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    cos = F.round(
+        F.expr(_DOT.format(a="qv", b="cv"))
+        / (F.expr(_NORM.format(a="qv")) * F.expr(_NORM.format(a="cv"))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, cand_id,
+         round({_DOT_SQL.format(a="qv", b="cv")}
+               / ({_NORM_SQL.format(a="qv")} * {_NORM_SQL.format(a="cv")}), 6) AS cosine
+  FROM q, c WHERE query_id <> cand_id
+)
+SELECT query_id, cand_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
+def _bucket_expr_spark() -> F.Column:
+    bits = None
+    for i, d in enumerate(LSH_DIMS):
+        bit = F.when(F.expr(f"CAST(embedding[{d}] AS DOUBLE) >= 0.0"), F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        bits = bit if bits is None else bits + bit
+    return bits.cast("int")
+
+
+def _bucket_expr_sql() -> str:
+    # DuckDB lists are 1-indexed; Spark arrays 0-indexed
+    return (
+        "CAST("
+        + " + ".join(
+            f"CASE WHEN CAST(embedding[{d + 1}] AS DOUBLE) >= 0.0 THEN {1 << i} ELSE 0 END"
+            for i, d in enumerate(LSH_DIMS)
+        )
+        + " AS INTEGER)"
+    )
+
+
+def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus distribution over the 256 sign-LSH buckets (skew check)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(_bucket_expr_spark().alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+LSH_HISTOGRAM_SQL = f"""
+SELECT {_bucket_expr_sql()} AS bucket, COUNT(*) AS n_vectors
+FROM embeddings GROUP BY 1
+"""
+
+
+def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dups: cosine ≥ threshold among same-bucket pairs.
+
+    The equi-join on bucket is the LSH payoff — per-bucket pairs only.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _bucket_expr_spark().alias("bucket")
+    )
+    a = emb.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb")
+    )
+    cos = F.round(
+        F.expr(_DOT.format(a="va", b="vb"))
+        / (F.expr(_NORM.format(a="va")) * F.expr(_NORM.format(a="vb"))),
+        6,
+    )
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy(F.col("cosine").desc(), "vec_a", "vec_b")
+        .limit(100)
+    )
+
+
+LSH_NEAR_DUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding, {_bucket_expr_sql()} AS bucket FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+               / ({_NORM_SQL.format(a="a.embedding")} * {_NORM_SQL.format(a="b.embedding")}),
+               6) AS cosine
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM pairs
+WHERE cosine >= {NEAR_DUP_COSINE}
+ORDER BY cosine DESC, vec_a, vec_b
+LIMIT 100
+"""

@@ -1,0 +1,147 @@
+"""Text-analysis operators over the ``documents`` table (extension M8b).
+
+Beyond-reference capability for large-scale training-data pipelines:
+language ID (stopword-hit heuristic), quality scoring, token counting
+(regex, BPE-ish word/number/symbol classes), and document
+fingerprinting. Everything is built-in Spark SQL functions — JVM-side,
+whole-stage-codegen'd, zero Python UDFs — so at 100 TB these run as
+narrow map-only stages with full column pruning (only ``text`` +
+``doc_id`` are read).
+
+Each operator has a value-identical DuckDB mirror for the oracle gate;
+ratios are double IEEE expressions evaluated in the same order on both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_mini_dw_spark.sources.tables import load_table
+
+TOKEN_RE = "[A-Za-z]+|[0-9]+"
+PUNCT_RE = "[.,;:!?]"
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to"],
+    "fr": ["le", "la", "et", "de", "un"],
+    "es": ["el", "los", "y", "de", "un"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+
+def _tokens() -> F.Column:
+    return F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats + quality score (length/punct/token ratios)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    punct = n_chars - F.length(F.regexp_replace("text", PUNCT_RE, ""))
+    punct_ratio = punct.cast("double") / n_chars.cast("double")
+    quality = F.round(
+        F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(50.0)) * (F.lit(1.0) - punct_ratio),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars_actual"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        punct.cast("bigint").alias("n_punct"),
+        quality.alias("quality_score"),
+    )
+
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
+       CAST(length(text) - length(regexp_replace(text, '{PUNCT_RE}', '', 'g')) AS BIGINT)
+         AS n_punct,
+       round(least(1.0, CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS DOUBLE) / 50.0)
+             * (1.0 - CAST(length(text) - length(regexp_replace(text, '{PUNCT_RE}', '', 'g'))
+                           AS DOUBLE) / CAST(length(text) AS DOUBLE)), 6) AS quality_score
+FROM documents
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword-hit language ID heuristic; ties break alphabetically."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.transform(_tokens(), lambda t: F.lower(t))
+    out = docs.select("doc_id", F.col("lang").alias("lang_label"), toks.alias("_toks"))
+    for lang, words in STOPWORDS.items():
+        in_list = " OR ".join(f"t = '{w}'" for w in words)
+        out = out.withColumn(
+            f"hits_{lang}",
+            F.expr(f"size(filter(_toks, t -> {in_list}))").cast("bigint"),
+        )
+    # argmax with deterministic alphabetical tie-break
+    langs = sorted(STOPWORDS)
+    best = F.col(f"hits_{langs[0]}")
+    for lang in langs[1:]:
+        best = F.greatest(best, F.col(f"hits_{lang}"))
+    pred = None
+    for lang in langs:
+        cond = F.col(f"hits_{lang}") == best
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return out.withColumn("lang_pred", pred).drop("_toks")
+
+
+def lang_id_sql() -> str:
+    hit_cols = []
+    for lang, words in STOPWORDS.items():
+        in_list = ", ".join(f"'{w}'" for w in words)
+        hit_cols.append(
+            f"CAST(len(list_filter(list_transform(regexp_extract_all(text, '{TOKEN_RE}'),"
+            f" t -> lower(t)), t -> t IN ({in_list}))) AS BIGINT) AS hits_{lang}"
+        )
+    langs = sorted(STOPWORDS)
+    best = f"greatest({', '.join(f'hits_{la}' for la in langs)})"
+    pred = "CASE " + " ".join(f"WHEN hits_{la} = {best} THEN '{la}'" for la in langs) + " END"
+    return f"""
+    WITH hits AS (
+      SELECT doc_id, lang AS lang_label, {", ".join(hit_cols)}
+      FROM documents
+    )
+    SELECT doc_id, lang_label, {", ".join(f"hits_{la}" for la in langs)},
+           {pred} AS lang_pred
+    FROM hits
+    """
+
+
+def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token accounting per source (the budget question every
+    training-data pipeline asks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens())).cast("bigint").alias("total_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '{TOKEN_RE}'))) AS BIGINT) AS total_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY source
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (md5 of lowercased, space-collapsed text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""

@@ -17,12 +17,13 @@ Spark-first design decisions:
 - **Exact decimal measures.** qty*price*(1-tax) in DECIMAL — identical
   under any partitioning, and identical to the DuckDB oracle
   (P2 `code/SQL_1…sql:498–499`; the formula's minus is reproduced).
-- **Surrogate keys.** Initial build: ``row_number() OVER (ORDER BY
-  sales_nk)`` — deterministic and oracle-checkable, but a single-partition
-  window. That is acceptable at bench scale and for dimension tables, NOT
-  at 100 TB fact scale: there, switch to ``zipWithIndex``-style block
-  offsets or hash-based keys (documented here, enforced nowhere — the
-  deterministic SK is part of the correctness contract with the oracle).
+- **Surrogate keys are key-derived**: ``sales_id = l_orderkey *
+  LINE_MULT + l_linenumber`` — deterministic, collision-free (linenumber
+  < LINE_MULT), needs NO global window/sort and no cross-batch max-SK
+  coordination: the one SK strategy that scales to 100 TB and stays
+  oracle-checkable. (The reference's IDENTITY produces a dense sequence;
+  density is not part of its observable contract — uniqueness and
+  stability are. Documented deviation.)
 - **Storage partitioning** (orchestrator): FactSales is written
   partitioned by order-date prefix so date filters become partition
   pruning — the reference only had a date index (SURVEY §4).
@@ -44,6 +45,9 @@ DIM_LINKS = [
     ("sales_salespersonid", spec.SALESPERSON, "salesperson_nk"),
     ("sales_productid", spec.PRODUCT, "product_nk"),
 ]
+
+# l_linenumber < LINE_MULT everywhere (TPC-H max is 7) — key-derived SK
+LINE_MULT = 10
 
 MEASURES = [
     "sales_quantity",
@@ -98,6 +102,13 @@ def src_sales(
         "tax",
         F.timestamp_add("DAY", F.lit(spec.FACT_EDIT_DAYS), F.col("lastedit")).alias("lastedit"),
     )
+    # The testdata's lineitem is NOT unique on (orderkey, linenumber) —
+    # latest-per-NK-wins is the engine's documented adaptation of the
+    # reference's unique OrderLines key. The ordering is TOTAL (every
+    # column a tiebreaker) so Spark and the oracle pick identical winners.
+    # Scale note: one hash-partitioned window shuffle keyed by NK — at
+    # 100 TB only the delta batch flows through it, never full history,
+    # and partial row_number needs no global sort.
     hist = raw.unionByName(edits)
     if as_of is not None:
         hist = hist.filter(F.col("lastedit") <= _ts(as_of))
@@ -106,7 +117,12 @@ def src_sales(
             "_rn",
             F.row_number().over(
                 Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
-                    F.col("lastedit").desc()
+                    F.col("lastedit").desc(),
+                    F.col("l_partkey").desc(),
+                    F.col("l_suppkey").desc(),
+                    F.col("qty").desc(),
+                    F.col("price").desc(),
+                    F.col("tax").desc(),
                 )
             ),
         )
@@ -118,6 +134,10 @@ def src_sales(
     return (
         latest.filter(F.col("lastedit") > _ts(watermark))  # F2
         .select(
+            # key-derived surrogate (see module docstring)
+            (F.col("l_orderkey") * LINE_MULT + F.col("l_linenumber"))
+            .cast("bigint")
+            .alias("sales_id"),
             # P5 composite natural key (`code/SQL_1…sql:490`)
             F.concat_ws(
                 "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
@@ -188,6 +208,7 @@ def _with_datekey(facts: DataFrame, dim_date: DataFrame) -> DataFrame:
 
 
 FACT_COLS = [
+    "sales_id",
     "sales_nk",
     "sales_customerid",
     "sales_salespersonid",
@@ -205,11 +226,7 @@ def fact_initial(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     dd = build_dim_date(spark, spec.DATE_START, spec.DATE_END)
     facts = src_sales(spark, sf_dir, spec.LOW)
-    resolved = _with_datekey(resolve_dimensions(facts, dims), dd).select(*FACT_COLS)
-    w = Window.orderBy("sales_nk")
-    return resolved.select(
-        F.row_number().over(w).cast("int").alias("sales_id"), "*"
-    )
+    return _with_datekey(resolve_dimensions(facts, dims), dd).select(*FACT_COLS)
 
 
 def fact_increment(
@@ -248,9 +265,11 @@ def fact_increment(
         & (measure_changed | was_unknown)
         & (F.col("src_sales_lasteditedwhen") > F.col("sales_lasteditedwhen"))
     )
-    updated_cols = [F.col("sales_id")]
+    updated_cols = []
     for c in FACT_COLS:
-        if c == "sales_order_datekey":
+        if c in ("sales_id",):
+            updated_cols.append(F.col(c))
+        elif c == "sales_order_datekey":
             # the reference's UPDATE pass does not touch the date key
             updated_cols.append(F.col(c))
         elif c == "sales_nk":
@@ -264,17 +283,11 @@ def fact_increment(
         F.when(should_update, F.lit("updated")).otherwise(F.lit("kept")).alias("change_tag"),
     )
 
-    # INSERT pass: new NKs only (J5 anti-join, `code/SQL_1…sql:1448–1460`)
-    new_rows = resolved.join(state0.select("sales_nk"), on="sales_nk", how="left_anti")
-    max_sk = state0.agg(F.max("sales_id").alias("_max_sk"))
+    # INSERT pass: new NKs only (J5 anti-join, `code/SQL_1…sql:1448–1460`);
+    # key-derived SKs need no max-SK offset or ordering window
     inserted = (
-        new_rows.crossJoin(F.broadcast(max_sk))
-        .select(
-            (F.row_number().over(Window.orderBy("sales_nk")) + F.col("_max_sk"))
-            .cast("int")
-            .alias("sales_id"),
-            *FACT_COLS,
-        )
+        resolved.join(state0.select("sales_nk"), on="sales_nk", how="left_anti")
+        .select(*FACT_COLS)
         .withColumn("change_tag", F.lit("inserted"))
     )
     return base.unionByName(inserted)
@@ -288,8 +301,6 @@ def fact_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # phase 1: what the warehouse looked like after loading up to the split
     f0 = src_sales(spark, sf_dir, spec.LOW, as_of=spec.FACT_SPLIT)
     state0 = _with_datekey(resolve_dimensions(f0, dims), dd).select(*FACT_COLS)
-    w = Window.orderBy("sales_nk")
-    state0 = state0.select(F.row_number().over(w).cast("int").alias("sales_id"), "*")
 
     # data-driven watermark advance (`code/SQL_1…sql:1493–1500`), read back
     # to the driver like the reference's scalar tracker lookup (P11)

@@ -165,10 +165,13 @@ def _src_ctes(sfx: str, as_of: str | None, wm_sql: str) -> str:
     latest{sfx} AS (
       SELECT * FROM ({visible})
       QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_linenumber
-                                 ORDER BY lastedit DESC) = 1
+                                 ORDER BY lastedit DESC, l_partkey DESC,
+                                          l_suppkey DESC, qty DESC,
+                                          price DESC, tax DESC) = 1
     ),
     src{sfx} AS (
-      SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS sales_nk,
+      SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS sales_id,
+             CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS sales_nk,
              o_custkey AS customer_nk,
              CASE WHEN l_orderkey % {spec.UNKNOWN_SUPP_MOD} = 0
                   THEN l_suppkey + {spec.UNKNOWN_SUPP_OFFSET}
@@ -203,7 +206,7 @@ def _dim_ctes() -> str:
 def _resolved_cte(name: str, src: str) -> str:
     return f"""
     {name} AS (
-      SELECT s.sales_nk,
+      SELECT s.sales_id, s.sales_nk,
              COALESCE(dc.customer_id,
                       (SELECT customer_id FROM dimc WHERE customer_nk = -1))
                AS sales_customerid,
@@ -240,8 +243,7 @@ def fact_initial_sql() -> str:
     {_src_ctes("0", None, f"TIMESTAMP '{LOW}'")},
     {_dim_ctes()},
     {_resolved_cte("resolved0", "src0")}
-    SELECT CAST(row_number() OVER (ORDER BY sales_nk) AS INTEGER) AS sales_id,
-           sales_nk, sales_customerid, sales_salespersonid, sales_productid,
+    SELECT sales_id, sales_nk, sales_customerid, sales_salespersonid, sales_productid,
            sales_order_datekey, {_double_measures()}, sales_lasteditedwhen
     FROM resolved0
     """
@@ -271,10 +273,7 @@ def fact_two_phase_sql() -> str:
     {_src_ctes("0", spec.FACT_SPLIT, f"TIMESTAMP '{LOW}'")},
     {_dim_ctes()},
     {_resolved_cte("resolved0", "src0")},
-    state0 AS (
-      SELECT CAST(row_number() OVER (ORDER BY sales_nk) AS INTEGER) AS sales_id, *
-      FROM resolved0
-    ),
+    state0 AS (SELECT * FROM resolved0),
     wmf AS (SELECT max(sales_lasteditedwhen) AS wm FROM state0),
     {_src_ctes("f", None, "(SELECT wm FROM wmf)")},
     {_resolved_cte("resolvedf", "srcf")},
@@ -286,14 +285,13 @@ def fact_two_phase_sql() -> str:
       FROM state0 st
       LEFT JOIN resolvedf r ON st.sales_nk = r.sales_nk
     ),
-    msk AS (SELECT max(sales_id) AS m FROM state0),
     inserted AS (
-      SELECT CAST(row_number() OVER (ORDER BY r.sales_nk) + msk.m AS INTEGER) AS sales_id,
+      SELECT r.sales_id,
              r.sales_nk, r.sales_customerid, r.sales_salespersonid, r.sales_productid,
              r.sales_quantity, r.sales_unitprice, r.sales_taxrate,
              r.sales_value, r.sales_value_aftertax, r.sales_lasteditedwhen,
              r.sales_order_datekey, 'inserted' AS change_tag
-      FROM resolvedf r, msk
+      FROM resolvedf r
       WHERE NOT EXISTS (SELECT 1 FROM state0 st WHERE st.sales_nk = r.sales_nk)
     )
     SELECT sales_id, sales_nk, sales_customerid, sales_salespersonid, sales_productid,

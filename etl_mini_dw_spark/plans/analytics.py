@@ -113,3 +113,79 @@ SELECT l_returnflag, l_linestatus,
 FROM li
 GROUP BY l_returnflag, l_linestatus
 """
+
+
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped: lineitem⋈orders⋈customer⋈nation⋈region chain.
+
+    The dimension chain (customer→nation→region) is a cascade of
+    broadcast joins — only the lineitem⋈orders step shuffles.
+    """
+    lineitem = typed_table(spark, sf_dir, "lineitem")
+    orders = typed_table(spark, sf_dir, "orders")
+    customer = typed_table(spark, sf_dir, "customer")
+    nation = typed_table(spark, sf_dir, "nation")
+    region = typed_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(revenue).cast("decimal(38,4)").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+REVENUE_BY_REGION_SQL = """
+SELECT r_name AS region_name, n_name AS nation_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: filter both sides pre-join, agg, deterministic top-10."""
+    lineitem = typed_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    orders = typed_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(revenue).cast("decimal(38,4)").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+TOP_UNSHIPPED_SQL = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""

@@ -229,3 +229,42 @@ _register(
         warehouse_sql.dim_two_phase_sql(spec.CUSTOMER, spec.MID, spec.NOW_FIXED)
     ),
 )
+
+
+# --- M8: large-scale pipeline extensions ----------------------------------
+from etl_mini_dw_spark.functions import dedup, multimodal, simsearch, text
+from etl_mini_dw_spark.streaming import events as ev
+
+# text analysis (M8b)
+_register("ext_text_stats", text.text_stats, text.TEXT_STATS_SQL)
+_register("ext_lang_id", text.lang_id, text.lang_id_sql())
+_register("ext_token_count_by_source", text.token_count_by_source, text.TOKEN_COUNT_SQL)
+_register("ext_doc_fingerprint", text.doc_fingerprint, text.DOC_FINGERPRINT_SQL)
+
+# dedup (M8c)
+_register("ext_dedup_exact", dedup.exact_dup_groups, dedup.EXACT_DUP_SQL)
+_register("ext_minhash_signatures", dedup.minhash_signatures, dedup.MINHASH_SQL)
+_register("ext_minhash_lsh_pairs", dedup.lsh_candidate_pairs, dedup.LSH_PAIRS_SQL)
+_register("ext_ngram_jaccard_neardups", dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL)
+_register("ext_simhash_sketches", dedup.simhash16, dedup.SIMHASH_SQL)
+_register("ext_simhash_dup_groups", dedup.simhash_dup_groups, dedup.SIMHASH_GROUPS_SQL)
+
+# similarity search (M8d)
+_register("ext_ann_bruteforce_topk", simsearch.ann_bruteforce_topk, simsearch.ANN_BRUTEFORCE_SQL)
+_register("ext_ann_lsh_bucket_histogram", simsearch.lsh_bucket_histogram, simsearch.LSH_HISTOGRAM_SQL)
+_register("ext_embedding_neardup_pairs", simsearch.lsh_near_dup_pairs, simsearch.LSH_NEAR_DUP_SQL)
+
+# events: batch windows + real structured streaming (M8a)
+_register("ext_events_tumbling_hourly", ev.tumbling_hourly, ev.TUMBLING_SQL)
+_register("ext_events_sliding_hourly", ev.sliding_hourly, ev.SLIDING_SQL)
+_register("ext_events_sessionization", ev.sessionization, ev.SESSIONIZATION_SQL)
+_register("ext_events_topk_users", ev.topk_users_by_value, ev.TOPK_USERS_SQL)
+_register("ext_events_streaming_tumbling", ev.streaming_tumbling_hourly, ev.TUMBLING_SQL)
+
+# multimodal plumbing (binary columns + metadata + mapInPandas features)
+_register("ext_multimodal_metadata", multimodal.payload_metadata, multimodal.PAYLOAD_METADATA_SQL)
+# mapInPandas codec path: not SQL-expressible → rows-only check
+_register("ext_multimodal_features", multimodal.extract_features, None)
+
+_register("revenue_by_region", analytics.revenue_by_region, analytics.REVENUE_BY_REGION_SQL)
+_register("top_unshipped_orders", analytics.top_unshipped_orders, analytics.TOP_UNSHIPPED_SQL)

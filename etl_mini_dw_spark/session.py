@@ -41,6 +41,9 @@ def get_spark(app_name: str = "etl_mini_dw_spark", cpus: int | None = None) -> S
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # events.parquet carries TIMESTAMP(NANOS) which the Spark reader
+        # rejects; read as long and convert at the typed-ingest layer
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

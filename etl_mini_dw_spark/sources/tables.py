@@ -66,6 +66,9 @@ def typed_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = load_table(spark, sf_dir, name)
     for col, dtype in TYPED_DECIMALS.get(name, {}).items():
         df = df.withColumn(col, F.col(col).cast(dtype))
+    if name == "events":
+        # ns → µs truncation, mirrored by CAST(ts AS TIMESTAMP) oracle-side
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -1,0 +1,202 @@
+"""Event-stream operators (extension M8a; SURVEY §2.13).
+
+The reference is batch-only — its "watermark" is an incremental-load
+high-water mark, not event time. This module adds the real thing:
+
+- Batch-shaped window analytics (tumbling / sliding / session / top-k)
+  over ``events``, each with a DuckDB oracle mirror.
+- A genuine Structured Streaming pipeline (``readStream`` over the same
+  parquet, event-time watermark, tumbling window, memory sink) whose
+  *result* is returned as a batch DataFrame — so even the streaming path
+  is oracle-checked against the batch SQL semantics (complete mode ⇒
+  batch-equivalent).
+
+Scale notes: tumbling/sliding aggregation is one shuffle keyed by
+(window, type); sessionization shuffles by user — the natural key at any
+scale; the streaming variant is exactly the plan you'd run with a Kafka
+source + checkpointing on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_mini_dw_spark.sources.tables import typed_table
+
+SESSION_GAP_MIN = 30
+TOP_K_USERS = 10
+
+
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows × event_type: count + exact-decimal sum."""
+    ev = typed_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").cast("decimal(38,2)").cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+TUMBLING_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events GROUP BY 1, 2
+"""
+
+
+def sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 min (each event in 2 windows)."""
+    ev = typed_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+SLIDING_SQL = """
+WITH grids AS (
+  SELECT ts, unnest([date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+                       THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END,
+                     date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+                       THEN INTERVAL 0 MINUTE ELSE -(INTERVAL 30 MINUTE) END]) AS wstart
+  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, COUNT(*) AS n_events
+FROM grids GROUP BY 1
+"""
+
+
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user (lag + cumulative-sum pattern)."""
+    ev = typed_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
+    with_gap = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_sid = with_gap.withColumn(
+        "session_seq", F.sum("new_session").over(w_user.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_sid.groupBy("user_id", "session_seq")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").cast("decimal(38,2)").cast("double").alias("session_value"),
+        )
+        .withColumn("session_seq", F.col("session_seq").cast("bigint"))
+    )
+
+
+SESSIONIZATION_SQL = f"""
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS session_value
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def topk_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K users by total event value (A4 + window top-k + O2)."""
+    ev = typed_table(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.sum("value").cast("decimal(38,2)").cast("double").alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id"))
+    return (
+        totals.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K_USERS)
+    )
+
+
+TOPK_USERS_SQL = f"""
+SELECT user_id, total_value, n_events, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
+         COUNT(*) AS n_events,
+         row_number() OVER (ORDER BY CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) DESC,
+                            user_id) AS rank
+  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events GROUP BY user_id)
+WHERE rank <= {TOP_K_USERS}
+"""
+
+
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME tumbling aggregation as a real Structured Streaming job.
+
+    readStream over the events parquet (one file per trigger), 10-minute
+    event-time watermark, complete-mode memory sink; drives to completion
+    synchronously and returns the sink contents — value-identical to the
+    batch oracle. Swap source to Kafka + sink to a table and this is the
+    production topology.
+    """
+    path = f"{sf_dir}/events.parquet"
+    # stream source carries the RAW parquet schema (ts arrives as ns-long
+    # under nanosAsLong); typed-ingest conversions applied on the stream.
+    # The file source wants a directory → stream the sf dir with a glob.
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("value", F.col("value").cast("decimal(14,2)"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").cast("decimal(38,2)").cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = "stream_tumbling_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # materialize before the in-memory sink table goes away
+    return spark.createDataFrame(spark.table(name).collect(), agg.schema)
