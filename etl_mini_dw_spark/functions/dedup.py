@@ -170,18 +170,32 @@ FROM mh GROUP BY doc_id, CAST(seed // {BAND_ROWS} AS INT)
 
 
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct candidate pairs sharing ≥1 LSH band bucket (a < b)."""
+    """Distinct candidate pairs sharing ≥1 LSH band bucket (a < b).
+
+    Formulated as bucket → sorted member list → map-side pair expansion
+    (HOF) instead of a bucket self-join: a self-join would re-compute the
+    whole minhash pipeline on both sides, and at 100 TB the per-bucket
+    expansion also bounds the blow-up to Σb² over bucket sizes with no
+    shuffle beyond the one bucket groupBy. (The oracle keeps the
+    equivalent self-join formulation — DuckDB CTEs evaluate once.)
+    """
     bands = _band_sigs(minhash_signatures(spark, sf_dir))
-    a = bands.select(
-        F.col("band"), F.col("band_sig"), F.col("doc_id").alias("doc_a")
-    )
-    b = bands.select(
-        F.col("band"), F.col("band_sig"), F.col("doc_id").alias("doc_b")
+    buckets = (
+        bands.groupBy("band", "band_sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
     )
     return (
-        a.join(b, on=["band", "band_sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (a, i) ->"
+                    " transform(slice(ds, i + 2, size(ds) - i - 1),"
+                    " b -> struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

@@ -298,9 +298,12 @@ def fact_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = {fk: scd2.dim_initial(spark, sf_dir, ds) for fk, ds, _ in DIM_LINKS}
     dd = build_dim_date(spark, spec.DATE_START, spec.DATE_END)
 
-    # phase 1: what the warehouse looked like after loading up to the split
+    # phase 1: what the warehouse looked like after loading up to the split;
+    # materialized once (it feeds the watermark read, the update join and
+    # the insert anti-join — exactly what the orchestrator's stored table
+    # would be)
     f0 = src_sales(spark, sf_dir, spec.LOW, as_of=spec.FACT_SPLIT)
-    state0 = _with_datekey(resolve_dimensions(f0, dims), dd).select(*FACT_COLS)
+    state0 = _with_datekey(resolve_dimensions(f0, dims), dd).select(*FACT_COLS).localCheckpoint()
 
     # data-driven watermark advance (`code/SQL_1…sql:1493–1500`), read back
     # to the driver like the reference's scalar tracker lookup (P11)

@@ -210,7 +210,9 @@ def dim_two_phase(
     incremental-equals-full test target (SURVEY §5 item 4) and the
     oracle-checked centerpiece for X2–X4.
     """
-    dim0 = dim_initial(spark, sf_dir, dim, as_of=split)
+    # materialized once — it feeds the watermark read and three joins,
+    # standing in for the orchestrator's stored table
+    dim0 = dim_initial(spark, sf_dir, dim, as_of=split).localCheckpoint()
     # data-driven watermark advance (X8, `code/SQL_1…sql:643–651`):
     # MAX(valid_from) of the ingested batch, read back like the
     # reference's scalar tracker lookup (P11 → collect + re-inject)

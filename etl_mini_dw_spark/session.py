@@ -38,7 +38,7 @@ def get_spark(app_name: str = "etl_mini_dw_spark", cpus: int | None = None) -> S
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
         # events.parquet carries TIMESTAMP(NANOS) which the Spark reader
