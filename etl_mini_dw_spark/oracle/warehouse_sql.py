@@ -298,3 +298,32 @@ def fact_two_phase_sql() -> str:
            sales_order_datekey, {_double_measures()}, sales_lasteditedwhen, change_tag
     FROM (SELECT * FROM base UNION ALL SELECT * FROM inserted)
     """
+
+
+def reconcile_sql() -> str:
+    """Stage X reconciliation (`code/SQL_1…sql:1814–1839`): source totals
+    vs warehouse totals in one row."""
+    src_side = f"""
+    WITH {_raw_hist_ctes()},
+    {_src_ctes("0", None, f"TIMESTAMP '{LOW}'")}
+    SELECT CAST(SUM(sales_value) AS DOUBLE) AS src_total_value,
+           COUNT(*) AS src_rows
+    FROM src0
+    """
+    # fact side sums the DECIMAL measure (resolved0), not the final
+    # double projection — a double SUM would be summation-order-dependent
+    fact_side = f"""
+    WITH {_raw_hist_ctes()},
+    {_src_ctes("0", None, f"TIMESTAMP '{LOW}'")},
+    {_dim_ctes()},
+    {_resolved_cte("resolved0", "src0")}
+    SELECT CAST(SUM(sales_value) AS DOUBLE) AS fact_total_value,
+           COUNT(*) AS fact_rows
+    FROM resolved0
+    """
+    return f"""
+    WITH s AS ({src_side}),
+    ft AS ({fact_side})
+    SELECT s.src_total_value, s.src_rows, ft.fact_total_value, ft.fact_rows
+    FROM s, ft
+    """

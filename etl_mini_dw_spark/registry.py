@@ -268,3 +268,36 @@ _register("ext_multimodal_features", multimodal.extract_features, None)
 
 _register("revenue_by_region", analytics.revenue_by_region, analytics.REVENUE_BY_REGION_SQL)
 _register("top_unshipped_orders", analytics.top_unshipped_orders, analytics.TOP_UNSHIPPED_SQL)
+
+# --- OLAP completeness beyond the reference (pivot/rollup/quantiles/session) --
+from etl_mini_dw_spark.plans import olap
+
+_register("ext_events_value_quantiles", olap.events_value_quantiles, olap.EVENTS_QUANTILES_SQL)
+_register("ext_events_pivot_type_by_day", olap.events_pivot_type_by_day, olap.EVENTS_PIVOT_SQL)
+_register("ext_sales_rollup", olap.sales_rollup, olap.SALES_ROLLUP_SQL)
+_register("ext_events_session_window", ev.session_window_native, ev.SESSION_WINDOW_SQL)
+
+# --- Stage X reconciliation (A4) + stateful streaming -----------------------
+from etl_mini_dw_spark.streaming import stateful
+
+
+def _reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    src = fact.src_sales(spark, sf_dir, spec.LOW).agg(
+        F.sum("sales_value").cast("decimal(38,4)").cast("double").alias("src_total_value"),
+        F.count(F.lit(1)).alias("src_rows"),
+    )
+    fct = fact.fact_initial(spark, sf_dir).agg(
+        F.sum("sales_value").cast("decimal(38,4)").cast("double").alias("fact_total_value"),
+        F.count(F.lit(1)).alias("fact_rows"),
+    )
+    return src.crossJoin(fct)
+
+
+_register("reconcile_fact_vs_source", _reconcile, warehouse_sql.reconcile_sql())
+_register(
+    "ext_streaming_stateful_user_totals",
+    stateful.streaming_user_totals,
+    stateful.STREAMING_USER_TOTALS_SQL,
+)

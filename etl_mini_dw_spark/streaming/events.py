@@ -200,3 +200,39 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     # materialize before the in-memory sink table goes away
     return spark.createDataFrame(spark.table(name).collect(), agg.schema)
+
+
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (gap-merge) sessions per user — the
+    streaming-capable formulation of ``sessionization`` (same gap); in a
+    streaming job this runs stateful with watermark-driven eviction."""
+    ev = typed_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+SESSION_WINDOW_SQL = f"""
+WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
