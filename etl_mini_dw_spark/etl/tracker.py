@@ -71,8 +71,16 @@ def advance(
         F.when(is_target, F.lit(exec_time)).otherwise(F.col("last_successful_execution_time")),
     )
     if new_load_ts is not None:
+        # MONOTONIC advance: a delta batch can contain only old rows (e.g.
+        # a re-qualifying closed archive row), whose MAX(valid_from) lies
+        # BEFORE the current watermark — the reference's raw MAX would
+        # regress the tracker and re-open already-ingested history
+        # (`code/SQL_1…sql:643–651` has this latent bug; we fix it).
         df = df.withColumn(
             "last_successful_load",
-            F.when(is_target, F.lit(new_load_ts)).otherwise(F.col("last_successful_load")),
+            F.when(
+                is_target,
+                F.greatest(F.col("last_successful_load"), F.lit(new_load_ts)),
+            ).otherwise(F.col("last_successful_load")),
         )
     store.write(df.localCheckpoint(), TRACKER_TABLE)

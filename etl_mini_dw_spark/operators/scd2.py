@@ -130,7 +130,7 @@ def scd2_increment(
         .select(cur[nk].alias("_co_nk"), F.col("src_valid_from").alias("_co_to"))
     )
 
-    # 2. rows to insert (J5 new-or-changed, then J6 identical-version guard)
+    # 2. rows to insert (J5 new-or-changed); the version guard comes later
     cur_attrs = cur.select(
         F.col(nk).alias(f"cur_{nk}"), *[F.col(a).alias(f"cur_{a}") for a in dim.tracked]
     )
@@ -148,11 +148,6 @@ def scd2_increment(
         )
         .withColumnRenamed("valid_from", "active_from")
         .withColumnRenamed("valid_to", "active_to")
-        .join(
-            dim_df.select(nk, "active_from", "active_to"),
-            on=[nk, "active_from", "active_to"],
-            how="left_anti",
-        )
     )
 
     # 3. delete detection: current NKs gone from source (excluding unknown)
@@ -187,10 +182,34 @@ def scd2_increment(
         .drop("_co_nk", "_co_to", "_del_nk")
     )
 
+    # version guard: never insert a window that OVERLAPS an existing
+    # window of the same NK in the POST-close-out state. This subsumes the
+    # reference's NOT-EXISTS identical-version guard (J6,
+    # `code/SQL_1…sql:963–969`) and is strictly stronger: it also blocks
+    # re-ingesting a closed archive row after delete-detection shortened
+    # the key's history (a case where the reference would trip its unique
+    # index and abort the load — we suppress the violating insert instead,
+    # keeping the C3/J7 invariants write-enforced). Equi on nk + range
+    # residual → hash anti-join, dim-sized.
+    post_windows = base.select(
+        F.col(nk).alias("_pw_nk"),
+        F.col("active_from").alias("_pw_from"),
+        F.col("active_to").alias("_pw_to"),
+    )
+    guarded = ins.join(
+        F.broadcast(post_windows),
+        (F.col(nk) == F.col("_pw_nk"))
+        & (F.col("active_from") < F.col("_pw_to"))
+        & (F.col("_pw_from") < F.col("active_to")),
+        "left_anti",
+    )
+
     # new rows: SK = max existing SK + deterministic row_number
     max_sk = dim_df.agg(F.max(dim.sk).alias("_max_sk"))
     inserted = (
-        assign_surrogate_keys(ins.crossJoin(F.broadcast(max_sk)), dim, offset=F.col("_max_sk"))
+        assign_surrogate_keys(
+            guarded.crossJoin(F.broadcast(max_sk)), dim, offset=F.col("_max_sk")
+        )
         .drop("_max_sk")
         .withColumn("change_tag", F.lit("inserted"))
     )

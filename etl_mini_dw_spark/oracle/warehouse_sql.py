@@ -83,13 +83,6 @@ def dim_two_phase_sql(dim: DimSpec, split: str, now_ts: str) -> str:
              valid_from AS active_from, valid_to AS active_to
       FROM ins
     ),
-    ins_guarded AS (
-      SELECT * FROM ins_shaped i
-      WHERE NOT EXISTS (SELECT 1 FROM dim0 d
-                        WHERE d.{nk} = i.{nk}
-                          AND d.active_from = i.active_from
-                          AND d.active_to = i.active_to)
-    ),
     deleted AS (
       SELECT cur.{nk} AS del_nk FROM cur LEFT JOIN snapshot sn ON cur.{nk} = sn.{nk}
       WHERE sn.{nk} IS NULL AND cur.{nk} <> -1
@@ -109,6 +102,15 @@ def dim_two_phase_sql(dim: DimSpec, split: str, now_ts: str) -> str:
       FROM dim0 d
       LEFT JOIN closeout co ON d.{nk} = co.co_nk
       LEFT JOIN deleted del ON d.{nk} = del.del_nk
+    ),
+    ins_guarded AS (
+      -- overlap guard vs the POST-close-out state (mirror of the
+      -- library's strengthened J6; see operators/scd2.py)
+      SELECT * FROM ins_shaped i
+      WHERE NOT EXISTS (SELECT 1 FROM base b
+                        WHERE b.{nk} = i.{nk}
+                          AND i.active_from < b.active_to
+                          AND b.active_from < i.active_to)
     ),
     maxsk AS (SELECT max({sk}) AS msk FROM dim0),
     inserted AS (
