@@ -166,3 +166,80 @@ WHERE cosine >= {NEAR_DUP_COSINE}
 ORDER BY cosine DESC, vec_a, vec_b
 LIMIT 100
 """
+
+
+N_PROBES_BITS = 1  # multi-probe: flip up to this many sign bits
+
+
+def _probe_buckets_expr_sql(bucket: str) -> str:
+    xs = [bucket] + [f"xor({bucket}, {1 << i})" for i in range(len(LSH_DIMS))]
+    return f"[{', '.join(f'CAST({x} AS INTEGER)' for x in xs)}]"
+
+
+def ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe the query's sign-LSH bucket plus all buckets
+    at Hamming distance 1 (9 of 256), exact cosine within the probed
+    cells, top-k per query.
+
+    This is the 100 TB search path: bucket id = storage partition key, so
+    a query touches ~3.5% of the corpus; recall is tuned by probe depth
+    (all-integer bucket arithmetic — no float centroids — keeps it
+    deterministic and oracle-checkable). Compare `ann_bruteforce_topk`
+    for the exact baseline.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _bucket_expr_spark()
+    )
+    probes = [F.col("bucket")] + [
+        F.expr(f"CAST(bucket ^ {1 << i} AS INT)") for i in range(len(LSH_DIMS))
+    ]
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(F.array(*probes)).alias("probe_bucket"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        F.col("bucket").alias("probe_bucket"),
+    )
+    cos = F.round(
+        F.expr(_DOT.format(a="qv", b="cv"))
+        / (F.expr(_NORM.format(a="qv")) * F.expr(_NORM.format(a="cv"))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        q.join(c, on="probe_bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+IVF_MULTIPROBE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding, {_bucket_expr_sql()} AS bucket FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         unnest({_probe_buckets_expr_sql("bucket")}) AS probe_bucket
+  FROM e WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         round({_DOT_SQL.format(a="q.qv", b="c.embedding")}
+               / ({_NORM_SQL.format(a="q.qv")} * {_NORM_SQL.format(a="c.embedding")}), 6)
+           AS cosine
+  FROM q JOIN e c ON c.bucket = q.probe_bucket
+  WHERE q.query_id <> c.vec_id
+)
+SELECT query_id, cand_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+"""

@@ -78,3 +78,57 @@ SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS INTEGER) AS gid
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
+
+
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data filter: keep docs whose quality score
+    clears a threshold AND whose heuristic language agrees with the
+    label; report keep/drop counts per source (the composition every
+    corpus pipeline runs before tokenization)."""
+    from etl_mini_dw_spark.functions.text import lang_id, text_stats
+    from etl_mini_dw_spark.sources.tables import load_table
+
+    stats = text_stats(spark, sf_dir).select("doc_id", "quality_score")
+    langs = lang_id(spark, sf_dir).select("doc_id", "lang_label", "lang_pred")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    keep = (F.col("quality_score") >= 0.5) & (F.col("lang_pred") == F.col("lang_label"))
+    return (
+        docs.join(stats, "doc_id")
+        .join(langs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep.cast("int")).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+CORPUS_QUALITY_SQL = """
+WITH stats AS (
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT)
+         AS n_punct,
+       round(least(1.0, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS DOUBLE) / 50.0)
+             * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                           AS DOUBLE) / CAST(length(text) AS DOUBLE)), 6) AS quality_score
+FROM documents
+),
+langs AS (
+    WITH hits AS (
+      SELECT doc_id, lang AS lang_label, CAST(len(list_filter(list_transform(regexp_extract_all(text, '[A-Za-z]+|[0-9]+'), t -> lower(t)), t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS BIGINT) AS hits_en, CAST(len(list_filter(list_transform(regexp_extract_all(text, '[A-Za-z]+|[0-9]+'), t -> lower(t)), t -> t IN ('le', 'la', 'et', 'de', 'un'))) AS BIGINT) AS hits_fr, CAST(len(list_filter(list_transform(regexp_extract_all(text, '[A-Za-z]+|[0-9]+'), t -> lower(t)), t -> t IN ('el', 'los', 'y', 'de', 'un'))) AS BIGINT) AS hits_es, CAST(len(list_filter(list_transform(regexp_extract_all(text, '[A-Za-z]+|[0-9]+'), t -> lower(t)), t -> t IN ('der', 'die', 'und', 'das', 'ein'))) AS BIGINT) AS hits_de, CAST(len(list_filter(list_transform(regexp_extract_all(text, '[A-Za-z]+|[0-9]+'), t -> lower(t)), t -> t IN ('de', 'shi', 'le', 'zai', 'he'))) AS BIGINT) AS hits_zh
+      FROM documents
+    )
+    SELECT doc_id, lang_label, hits_de, hits_en, hits_es, hits_fr, hits_zh,
+           CASE WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'de' WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'en' WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'es' WHEN hits_fr = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'fr' WHEN hits_zh = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'zh' END AS lang_pred
+    FROM hits
+    )
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN s.quality_score >= 0.5 AND l.lang_pred = l.lang_label
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d
+JOIN stats s ON s.doc_id = d.doc_id
+JOIN langs l ON l.doc_id = d.doc_id
+GROUP BY d.source
+"""

@@ -301,3 +301,6 @@ _register(
     stateful.streaming_user_totals,
     stateful.STREAMING_USER_TOTALS_SQL,
 )
+
+_register("ext_ivf_multiprobe_topk", simsearch.ivf_multiprobe_topk, simsearch.IVF_MULTIPROBE_SQL)
+_register("ext_corpus_quality_filter", olap.corpus_quality_filter, olap.CORPUS_QUALITY_SQL)
