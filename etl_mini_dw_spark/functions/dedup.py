@@ -321,3 +321,66 @@ WITH s AS ({SIMHASH_SQL})
 SELECT simhash, COUNT(*) AS cnt, MIN(doc_id) AS min_doc_id
 FROM s GROUP BY simhash HAVING COUNT(*) > 1
 """
+
+
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster assignment: connected components over the verified
+    near-dup pair graph — every member labeled with its component's min
+    doc_id (the canonical survivor a training pipeline keeps).
+
+    Iterative min-label propagation (the only iterative operator in the
+    engine): each round joins labels across edges and keeps the min;
+    stops at fixpoint. Rounds are O(component diameter) — near-dup
+    clusters are shallow, so a handful of broadcast-sized iterations;
+    at 100 TB you'd switch to the large-star/small-star variant but the
+    loop/checkpoint structure is identical. Oracle: DuckDB expresses the
+    same fixpoint as a recursive CTE.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    while True:
+        prop = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .select(F.col("doc_a").alias("node"), F.col("label"))
+            .unionByName(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            prop.join(labels.withColumnRenamed("label", "old"), on="node")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+NEARDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS ({{pairs}}),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(node, other) AS (
+  SELECT doc_a, doc_b FROM edges
+  UNION
+  SELECT r.node, e.doc_b FROM reach r JOIN edges e ON r.other = e.doc_a
+)
+SELECT node AS doc_id, LEAST(node, MIN(other)) AS component
+FROM reach GROUP BY node
+"""
+
+
+def neardup_components_sql() -> str:
+    return NEARDUP_COMPONENTS_SQL.format(pairs=f"SELECT doc_a, doc_b FROM ({NGRAM_JACCARD_SQL})")

@@ -189,3 +189,73 @@ GROUP BY 1, 2, 3
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """
+
+
+def order_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped: EXISTS semi-join (left_semi) — orders having at
+    least one returned line, counted per priority. The semi-join sends
+    only the join key of the probe side through the shuffle."""
+    orders = typed_table(spark, sf_dir, "orders")
+    returned = typed_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def distinct_suppliers_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group (Q16-shaped) — Spark expands to a
+    two-level aggregate (distinct on (brand, supp) then count), fully
+    partial-aggregable."""
+    li = typed_table(spark, sf_dir, "lineitem")
+    part = typed_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+DISTINCT_SUPPLIERS_SQL = """
+SELECT p_brand, COUNT(DISTINCT l_suppkey) AS supplier_cnt, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped: LEFT OUTER join + two-level aggregation —
+    distribution of customers by how many orders they have (including
+    zero-order customers, which only the outer join surfaces)."""
+    customer = typed_table(spark, sf_dir, "customer")
+    orders = typed_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+CUSTOMER_ORDER_DIST_SQL = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""

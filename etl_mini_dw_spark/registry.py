@@ -304,3 +304,21 @@ _register(
 
 _register("ext_ivf_multiprobe_topk", simsearch.ivf_multiprobe_topk, simsearch.IVF_MULTIPROBE_SQL)
 _register("ext_corpus_quality_filter", olap.corpus_quality_filter, olap.CORPUS_QUALITY_SQL)
+
+_register("ext_neardup_components", dedup.neardup_components, dedup.neardup_components_sql())
+
+_register(
+    "order_priority_with_returns",
+    analytics.order_priority_with_returns,
+    analytics.ORDER_PRIORITY_SQL,
+)
+_register(
+    "distinct_suppliers_per_brand",
+    analytics.distinct_suppliers_per_brand,
+    analytics.DISTINCT_SUPPLIERS_SQL,
+)
+_register(
+    "customer_order_distribution",
+    analytics.customer_order_distribution,
+    analytics.CUSTOMER_ORDER_DIST_SQL,
+)

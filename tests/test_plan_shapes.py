@@ -1,0 +1,48 @@
+"""Physical-plan regression tests: the scale properties SCALE.md claims.
+
+These assert plan SHAPE, not timing: dim joins must be broadcast (never
+sort-merge), filters must reach the parquet scan, and scans must be
+column-pruned. A regression here is a 100 TB regression even when sf0.001
+timings look fine.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from etl_mini_dw_spark.operators import fact
+from etl_mini_dw_spark.plans import analytics
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_fact_initial_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(fact.fact_initial(spark, sf_dir))
+    # 3 as-of dims + DimDate (+ unknown-row cross joins) — all broadcast
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(analytics.q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # pruned scan: the 4 unused lineitem columns must not be read
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_flagship_no_sort_merge(spark, sf_dir):
+    plan = _plan(analytics.flagship_revenue_by_month_segment(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregates_are_two_phase(spark, sf_dir):
+    plan = _plan(analytics.q1_pricing_summary(spark, sf_dir))
+    # partial (map-side) + final HashAggregate
+    assert plan.count("HashAggregate") >= 2
