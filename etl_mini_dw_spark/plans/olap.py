@@ -132,3 +132,72 @@ JOIN stats s ON s.doc_id = d.doc_id
 JOIN langs l ON l.doc_id = d.doc_id
 GROUP BY d.source
 """
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: extract a JSON field from
+    ``events.props`` (JVM-side ``get_json_object``, no UDF) and aggregate
+    it — the schema-on-read path every event pipeline needs."""
+    ev = typed_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct set operators (INTERSECT / EXCEPT) the reference never
+    uses: nations having customers in BUILDING but not in MACHINERY
+    segments, and the intersection count."""
+    cust = typed_table(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    # subtract = EXCEPT DISTINCT (set semantics; exceptAll would be bag)
+    only_building = building.distinct().subtract(machinery).withColumn(
+        "set_op", F.lit("building_minus_machinery")
+    )
+    both = building.intersect(machinery).withColumn("set_op", F.lit("intersection"))
+    return only_building.unionByName(both).select(
+        "set_op", F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+
+
+SEGMENT_SET_OPS_SQL = """
+SELECT 'building_minus_machinery' AS set_op, CAST(n AS INTEGER) AS nationkey FROM (
+  SELECT DISTINCT c_nationkey AS n FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+UNION ALL
+SELECT 'intersection' AS set_op, CAST(n AS INTEGER) AS nationkey FROM (
+  SELECT c_nationkey AS n FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+"""
+
+
+def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (stack) the daily per-type pivot back to long form —
+    round-trips the pivot operator."""
+    wide = events_pivot_type_by_day(spark, sf_dir)
+    stack_args = ", ".join(f"'{t}', `{t}`" for t in EVENT_TYPES)
+    return wide.selectExpr(
+        "day", f"stack({len(EVENT_TYPES)}, {stack_args}) AS (event_type, n_events)"
+    ).filter(F.col("n_events").isNotNull())
+
+
+EVENTS_UNPIVOT_SQL = """
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, event_type, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""

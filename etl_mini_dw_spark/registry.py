@@ -322,3 +322,7 @@ _register(
     analytics.customer_order_distribution,
     analytics.CUSTOMER_ORDER_DIST_SQL,
 )
+
+_register("ext_events_json_props", olap.events_json_props, olap.EVENTS_JSON_SQL)
+_register("ext_segment_set_ops", olap.segment_set_ops, olap.SEGMENT_SET_OPS_SQL)
+_register("ext_events_unpivot", olap.events_unpivot, olap.EVENTS_UNPIVOT_SQL)
