@@ -326,3 +326,19 @@ _register(
 _register("ext_events_json_props", olap.events_json_props, olap.EVENTS_JSON_SQL)
 _register("ext_segment_set_ops", olap.segment_set_ops, olap.SEGMENT_SET_OPS_SQL)
 _register("ext_events_unpivot", olap.events_unpivot, olap.EVENTS_UNPIVOT_SQL)
+
+# --- generic temporal joins (as-of / banded range) --------------------------
+from etl_mini_dw_spark.operators import asof
+
+_register("ext_events_asof_order", asof.events_asof_latest_order, asof.EVENTS_ASOF_SQL)
+_register(
+    "ext_events_preceding_hour", asof.events_preceding_hour, asof.EVENTS_PRECEDING_HOUR_SQL
+)
+
+# --- deterministic sampling / split / decontamination / PII -----------------
+from etl_mini_dw_spark.functions import sampling
+
+_register("ext_stratified_sample", sampling.stratified_sample, sampling.STRATIFIED_SAMPLE_SQL)
+_register("ext_train_test_split", sampling.train_test_split, sampling.TRAIN_TEST_SPLIT_SQL)
+_register("ext_decontaminate", sampling.decontaminate, sampling.DECONTAMINATE_SQL)
+_register("ext_pii_redaction", sampling.pii_redaction, sampling.PII_REDACTION_SQL)

@@ -56,8 +56,23 @@ TYPED_DECIMALS: dict[str, dict[str, str]] = {
 }
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make queries self-sufficient under a caller-provided session.
+
+    The external driver constructs its own SparkSession; these two confs
+    are load-bearing for correctness and are runtime-settable:
+    - ``nanosAsLong``: events.ts is parquet TIMESTAMP(NANOS) — without it
+      every events scan throws PARQUET_TYPE_ILLEGAL.
+    - UTC session tz: all formatted-timestamp outputs are compared
+      against the (timezone-naive) DuckDB oracle.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Raw parquet scan for one source table."""
+    _ensure_session_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

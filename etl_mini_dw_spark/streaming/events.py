@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_mini_dw_spark.sources.tables import typed_table
+from etl_mini_dw_spark.sources.tables import _ensure_session_confs, typed_table
 
 SESSION_GAP_MIN = 30
 TOP_K_USERS = 10
@@ -164,6 +164,7 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream source carries the RAW parquet schema (ts arrives as ns-long
     # under nanosAsLong); typed-ingest conversions applied on the stream.
     # The file source wants a directory → stream the sf dir with a glob.
+    _ensure_session_confs(spark)
     raw_schema = spark.read.parquet(path).schema
     stream = (
         spark.readStream.schema(raw_schema)

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from etl_mini_dw_spark.sources.tables import _ensure_session_confs
+
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 STATE_SCHEMA = "n bigint, total double"
 
@@ -42,6 +44,7 @@ def _update_user_state(
 def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful per-user running totals, driven to completion on the
     events parquet; returns the final update-mode output."""
+    _ensure_session_confs(spark)
     path = f"{sf_dir}/events.parquet"
     raw_schema = spark.read.parquet(path).schema
     stream = (
