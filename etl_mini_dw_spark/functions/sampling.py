@@ -108,28 +108,31 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.when(_hash_col() < DECON_TRAIN_CUT, F.lit("train")).otherwise(F.lit("test"))
     docs = load_table(spark, sf_dir, "documents").select("doc_id", split.alias("split"))
     sh = _shingles_df(spark, sf_dir).join(docs, "doc_id")
-    rare = (
+    # ONE pass over the shingle explode: posting list per shingle, df cap
+    # on the list size, then in-list train×test pair expansion. The
+    # equivalent rare-filter + two-sided self-join plan recomputes the
+    # shingle pipeline three times (measured 3× slower at sf0.1).
+    per_shingle = (
         sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("shingle")
+        .agg(F.collect_list(F.struct("split", "doc_id")).alias("members"))
+        .filter(F.size("members") <= MAX_SHINGLE_DF)
     )
-    rare_sh = sh.join(rare, "shingle")
-    test_side = rare_sh.filter(F.col("split") == "test").select(
-        "shingle", F.col("doc_id").alias("test_doc_id")
-    )
-    train_side = rare_sh.filter(F.col("split") == "train").select(
-        "shingle", F.col("doc_id").alias("train_doc_id")
-    )
-    return (
-        test_side.join(train_side, "shingle")
-        .select("test_doc_id", "train_doc_id")
-        .distinct()
-        .groupBy("test_doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_train_sharers"),
-            F.min("train_doc_id").alias("min_train_doc"),
+    pairs = (
+        per_shingle.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(filter(members, m -> m.split = 'test'),"
+                    " t -> transform(filter(members, m -> m.split = 'train'),"
+                    " r -> struct(t.doc_id AS test_doc_id, r.doc_id AS train_doc_id))))"
+                )
+            ).alias("p")
         )
+        .select("p.test_doc_id", "p.train_doc_id")
+        .distinct()
+    )
+    return pairs.groupBy("test_doc_id").agg(
+        F.count(F.lit(1)).alias("n_train_sharers"),
+        F.min("train_doc_id").alias("min_train_doc"),
     )
 
 

@@ -47,13 +47,21 @@ _NORM_SQL = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUB
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms are hoisted to one computation per *side* (Q + N folds) — the
+    # inlined form recomputes them per (query, cand) pair (Q·N extra
+    # folds). Value-identical: same left-to-right fold either way.
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.expr(_NORM.format(a="embedding")).alias("qn"),
     )
-    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        F.expr(_NORM.format(a="embedding")).alias("cn"),
+    )
     cos = F.round(
-        F.expr(_DOT.format(a="qv", b="cv"))
-        / (F.expr(_NORM.format(a="qv")) * F.expr(_NORM.format(a="cv"))),
+        F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")),
         6,
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
