@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_mini_dw_spark.sources.tables import load_table
+from etl_mini_dw_spark.sources.tables import fanout_scan, load_table
 
 SHINGLE_K = 8
 N_HASHES = 8
@@ -45,15 +45,25 @@ _NORM_SQL = r"lower(regexp_replace(text, '\s+', ' ', 'g'))"
 def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh_arr) — distinct k-char shingle array per document.
 
-    The normalization is hoisted into its own projection: inlining it in
-    the transform lambda would re-run the regex once PER SHINGLE (Spark
-    does no subexpression elimination inside HOF lambdas) — a 300×
-    slowdown measured at sf0.1.
+    Two hard-won plan rules live here:
+
+    - The normalization is hoisted into its own projection: inlining it
+      in the transform lambda would re-run the regex once PER SHINGLE
+      (Spark does no subexpression elimination inside HOF lambdas) — a
+      300× slowdown measured at sf0.1.
+    - The result is a **lazy localCheckpoint**: ``explode`` over a
+      pipelined expensive array expression re-evaluates that expression
+      per OUTPUT row (measured 19 s vs 0.3 s at sf0.1 — Generate's
+      child collapses into the generator), and the dedup queries
+      reference this frame up to 3× in one plan (candidate lineage +
+      both verification join sides). Materializing once is the same
+      order of storage as the shingle shuffle the consumers do anyway;
+      at 100 TB the equivalent is a staged intermediate table.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = fanout_scan(spark, load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.expr(_NORM_EXPR).alias("norm")
     )
-    return docs.select(
+    arrs = docs.select(
         "doc_id",
         F.array_distinct(
             F.expr(
@@ -62,6 +72,7 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sh_arr"),
     )
+    return arrs.localCheckpoint(eager=False)
 
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,26 +118,40 @@ FROM documents GROUP BY 1 HAVING COUNT(*) > 1
 """
 
 
+def _minhash_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh_arr): all K min-hashes as ONE small array per doc.
+
+    The K min-folds run in a single projection over the (checkpointed)
+    shingle array — one pass per document, K·|shingles| md5s total, and
+    the surviving row is ~300 bytes (doc_id + K hex digests). The
+    earlier formulation exploded K seed rows FIRST, so the Generate
+    copied the multi-KB shingle array K× per doc and the downstream
+    collect_list aggregation buffered it — at sf0.1 that allocation
+    shape drove G1 young-GC pauses past 15 s (measured via -Xlog:gc).
+    Checkpointing the ~1.5 MB result makes it safe to explode/join
+    without re-evaluating the hash pipeline.
+    """
+    arrs = _shingle_arrays(spark, sf_dir)
+    mh = arrs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {N_HASHES - 1}),"
+            " s -> array_min(transform(sh_arr,"
+            " e -> md5(concat(cast(s AS string), ':', e)))))"
+        ).alias("mh_arr"),
+    )
+    return mh.localCheckpoint(eager=False)
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, seed, minhash): K permutation-free min-hashes per doc.
 
-    Map-only: the min over hashed shingles folds INSIDE the shingle array
-    (array_min ∘ transform) — no 12M-row explode+shuffle, no aggregation
-    exchange at all. At 100 TB this is a narrow projection pipelined with
-    the scan.
+    Map-only: no aggregation exchange at all. At 100 TB this is a
+    narrow projection pipelined with the scan.
     """
-    arrs = _shingle_arrays(spark, sf_dir)
-    return arrs.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed"),
-        "sh_arr",
-    ).select(
-        "doc_id",
-        "seed",
-        F.expr(
-            "array_min(transform(sh_arr,"
-            " e -> md5(concat(cast(seed AS string), ':', e))))"
-        ).alias("minhash"),
+    mh = _minhash_arrays(spark, sf_dir)
+    return mh.select(
+        "doc_id", F.posexplode("mh_arr").alias("seed", "minhash")
     )
 
 
@@ -142,23 +167,31 @@ FROM seeded
 """
 
 
-def _band_sigs(minhash_df: DataFrame) -> DataFrame:
-    """(doc_id, band, band_sig): md5 over the band's ordered minhashes."""
-    return (
-        minhash_df.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: s["minhash"],
-                    ),
-                )
-            ).alias("band_sig")
-        )
+def _band_sigs(mh_df: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig): md5 over the band's ordered minhashes.
+
+    Map-side over the per-doc minhash array — the (doc_id, band)
+    collect_list groupBy the row-per-seed formulation needed is gone
+    entirely (one less shuffle, no aggregation buffers; seeds are
+    already ordered inside ``mh_arr``).
+    """
+    n_bands = N_HASHES // BAND_ROWS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", F.slice("mh_arr", b * BAND_ROWS + 1, BAND_ROWS)
+                    )
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
     )
+    return mh_df.select(
+        "doc_id", F.explode(bands).alias("bs")
+    ).select("doc_id", "bs.band", "bs.band_sig")
 
 
 _BAND_SQL = f"""
@@ -179,7 +212,7 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle beyond the one bucket groupBy. (The oracle keeps the
     equivalent self-join formulation — DuckDB CTEs evaluate once.)
     """
-    bands = _band_sigs(minhash_signatures(spark, sf_dir))
+    bands = _band_sigs(_minhash_arrays(spark, sf_dir))
     buckets = (
         bands.groupBy("band", "band_sig")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_mini_dw_spark.sources.tables import load_table
+from etl_mini_dw_spark.sources.tables import fanout_scan, load_table
 
 TOKEN_RE = "[A-Za-z]+|[0-9]+"
 PUNCT_RE = "[.,;:!?]"
@@ -38,7 +38,7 @@ def _tokens() -> F.Column:
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document stats + quality score (length/punct/token ratios)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fanout_scan(spark, load_table(spark, sf_dir, "documents"))
     toks = _tokens()
     n_tokens = F.size(toks)
     n_chars = F.length("text")
@@ -72,7 +72,7 @@ FROM documents
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram/stopword-hit language ID heuristic; ties break alphabetically."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fanout_scan(spark, load_table(spark, sf_dir, "documents"))
     toks = F.transform(_tokens(), lambda t: F.lower(t))
     out = docs.select("doc_id", F.col("lang").alias("lang_label"), toks.alias("_toks"))
     for lang, words in STOPWORDS.items():

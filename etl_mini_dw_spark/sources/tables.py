@@ -76,6 +76,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fanout_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin fanout for CPU-bound pipelines over small scans.
+
+    A small parquet table arrives as ONE input split, so a hash-heavy
+    downstream projection (md5 shingling, regex batteries) runs on one
+    core no matter how many exist. Repartition to ``defaultParallelism``
+    ONLY when the scan under-parallelizes; on a real cluster reading
+    100 TB the scan already yields thousands of splits and this branch
+    never fires — no shuffle is added at scale. Locally the shuffle
+    moves only the raw scan output (<1 MB) and buys a cores× speedup
+    of the hashing stage that follows.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def typed_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Source table with the exact-decimal ingest casts applied."""
     df = load_table(spark, sf_dir, name)
