@@ -4,12 +4,13 @@ Training-data dedup at 100 TB, Spark-first:
 
 - **Exact**: hash-groupBy on a normalized-content fingerprint — one
   shuffle keyed by the hash, map-side partial agg, no text comparison.
-- **MinHash + LSH**: char-shingle → K permutation-free min-hashes
-  (``min(md5(seed || shingle))``; lexicographic min over hex digests is a
-  valid uniform min-hash and — deliberately — engine-portable) → band
-  signatures → candidate pairs from band-bucket self-join → exact n-gram
-  Jaccard verification on candidates only. The LSH step is what makes
-  100 TB feasible: the self-join is per-band-bucket, never all-pairs.
+- **MinHash + LSH**: char-shingle → ONE md5 per shingle truncated to a
+  28-bit integer fingerprint → K affine universal-hash permutations
+  ``min((a·h + b) mod P)`` (integer-only, engine-portable, and K× less
+  hashing than md5-per-seed) → band signatures → candidate pairs from
+  band-bucket grouping → exact n-gram Jaccard verification on candidates
+  only. The LSH step is what makes 100 TB feasible: the pair expansion
+  is per-band-bucket, never all-pairs.
 - **SimHash**: per-hex-position majority vote over shingle digests → a
   16-bit locality-sensitive sketch; identical sketches ⇒ near-dup group.
   (64-bit + hamming-≤k bucket search is the production variant; 16-bit
@@ -118,28 +119,52 @@ FROM documents GROUP BY 1 HAVING COUNT(*) > 1
 """
 
 
+# universal-hashing minhash: ONE md5 per shingle → 28-bit integer
+# fingerprint, then K affine permutations (a·h + b) mod P over ints.
+# 28 bits keeps a·h < 2^56 — no bigint overflow in EITHER engine
+# (DuckDB errors on overflow where the JVM wraps, so this bound is a
+# portability requirement, not just hygiene). P = largest prime < 2^28.
+MINHASH_P = 268435399
+MINHASH_A = [98764321, 123456791, 87654323, 44560093, 199990021, 150094637, 66600049, 31415927]
+MINHASH_B = [12345701, 98765431, 55555561, 10000019, 77777807, 24681359, 13579111, 86420423]
+
+# Spark: conv(hex,16,10) → decimal string → BIGINT; DuckDB: '0x'-prefixed
+# cast. Verified value-identical (e.g. md5('abc')[:7] → 151000329 both).
+_HASH28_SPARK = "CAST(conv(substr(md5(e), 1, 7), 16, 10) AS BIGINT)"
+_HASH28_DUCK = "('0x' || substr(md5(e), 1, 7))::BIGINT"
+
+
+def _shingle_hash_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs): 28-bit integer fingerprint per distinct shingle.
+
+    Checkpointed for the same reason as the shingle arrays: the K
+    permutation min-folds each reference ``hs``, and collapsed
+    projections would re-run the md5+conv per reference (no
+    subexpression elimination). One md5 per shingle TOTAL is the whole
+    point — the previous scheme hashed every shingle K times.
+    """
+    arrs = _shingle_arrays(spark, sf_dir)
+    hs = arrs.select(
+        "doc_id", F.expr(f"transform(sh_arr, e -> {_HASH28_SPARK})").alias("hs")
+    )
+    return hs.localCheckpoint(eager=False)
+
+
 def _minhash_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, mh_arr): all K min-hashes as ONE small array per doc.
 
-    The K min-folds run in a single projection over the (checkpointed)
-    shingle array — one pass per document, K·|shingles| md5s total, and
-    the surviving row is ~300 bytes (doc_id + K hex digests). The
-    earlier formulation exploded K seed rows FIRST, so the Generate
-    copied the multi-KB shingle array K× per doc and the downstream
-    collect_list aggregation buffered it — at sf0.1 that allocation
-    shape drove G1 young-GC pauses past 15 s (measured via -Xlog:gc).
-    Checkpointing the ~1.5 MB result makes it safe to explode/join
-    without re-evaluating the hash pipeline.
+    K integer min-folds in a single projection over the checkpointed
+    fingerprint array; the surviving row is ~80 bytes. (The original
+    row-per-seed formulation exploded K seed rows FIRST, so the
+    Generate copied the multi-KB shingle array K× per doc — at sf0.1
+    that allocation shape drove G1 young-GC pauses past 15 s.)
     """
-    arrs = _shingle_arrays(spark, sf_dir)
-    mh = arrs.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(0, {N_HASHES - 1}),"
-            " s -> array_min(transform(sh_arr,"
-            " e -> md5(concat(cast(s AS string), ':', e)))))"
-        ).alias("mh_arr"),
+    hs = _shingle_hash_arrays(spark, sf_dir)
+    folds = ", ".join(
+        f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {MINHASH_P}L))"
+        for a, b in zip(MINHASH_A, MINHASH_B)
     )
+    mh = hs.select("doc_id", F.expr(f"array({folds})").alias("mh_arr"))
     return mh.localCheckpoint(eager=False)
 
 
@@ -155,14 +180,21 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_A_LIST = ", ".join(str(a) for a in MINHASH_A)
+_B_LIST = ", ".join(str(b) for b in MINHASH_B)
+
 MINHASH_SQL = f"""
 WITH arrs AS ({_SHINGLE_ARRAYS_SQL}),
+hsa AS (
+  SELECT doc_id, list_transform(sh_arr, e -> {_HASH28_DUCK}) AS hs FROM arrs
+),
 seeded AS (
-  SELECT doc_id, unnest(range(0, {N_HASHES})) AS seed, sh_arr FROM arrs
+  SELECT doc_id, unnest(range(0, {N_HASHES})) AS seed, hs FROM hsa
 )
 SELECT doc_id, CAST(seed AS INTEGER) AS seed,
-       list_min(list_transform(sh_arr,
-                e -> md5(CAST(seed AS VARCHAR) || ':' || e))) AS minhash
+       list_min(list_transform(hs,
+                h -> (([{_A_LIST}])[CAST(seed AS INT) + 1] * h
+                      + ([{_B_LIST}])[CAST(seed AS INT) + 1]) % {MINHASH_P})) AS minhash
 FROM seeded
 """
 
@@ -181,8 +213,9 @@ def _band_sigs(mh_df: DataFrame) -> DataFrame:
             F.struct(
                 F.lit(b).alias("band"),
                 F.md5(
-                    F.concat_ws(
-                        ",", F.slice("mh_arr", b * BAND_ROWS + 1, BAND_ROWS)
+                    F.expr(
+                        f"concat_ws(',', transform(slice(mh_arr, {b * BAND_ROWS + 1},"
+                        f" {BAND_ROWS}), v -> cast(v AS string)))"
                     )
                 ).alias("band_sig"),
             )
@@ -197,7 +230,7 @@ def _band_sigs(mh_df: DataFrame) -> DataFrame:
 _BAND_SQL = f"""
 WITH mh AS ({MINHASH_SQL})
 SELECT doc_id, CAST(seed // {BAND_ROWS} AS INT) AS band,
-       md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
+       md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_sig
 FROM mh GROUP BY doc_id, CAST(seed // {BAND_ROWS} AS INT)
 """
 
