@@ -138,15 +138,23 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", _bucket_expr_spark().alias("bucket")
     )
+    # norms hoisted to one fold per vector per SIDE (2N folds total) —
+    # inlining them in `cos` re-runs the 64-element fold per candidate
+    # PAIR. Value-identical: same left-to-right fold either way.
     a = emb.select(
-        F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.expr(_NORM.format(a="embedding")).alias("na"),
     )
     b = emb.select(
-        F.col("bucket"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb")
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.expr(_NORM.format(a="embedding")).alias("nb"),
     )
     cos = F.round(
-        F.expr(_DOT.format(a="va", b="vb"))
-        / (F.expr(_NORM.format(a="va")) * F.expr(_NORM.format(a="vb"))),
+        F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")),
         6,
     )
     return (
@@ -201,22 +209,24 @@ def ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = [F.col("bucket")] + [
         F.expr(f"CAST(bucket ^ {1 << i} AS INT)") for i in range(len(LSH_DIMS))
     ]
+    # norms hoisted per side (Q + N folds) — never per (query, cand) pair
     q = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
+            F.expr(_NORM.format(a="embedding")).alias("qn"),
             F.explode(F.array(*probes)).alias("probe_bucket"),
         )
     )
     c = emb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("cv"),
+        F.expr(_NORM.format(a="embedding")).alias("cn"),
         F.col("bucket").alias("probe_bucket"),
     )
     cos = F.round(
-        F.expr(_DOT.format(a="qv", b="cv"))
-        / (F.expr(_NORM.format(a="qv")) * F.expr(_NORM.format(a="cv"))),
+        F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")),
         6,
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))

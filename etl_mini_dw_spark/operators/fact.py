@@ -248,8 +248,12 @@ def fact_increment(
     }
 
     # F6 update predicate (`code/SQL_1…sql:1394–1402`): measures differ OR
-    # any dim SK resolved to unknown, AND the source row is newer
-    joined = state0.join(F.broadcast(src), state0.sales_nk == F.col("src_sales_nk"), "left")
+    # any dim SK resolved to unknown, AND the source row is newer.
+    # The delta is unbounded (backfill / first run after downtime makes it
+    # fact-sized) so it must NOT carry a broadcast hint — AQE picks
+    # broadcast at runtime when the delta is genuinely small, and falls
+    # back to a shuffle hash join on the NK when it isn't.
+    joined = state0.join(src, state0.sales_nk == F.col("src_sales_nk"), "left")
     for fk, _, _ in DIM_LINKS:
         joined = joined.crossJoin(F.broadcast(unknowns[fk]))
     measure_changed = None

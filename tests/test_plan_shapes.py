@@ -46,3 +46,25 @@ def test_aggregates_are_two_phase(spark, sf_dir):
     plan = _plan(analytics.q1_pricing_summary(spark, sf_dir))
     # partial (map-side) + final HashAggregate
     assert plan.count("HashAggregate") >= 2
+
+
+def test_fact_increment_delta_not_force_broadcast(spark, sf_dir):
+    """The fact delta is unbounded (backfill-sized in the worst case) so the
+    state⋈delta merge join must not carry a mandatory broadcast hint.
+
+    With autoBroadcastJoinThreshold=-1 only HINTED broadcasts survive
+    planning: the dim/unknown-row joins (genuinely dimension-sized, hinted
+    on purpose) must stay BroadcastHashJoin, while the NK merge join and
+    the insert anti-join must degrade to shuffle joins. A mandatory
+    broadcast of the delta would keep them BroadcastHashJoin and fail this.
+    """
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(fact.fact_two_phase(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # state0⋈delta (left outer on NK) + insert anti-join: both shuffle
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 2, plan[:3000]
+    # the dimension-sided joins keep their explicit hints
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:3000]
