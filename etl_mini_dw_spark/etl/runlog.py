@@ -5,6 +5,12 @@ SUCCESS/FAIL + error message. The reference counts via ``@@ROWCOUNT``;
 here the loaders tag every output row with ``change_tag`` and the
 orchestrator aggregates the tags in the same action that materializes the
 table — metrics cost no extra pass over the data.
+
+Scale notes: counters are LongType (a 100 TB fact load overflows int32),
+and each run APPENDS one new parquet file to the log directory — O(1)
+per run, never a read+rewrite of the whole history. The ``run_id``
+max+1 read is a scan of a tiny metadata table (1 row/run), the same
+scalar lookup the reference's IDENTITY performs.
 """
 
 from __future__ import annotations
@@ -21,13 +27,13 @@ RUNLOG_TABLE = "etl_run_log"
 
 SCHEMA = T.StructType(
     [
-        T.StructField("run_id", T.IntegerType(), False),
+        T.StructField("run_id", T.LongType(), False),
         T.StructField("run_name", T.StringType(), False),
         T.StructField("start_time", T.TimestampType(), True),
         T.StructField("end_time", T.TimestampType(), True),
-        T.StructField("rows_inserted", T.IntegerType(), True),
-        T.StructField("rows_updated", T.IntegerType(), True),
-        T.StructField("rows_deleted", T.IntegerType(), True),
+        T.StructField("rows_inserted", T.LongType(), True),
+        T.StructField("rows_updated", T.LongType(), True),
+        T.StructField("rows_deleted", T.LongType(), True),
         T.StructField("run_status", T.StringType(), True),
         T.StructField("run_error_message", T.StringType(), True),
     ]
@@ -47,41 +53,26 @@ def append(
     error: str | None = None,
 ) -> None:
     """S8 literal-row append; run_id = IDENTITY replacement (max+1)."""
+    next_id = 1
     if store.exists(RUNLOG_TABLE):
-        prev = store.read(spark, RUNLOG_TABLE)
-        next_id = (prev.agg(F.max("run_id")).first()[0] or 0) + 1
-        row = spark.createDataFrame(
-            [
-                (
-                    next_id,
-                    run_name,
-                    start_time,
-                    end_time,
-                    rows_inserted,
-                    rows_updated,
-                    rows_deleted,
-                    status,
-                    error,
-                )
-            ],
-            SCHEMA,
-        )
-        store.write(prev.localCheckpoint().unionByName(row), RUNLOG_TABLE)
-    else:
-        row = spark.createDataFrame(
-            [
-                (
-                    1,
-                    run_name,
-                    start_time,
-                    end_time,
-                    rows_inserted,
-                    rows_updated,
-                    rows_deleted,
-                    status,
-                    error,
-                )
-            ],
-            SCHEMA,
-        )
-        store.write(row, RUNLOG_TABLE)
+        next_id = (
+            store.read(spark, RUNLOG_TABLE).agg(F.max("run_id")).first()[0] or 0
+        ) + 1
+    row = spark.createDataFrame(
+        [
+            (
+                next_id,
+                run_name,
+                start_time,
+                end_time,
+                rows_inserted,
+                rows_updated,
+                rows_deleted,
+                status,
+                error,
+            )
+        ],
+        SCHEMA,
+    )
+    # one new file per run — never a rewrite of the existing log
+    row.write.mode("append").parquet(store.path(RUNLOG_TABLE))

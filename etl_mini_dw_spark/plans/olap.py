@@ -44,10 +44,16 @@ def events_pivot_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: daily event counts, one column per event type (explicit
     value list keeps the schema static — required at scale anyway)."""
     ev = typed_table(spark, sf_dir, "events")
-    return (
+    wide = (
         ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
         .pivot("event_type", EVENT_TYPES)
         .agg(F.count(F.lit(1)))
+    )
+    # Spark's pivot leaves NULL in a (day, type) cell with zero events;
+    # the oracle's COUNT(*) FILTER yields 0 — coalesce so both engines
+    # agree regardless of data density.
+    return wide.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0).cast("long")).alias(t) for t in EVENT_TYPES]
     )
 
 
@@ -192,9 +198,11 @@ def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trips the pivot operator."""
     wide = events_pivot_type_by_day(spark, sf_dir)
     stack_args = ", ".join(f"'{t}', `{t}`" for t in EVENT_TYPES)
+    # zero-count cells (coalesced to 0 by the pivot) are dropped so the
+    # long form matches the observed-combinations oracle on sparse data
     return wide.selectExpr(
         "day", f"stack({len(EVENT_TYPES)}, {stack_args}) AS (event_type, n_events)"
-    ).filter(F.col("n_events").isNotNull())
+    ).filter(F.col("n_events") > 0)
 
 
 EVENTS_UNPIVOT_SQL = """

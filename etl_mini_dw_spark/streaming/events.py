@@ -6,10 +6,11 @@ high-water mark, not event time. This module adds the real thing:
 - Batch-shaped window analytics (tumbling / sliding / session / top-k)
   over ``events``, each with a DuckDB oracle mirror.
 - A genuine Structured Streaming pipeline (``readStream`` over the same
-  parquet, event-time watermark, tumbling window, memory sink) whose
-  *result* is returned as a batch DataFrame — so even the streaming path
-  is oracle-checked against the batch SQL semantics (complete mode ⇒
-  batch-equivalent).
+  parquet, event-time watermark, tumbling window, ``foreachBatch``
+  parquet sink) whose *result* is returned as a lazy batch DataFrame
+  over the sink files — so even the streaming path is oracle-checked
+  against the batch SQL semantics (complete mode ⇒ batch-equivalent)
+  and no result row is ever materialized on the driver.
 
 Scale notes: tumbling/sliding aggregation is one shuffle keyed by
 (window, type); sessionization shuffles by user — the natural key at any
@@ -155,9 +156,13 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME tumbling aggregation as a real Structured Streaming job.
 
     readStream over the events parquet (one file per trigger), 10-minute
-    event-time watermark, complete-mode memory sink; drives to completion
-    synchronously and returns the sink contents — value-identical to the
-    batch oracle. Swap source to Kafka + sink to a table and this is the
+    event-time watermark, complete-mode ``foreachBatch`` parquet sink;
+    drives to completion synchronously and returns a LAZY read of the
+    sink directory — value-identical to the batch oracle. No result row
+    ever passes through the driver: each micro-batch overwrites the sink
+    with the full updated aggregate (complete mode ⇒ overwrite is the
+    correct idempotent write), executed as a distributed batch job. Swap
+    source to Kafka + sink path to the warehouse and this is the
     production topology.
     """
     path = f"{sf_dir}/events.parquet"
@@ -188,19 +193,26 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    name = "stream_tumbling_out"
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="stream_tumbling_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_tumbling_ckpt_")
+
+    def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        # complete mode: every batch carries the full aggregate → overwrite
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
     q = (
         agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(_write_batch)
         .start()
     )
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    # materialize before the in-memory sink table goes away
-    return spark.createDataFrame(spark.table(name).collect(), agg.schema)
+    return spark.read.schema(agg.schema).parquet(out_dir)
 
 
 def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,12 +231,17 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Boundary convention: Spark's session_window is half-open — a gap of
+# EXACTLY the gap duration starts a new session — so the oracle uses
+# `>= 1800`, not `> 1800`. (The lag-based `sessionization` pair above
+# deliberately uses `>` on BOTH engines; the two operators differ at the
+# boundary by definition.)
 SESSION_WINDOW_SQL = f"""
 WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
 g AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MIN * 60}
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= {SESSION_GAP_MIN * 60}
               THEN 1 ELSE 0 END AS ns
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),

@@ -61,13 +61,41 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
-    name = "stream_user_totals_out"
-    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    import tempfile
+
+    from pyspark.sql import Window
+
+    out_dir = tempfile.mkdtemp(prefix="stream_user_totals_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_user_totals_ckpt_")
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # update mode emits only keys touched this batch → append tagged
+        # with the batch id; the reader takes the latest row per key.
+        # Distributed write, no result row through the driver.
+        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(_write_batch)
+        .start()
+    )
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.createDataFrame(spark.table(name).collect(), out.schema)
+    # latest state per user (counts are monotone → n_events tiebreak)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("_batch_id").desc(), F.col("n_events").desc()
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
 
 
 # single micro-batch ⇒ update output == batch totals (value summed as
