@@ -37,11 +37,28 @@ def _utcnow() -> datetime:
     return datetime.now(timezone.utc).replace(tzinfo=None)
 
 
+# Stage 5.1 expected-catalog manifest (`code/SQL_1…sql:1626–1638`, plus the
+# run log the reference checks separately at `:1795`)
+EXPECTED_TABLES = [
+    "dim_date",
+    "dim_customer",
+    "dim_salesperson",
+    "dim_product",
+    "fact_sales",
+    "etl_load_tracker",
+    "etl_run_log",
+]
+
+
 class Warehouse:
     def __init__(self, spark: SparkSession, base_dir: str, sf_dir: str) -> None:
         self.spark = spark
         self.store = ParquetStore(base_dir)
         self.sf_dir = sf_dir
+
+    def missing_tables(self) -> list[str]:
+        """Stage 5.1 structure check against the actual store. Expect []."""
+        return [t for t in EXPECTED_TABLES if not self.store.exists(t)]
 
     # --- bootstrap (Stage 1) ---------------------------------------------
     def init(self) -> None:

@@ -49,6 +49,20 @@ def fact_orphans_sql(fact_sql: str, dim_sql: str, fk: str, sk: str) -> str:
     """
 
 
+def null_validity_sql(dim_sql: str, nk: str) -> str:
+    return f"""
+    WITH dim AS ({dim_sql})
+    SELECT {nk} FROM dim WHERE active_from IS NULL OR active_to IS NULL
+    """
+
+
+def dimdate_dup_dates_sql(dim_date_sql: str) -> str:
+    return f"""
+    WITH dd AS ({dim_date_sql})
+    SELECT full_date, COUNT(*) AS cnt FROM dd GROUP BY full_date HAVING COUNT(*) > 1
+    """
+
+
 def current_counts_sql(dim_sql: str) -> str:
     return f"""
     WITH dim AS ({dim_sql})
@@ -61,4 +75,20 @@ def mart_dim_sql(dim_sql: str, dim: DimSpec) -> str:
     return f"""
     WITH dim AS ({dim_sql})
     SELECT {cols} FROM dim WHERE is_current
+    """
+
+
+def mart_fact_sql(fact_sql: str) -> str:
+    """Passthrough fact view (`code/SQL_1…sql:1597–1612`)."""
+    cols = ", ".join(
+        [
+            "sales_id", "sales_nk", "sales_customerid", "sales_salespersonid",
+            "sales_productid", "sales_order_datekey", "sales_quantity",
+            "sales_unitprice", "sales_taxrate", "sales_value",
+            "sales_value_aftertax", "sales_lasteditedwhen",
+        ]
+    )
+    return f"""
+    WITH f AS ({fact_sql})
+    SELECT {cols} FROM f
     """

@@ -90,8 +90,24 @@ def fact_orphans(fact_df: DataFrame, dim_df: DataFrame, fk: str, sk: str) -> Dat
 
 
 def distinct_day_names(dim_date_df: DataFrame) -> DataFrame:
-    """A3: enumerate the (Swedish) day names (`code/SQL_1…sql:1652–1656`)."""
+    """A3: enumerate the (Swedish) day names (`code/SQL_1…sql:1652–1654`)."""
     return dim_date_df.select("day_of_week_name").distinct()
+
+
+def distinct_month_names(dim_date_df: DataFrame) -> DataFrame:
+    """A3: enumerate the (Swedish) month names (`code/SQL_1…sql:1655–1656`)."""
+    return dim_date_df.select("month_name").distinct()
+
+
+def duplicate_dates(dim_date_df: DataFrame) -> DataFrame:
+    """Stage 5.2 unique-dates check (`code/SQL_1…sql:1640–1650`). Expect
+    empty. Grouped on the ISO-string ``full_date`` (1:1 with date_value)
+    so the compared output carries no raw DATE column."""
+    return (
+        dim_date_df.groupBy("full_date")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
 
 
 def current_member_counts(dim_df: DataFrame) -> DataFrame:

@@ -175,50 +175,119 @@ for _dim_key, _dim in spec.DIMS.items():
         ),
     )
 
-_register(
-    "validate_dup_versions_customer",
-    lambda spark, sf_dir: validation.duplicate_version_windows(
-        _two_phase(spark, sf_dir, "customer"), "customer_nk"
-    ),
-    validation_sql.dup_versions_sql(
-        warehouse_sql.dim_two_phase_sql(spec.CUSTOMER, spec.MID, spec.NOW_FIXED), "customer_nk"
-    ),
-)
-_register(
-    "validate_overlaps_customer",
-    lambda spark, sf_dir: validation.overlapping_windows(
-        _two_phase(spark, sf_dir, "customer"), "customer_nk", "customer_id"
-    ),
-    validation_sql.overlaps_sql(
-        warehouse_sql.dim_two_phase_sql(spec.CUSTOMER, spec.MID, spec.NOW_FIXED),
-        "customer_nk",
-        "customer_id",
-    ),
-)
+# Full per-dim Stage-5 battery (`code/SQL_1…sql:1658–1737`): dup-versions,
+# overlapping windows, null validity for EVERY dim — the generic functions
+# applied per registration.
+for _dim_key, _dim in spec.DIMS.items():
+    _two_phase_sql = warehouse_sql.dim_two_phase_sql(_dim, spec.MID, spec.NOW_FIXED)
+    _register(
+        f"validate_dup_versions_{_dim_key}",
+        (
+            lambda k, d: lambda spark, sf_dir: validation.duplicate_version_windows(
+                _two_phase(spark, sf_dir, k), d.nk
+            )
+        )(_dim_key, _dim),
+        validation_sql.dup_versions_sql(_two_phase_sql, _dim.nk),
+    )
+    _register(
+        f"validate_overlaps_{_dim_key}",
+        (
+            lambda k, d: lambda spark, sf_dir: validation.overlapping_windows(
+                _two_phase(spark, sf_dir, k), d.nk, d.sk
+            )
+        )(_dim_key, _dim),
+        validation_sql.overlaps_sql(_two_phase_sql, _dim.nk, _dim.sk),
+    )
+    _register(
+        f"validate_null_validity_{_dim_key}",
+        (
+            lambda k, d: lambda spark, sf_dir: validation.null_validity(
+                _two_phase(spark, sf_dir, k), d.nk
+            )
+        )(_dim_key, _dim),
+        validation_sql.null_validity_sql(_two_phase_sql, _dim.nk),
+    )
 _register(
     "validate_fact_nk_dups",
     lambda spark, sf_dir: validation.duplicate_fact_nk(fact.fact_initial(spark, sf_dir)),
     validation_sql.fact_nk_dups_sql(warehouse_sql.fact_initial_sql()),
 )
+# Soft-FK orphan checks for ALL dims + DimDate (`code/SQL_1…sql:1745–1783`)
+for _dim_key, _dim in spec.DIMS.items():
+    _fk = {
+        "customer": "sales_customerid",
+        "salesperson": "sales_salespersonid",
+        "product": "sales_productid",
+    }[_dim_key]
+    _register(
+        f"validate_fact_orphans_{_dim_key}",
+        (
+            lambda d, fk: lambda spark, sf_dir: validation.fact_orphans(
+                fact.fact_initial(spark, sf_dir),
+                scd2.dim_initial(spark, sf_dir, d),
+                fk,
+                d.sk,
+            )
+        )(_dim, _fk),
+        validation_sql.fact_orphans_sql(
+            warehouse_sql.fact_initial_sql(),
+            warehouse_sql.dim_initial_sql(_dim),
+            _fk,
+            _dim.sk,
+        ),
+    )
+# orphan check runs against the WAREHOUSE's DimDate horizon (the one the
+# fact load inner-joins), not the build default — 0 rows by construction
 _register(
-    "validate_fact_orphans_customer",
+    "validate_fact_orphans_date",
     lambda spark, sf_dir: validation.fact_orphans(
         fact.fact_initial(spark, sf_dir),
-        scd2.dim_initial(spark, sf_dir, spec.CUSTOMER),
-        "sales_customerid",
-        "customer_id",
+        dimdate.build_dim_date(spark, spec.DATE_START, spec.DATE_END),
+        "sales_order_datekey",
+        "date_key",
     ),
     validation_sql.fact_orphans_sql(
         warehouse_sql.fact_initial_sql(),
-        warehouse_sql.dim_initial_sql(spec.CUSTOMER),
-        "sales_customerid",
-        "customer_id",
+        dimdate.dim_date_oracle_sql(spec.DATE_START, spec.DATE_END),
+        "sales_order_datekey",
+        "date_key",
     ),
+)
+# Stage 5.2 DimDate checks (`code/SQL_1…sql:1640–1656`)
+_register(
+    "validate_dimdate_dup_dates",
+    lambda spark, sf_dir: validation.duplicate_dates(dimdate.build_dim_date(spark)),
+    validation_sql.dimdate_dup_dates_sql(dimdate.dim_date_oracle_sql()),
 )
 _register(
     "validate_distinct_day_names",
     lambda spark, sf_dir: validation.distinct_day_names(dimdate.build_dim_date(spark)),
     f"SELECT DISTINCT day_of_week_name FROM ({dimdate.dim_date_oracle_sql()})",
+)
+_register(
+    "validate_distinct_month_names",
+    lambda spark, sf_dir: validation.distinct_month_names(dimdate.build_dim_date(spark)),
+    f"SELECT DISTINCT month_name FROM ({dimdate.dim_date_oracle_sql()})",
+)
+# Stage 5.1 structure check (VALUES manifest vs resolved plan schemas)
+from etl_mini_dw_spark.plans import structure
+
+_register(
+    "validate_expected_tables",
+    structure.expected_tables_missing,
+    structure.expected_tables_sql(),
+)
+# Stage 4 FactSales passthrough mart (`code/SQL_1…sql:1597–1612`)
+_register(
+    "mart_fact",
+    lambda spark, sf_dir: _ts_as_str(
+        _measures_as_double(marts.mart_fact(fact.fact_initial(spark, sf_dir))),
+        "sales_lasteditedwhen",
+    ),
+    _ts_as_str_sql(
+        validation_sql.mart_fact_sql(warehouse_sql.fact_initial_sql()),
+        "sales_lasteditedwhen",
+    ),
 )
 _register(
     "current_member_counts_customer",

@@ -73,6 +73,10 @@ def test_incremental_matches_direct_build(wh, spark, sf_dir):
         ), key
 
 
+def test_expected_tables_present(wh):
+    assert wh.missing_tables() == []
+
+
 def test_runlog_and_tracker(wh, spark):
     log = wh.table("etl_run_log")
     assert log.filter(F.col("run_status") == "FAIL").count() == 0
