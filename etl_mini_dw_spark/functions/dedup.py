@@ -12,9 +12,10 @@ Training-data dedup at 100 TB, Spark-first:
   only. The LSH step is what makes 100 TB feasible: the pair expansion
   is per-band-bucket, never all-pairs.
 - **SimHash**: per-hex-position majority vote over shingle digests → a
-  16-bit locality-sensitive sketch; identical sketches ⇒ near-dup group.
-  (64-bit + hamming-≤k bucket search is the production variant; 16-bit
-  keeps the oracle join tractable and the plumbing identical.)
+  16-bit locality-sensitive sketch; identical sketches ⇒ near-dup group
+  (the didactic hamming-0 form), PLUS the production variant: 64-bit
+  per-bit-majority sketch with hamming-≤3 banded search (4×16-bit bands,
+  pigeonhole candidate generation, exact popcount verification).
 
 Everything is built-in functions (explode / groupBy / HOFs) — no Python
 UDFs — with value-identical DuckDB mirrors.
@@ -387,6 +388,151 @@ WITH s AS ({SIMHASH_SQL})
 SELECT simhash, COUNT(*) AS cnt, MIN(doc_id) AS min_doc_id
 FROM s GROUP BY simhash HAVING COUNT(*) > 1
 """
+
+
+# --- 64-bit SimHash + hamming-≤k banded search (the production variant) ----
+#
+# Google-style near-dup detection (Manku et al., WWW'07 — public paper):
+# 64-bit sketch, two sketches are near-dups iff hamming(a, b) <= K. The
+# banded search exploits the pigeonhole principle: split 64 bits into
+# K+1 = 4 disjoint 16-bit bands; any pair within hamming 3 agrees EXACTLY
+# on at least one band, so candidate generation is 4 equi-joins on band
+# value — never corpus². At 100 TB (band_idx, band_val) is the storage
+# partition key and each band join is partition-local.
+SIMHASH64_K = 3
+SIMHASH64_BANDS = 4  # 4 × 16 bits
+
+_MINLONG = "(-9223372036854775807 - 1)"  # sign-safe bit-63 term, both engines
+
+
+def _simhash64_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): 64-bit per-bit-majority sketch over shingle md5s.
+
+    The md5 is split into two 32-bit halves per shingle (hi = hex[1:8],
+    lo = hex[9:16]) so every intermediate stays unsigned-32 in a signed
+    64 — identical arithmetic on the JVM and DuckDB (a packed 64-bit
+    shingle hash would need sign-wrap semantics DuckDB rejects). Bit 63
+    of the final sketch is added as MINLONG (two's complement) — in-range
+    on both engines. Map-only: no shuffle, digests computed once per
+    shingle (checkpointed array, folds per bit are integer-only).
+    """
+    arrs = _shingle_arrays(spark, sf_dir).select(
+        "doc_id",
+        F.expr("transform(sh_arr, e -> CAST(conv(substr(md5(e), 1, 8), 16, 10) AS BIGINT))").alias("hi"),
+        F.expr("transform(sh_arr, e -> CAST(conv(substr(md5(e), 9, 8), 16, 10) AS BIGINT))").alias("lo"),
+    ).localCheckpoint(eager=False)
+    cols = [F.col("doc_id"), F.size("lo").alias("n")]
+    for p in range(64):
+        src, sh = ("lo", p) if p < 32 else ("hi", p - 32)
+        cols.append(
+            F.expr(
+                f"aggregate({src}, 0L, (acc, h) -> acc + (shiftright(h, {sh}) & 1))"
+            ).alias(f"s{p}")
+        )
+    per_doc = arrs.select(*cols)
+    bits = None
+    for p in range(63):
+        bit = F.when(F.col(f"s{p}") * 2 >= F.col("n"), F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bits = bit if bits is None else bits + bit
+    h = F.when(
+        F.col("s63") * 2 >= F.col("n"), bits + F.expr(_MINLONG)
+    ).otherwise(bits)
+    return per_doc.select("doc_id", h.alias("simhash"))
+
+
+def simhash64_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at hamming ≤ K via the 4×16-bit banded search.
+
+    bucket groupBy (band_idx, band_val) → in-bucket pair expansion
+    (Σb² bound, same shape as ``lsh_candidate_pairs``) → exact
+    ``bit_count(a ^ b)`` verification on candidates only.
+    """
+    sk = _simhash64_sketches(spark, sf_dir).localCheckpoint(eager=False)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.expr(f"shiftright(simhash, {b * 16}) & 65535").alias("band_val"),
+            )
+            for b in range(SIMHASH64_BANDS)
+        ]
+    )
+    buckets = (
+        sk.select("doc_id", F.explode(bands).alias("bv"))
+        .select("doc_id", "bv.band_idx", "bv.band_val")
+        .groupBy("band_idx", "band_val")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    cands = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (a, i) ->"
+                    " transform(slice(ds, i + 2, size(ds) - i - 1),"
+                    " b -> struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    return (
+        cands.join(sk.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha")), "doc_a")
+        .join(sk.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb")), "doc_b")
+        .withColumn("hamming", F.expr("CAST(bit_count(ha ^ hb) AS INT)"))
+        .filter(F.col("hamming") <= SIMHASH64_K)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(100)
+    )
+
+
+def _simhash64_sql() -> str:
+    hsa = f"""
+    SELECT doc_id,
+           list_transform(sh_arr, e -> ('0x' || substr(md5(e), 1, 8))::BIGINT) AS hi,
+           list_transform(sh_arr, e -> ('0x' || substr(md5(e), 9, 8))::BIGINT) AS lo
+    FROM ({_SHINGLE_ARRAYS_SQL})
+    """
+    sums = ", ".join(
+        f"list_sum(list_transform({'lo' if p < 32 else 'hi'}, h -> (h >> {p if p < 32 else p - 32}) & 1)) AS s{p}"
+        for p in range(64)
+    )
+    bits = " + ".join(f"CASE WHEN s{p} * 2 >= n THEN CAST({1 << p} AS BIGINT) ELSE 0 END" for p in range(63))
+    return f"""
+    SELECT doc_id,
+           CAST(({bits})
+                + CASE WHEN s63 * 2 >= n THEN {_MINLONG} ELSE 0 END AS BIGINT) AS simhash
+    FROM (SELECT doc_id, len(lo) AS n, {sums} FROM ({hsa}))
+    """
+
+
+def simhash64_neardups_sql() -> str:
+    band_vals = ", ".join(str(b) for b in range(SIMHASH64_BANDS))
+    return f"""
+    WITH sk AS ({_simhash64_sql()}),
+    bands AS (
+      SELECT doc_id, simhash, band_idx, (simhash >> (band_idx * 16)) & 65535 AS band_val
+      FROM (SELECT doc_id, simhash, unnest([{band_vals}]) AS band_idx FROM sk)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+    FROM cands c
+    JOIN sk sa ON sa.doc_id = c.doc_a
+    JOIN sk sb ON sb.doc_id = c.doc_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH64_K}
+    ORDER BY hamming, doc_a, doc_b
+    LIMIT 100
+    """
 
 
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -317,6 +317,7 @@ _register("ext_minhash_lsh_pairs", dedup.lsh_candidate_pairs, dedup.LSH_PAIRS_SQ
 _register("ext_ngram_jaccard_neardups", dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL)
 _register("ext_simhash_sketches", dedup.simhash16, dedup.SIMHASH_SQL)
 _register("ext_simhash_dup_groups", dedup.simhash_dup_groups, dedup.SIMHASH_GROUPS_SQL)
+_register("ext_simhash64_neardups", dedup.simhash64_neardups, dedup.simhash64_neardups_sql())
 
 # similarity search (M8d)
 _register("ext_ann_bruteforce_topk", simsearch.ann_bruteforce_topk, simsearch.ANN_BRUTEFORCE_SQL)
