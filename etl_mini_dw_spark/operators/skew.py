@@ -41,6 +41,41 @@ def salted_agg(
     return partial.groupBy(key).agg(*final_aggs)
 
 
+def salted_user_value_totals(df_or_spark, sf_dir: str | None = None) -> DataFrame:
+    """Registered demonstration of ``salted_agg`` on the events hot keys:
+    per-user totals computed as (user, salt) partials re-aggregated per
+    user. Value-identical to the single-phase oracle because the measures
+    are exact-decimal / count — re-aggregation order can't change them.
+
+    At 100 TB: a viral user's events land on 16 reducers instead of one;
+    the second shuffle moves only |users|×16 partial rows.
+    """
+    from etl_mini_dw_spark.sources.tables import typed_table
+
+    ev = typed_table(df_or_spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        "user_id",
+        aggs=[
+            F.sum("value").alias("_pv"),
+            F.count(F.lit(1)).alias("_pn"),
+        ],
+        final_aggs=[
+            F.sum("_pv").cast("decimal(38,2)").cast("double").alias("total_value"),
+            F.sum("_pn").cast("bigint").alias("n_events"),
+        ],
+    )
+
+
+SALTED_USER_TOTALS_SQL = """
+SELECT user_id,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
+       COUNT(*) AS n_events
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+GROUP BY user_id
+"""
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -397,6 +397,15 @@ _register("ext_events_json_props", olap.events_json_props, olap.EVENTS_JSON_SQL)
 _register("ext_segment_set_ops", olap.segment_set_ops, olap.SEGMENT_SET_OPS_SQL)
 _register("ext_events_unpivot", olap.events_unpivot, olap.EVENTS_UNPIVOT_SQL)
 
+# --- skew mitigation: salted two-phase aggregation --------------------------
+from etl_mini_dw_spark.operators import skew
+
+_register(
+    "ext_salted_user_value_totals",
+    skew.salted_user_value_totals,
+    skew.SALTED_USER_TOTALS_SQL,
+)
+
 # --- generic temporal joins (as-of / banded range) --------------------------
 from etl_mini_dw_spark.operators import asof
 

@@ -48,6 +48,17 @@ def test_aggregates_are_two_phase(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_salted_agg_is_two_phase(spark, sf_dir):
+    """The salted aggregate must show TWO logical aggregation phases —
+    (user, salt) partials then per-user finals — i.e. ≥4 HashAggregate
+    nodes (each phase is itself partial+final), with the salt present."""
+    from etl_mini_dw_spark.operators import skew
+
+    plan = _plan(skew.salted_user_value_totals(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4, plan[:3000]
+    assert "_salt" in plan
+
+
 def test_fact_increment_delta_not_force_broadcast(spark, sf_dir):
     """The fact delta is unbounded (backfill-sized in the worst case) so the
     state⋈delta merge join must not carry a mandatory broadcast hint.
