@@ -31,7 +31,7 @@ Spark-first design decisions:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_mini_dw_spark import fixtures_spec as spec
@@ -104,30 +104,38 @@ def src_sales(
     )
     # The testdata's lineitem is NOT unique on (orderkey, linenumber) —
     # latest-per-NK-wins is the engine's documented adaptation of the
-    # reference's unique OrderLines key. The ordering is TOTAL (every
-    # column a tiebreaker) so Spark and the oracle pick identical winners.
-    # Scale note: one hash-partitioned window shuffle keyed by NK — at
-    # 100 TB only the delta batch flows through it, never full history,
-    # and partial row_number needs no global sort.
+    # reference's unique OrderLines key. The ordering is TOTAL within a
+    # partition (the six tiebreakers determine the row; o_custkey and
+    # o_orderdate are functions of l_orderkey), so a lexicographic
+    # max(struct(...)) picks the SAME winner as the previous
+    # row_number-desc formulation — but as a HASH AGGREGATE with map-side
+    # partial max instead of a shuffle + per-partition SORT: less memory,
+    # no sort spill, and the partial combine shrinks the shuffle to one
+    # row per NK. At 100 TB only the delta batch flows through it.
     hist = raw.unionByName(edits)
     if as_of is not None:
         hist = hist.filter(F.col("lastedit") <= _ts(as_of))
-    latest = (
-        hist.withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
-                    F.col("lastedit").desc(),
-                    F.col("l_partkey").desc(),
-                    F.col("l_suppkey").desc(),
-                    F.col("qty").desc(),
-                    F.col("price").desc(),
-                    F.col("tax").desc(),
-                )
-            ),
+    winner = F.max(
+        F.struct(
+            "lastedit", "l_partkey", "l_suppkey", "qty", "price", "tax",
+            "o_custkey", "o_orderdate",
         )
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    ).alias("w")
+    latest = (
+        hist.groupBy("l_orderkey", "l_linenumber")
+        .agg(winner)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("w.o_custkey").alias("o_custkey"),
+            F.col("w.l_suppkey").alias("l_suppkey"),
+            F.col("w.l_partkey").alias("l_partkey"),
+            F.col("w.o_orderdate").alias("o_orderdate"),
+            F.col("w.qty").alias("qty"),
+            F.col("w.price").alias("price"),
+            F.col("w.tax").alias("tax"),
+            F.col("w.lastedit").alias("lastedit"),
+        )
     )
     value = (F.col("qty") * F.col("price")).cast("decimal(18,4)")
     aftertax = (value * (F.lit(1).cast("decimal(4,2)") - F.col("tax"))).cast("decimal(18,6)")
