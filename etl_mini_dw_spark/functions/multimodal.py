@@ -61,12 +61,27 @@ FROM documents
 """
 
 
+try:  # the container has no media libs; a cluster with PIL activates this
+    import io as _io
+
+    from PIL import Image as _PILImage  # type: ignore
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
 def decode_features(payload: bytes) -> tuple[int, int, int]:
-    """The real-codec seam. Plug PIL/ffmpeg here on a cluster with media libs."""
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use fake_decode_features (deterministic stand-in) instead"
-    )
+    """The real-codec seam: decodes (width, height, channels) via PIL when
+    it is importable; otherwise raises — callers choose the deterministic
+    fake for oracle-checked paths either way."""
+    if not _HAVE_PIL:
+        raise NotImplementedError(
+            "media codecs are not available in this environment; "
+            "use fake_decode_features (deterministic stand-in) instead"
+        )
+    img = _PILImage.open(_io.BytesIO(payload))
+    return (img.width, img.height, len(img.getbands()))
 
 
 def fake_decode_features(payload: bytes) -> tuple[int, int, int]:
@@ -99,3 +114,39 @@ def extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return p.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes bigint, frame_hash bigint"
+N_FRAMES = 4
+
+
+def sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one payload row fans out to N evenly-spaced
+    "frames" (here: deterministic byte slices standing in for decoded video
+    frames — ffmpeg plugs into the slice step on a real cluster).
+
+    The Spark mechanics are the real thing: a mapInPandas generator that
+    EXPANDS rows (1 → N) inside Arrow batches, which is how a video
+    pipeline turns a 100 GB shard of clips into frame rows without any
+    driver involvement or exploding JVM rows carrying the full payload.
+    """
+    p = with_payload(spark, sf_dir)
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_hash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                step = max(n // N_FRAMES, 1)
+                for i in range(N_FRAMES):
+                    chunk = payload[i * step : (i + 1) * step]
+                    h = 0
+                    for b in chunk[:32]:
+                        h = (h * 131 + b) % 1_000_003
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(len(chunk))
+                    out["frame_hash"].append(h)
+            yield pd.DataFrame(out)
+
+    return p.mapInPandas(_frames, FRAME_SCHEMA)

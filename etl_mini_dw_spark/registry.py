@@ -333,8 +333,9 @@ _register("ext_events_streaming_tumbling", ev.streaming_tumbling_hourly, ev.TUMB
 
 # multimodal plumbing (binary columns + metadata + mapInPandas features)
 _register("ext_multimodal_metadata", multimodal.payload_metadata, multimodal.PAYLOAD_METADATA_SQL)
-# mapInPandas codec path: not SQL-expressible → rows-only check
+# mapInPandas codec paths: not SQL-expressible → rows-only checks
 _register("ext_multimodal_features", multimodal.extract_features, None)
+_register("ext_multimodal_frame_sample", multimodal.sample_frames, None)
 
 _register("revenue_by_region", analytics.revenue_by_region, analytics.REVENUE_BY_REGION_SQL)
 _register("top_unshipped_orders", analytics.top_unshipped_orders, analytics.TOP_UNSHIPPED_SQL)
