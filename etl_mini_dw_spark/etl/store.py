@@ -45,7 +45,11 @@ class ParquetStore:
         final is missing and exactly one ``._old_*`` holds the previous
         generation — restore it. Crash window B (after ``tmp → final``,
         before the old generation is dropped): final exists and the
-        stranded ``._old_*`` is superseded — drop it.
+        stranded ``._old_*`` is superseded — drop it. Partition-level
+        swaps (``swap_partitions``) leave ``._oldpart_<sub>`` dirs INSIDE
+        the table dir (leading dot ⇒ invisible to Spark's file listing);
+        the sub name encodes the partition dir, so the same two windows
+        are recovered per partition.
         """
         final = self.path(name)
         olds = sorted(glob.glob(f"{final}._old_*"))
@@ -54,6 +58,13 @@ class ParquetStore:
                 shutil.rmtree(old, ignore_errors=True)
         elif len(olds) == 1:  # window A: restore the previous generation
             os.rename(olds[0], final)
+        for old in glob.glob(os.path.join(final, "._oldpart_*")):
+            sub = os.path.basename(old)[len("._oldpart_"):]
+            dst = os.path.join(final, sub)
+            if os.path.isdir(dst):  # window B (partition)
+                shutil.rmtree(old, ignore_errors=True)
+            else:  # window A (partition)
+                os.rename(old, dst)
 
     def exists(self, name: str) -> bool:
         self._recover(name)
@@ -80,6 +91,38 @@ class ParquetStore:
         os.rename(tmp, final)
         if os.path.isdir(old):
             shutil.rmtree(old, ignore_errors=True)
+
+    def swap_partitions(
+        self, df: DataFrame, name: str, partition_col: str, values: list
+    ) -> None:
+        """MERGE-shaped write: replace ONLY the partition directories named
+        in ``values`` with ``df``'s rows (``df`` must hold exactly those
+        partitions' post-state). Untouched partitions are not read, not
+        rewritten, not even listed — the poor-man's `MERGE INTO` whose
+        cost is ∝ touched partitions, which is what makes an incremental
+        fact load feasible when the table is 100 TB and the delta touches
+        three days. Per-partition swap uses the same rename protocol as
+        ``write`` (see ``_recover`` for the torn windows); cross-partition
+        atomicity is what a real table format's commit log would add.
+        """
+        assert values, "swap_partitions requires a non-empty touched set"
+        self._recover(name)
+        final = self.path(name)
+        tmp = f"{final}._tmp_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+        for v in values:
+            sub = f"{partition_col}={v}"
+            src = os.path.join(tmp, sub)
+            if not os.path.isdir(src):
+                continue  # delta claimed the partition but produced no rows
+            dst = os.path.join(final, sub)
+            old = os.path.join(final, f"._oldpart_{sub}")
+            if os.path.isdir(dst):
+                os.rename(dst, old)
+            os.rename(src, dst)
+            if os.path.isdir(old):
+                shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     def drop(self, name: str) -> None:
         if os.path.isdir(self.path(name)):
