@@ -108,10 +108,11 @@ def src_sales(
     # partition (the six tiebreakers determine the row; o_custkey and
     # o_orderdate are functions of l_orderkey), so a lexicographic
     # max(struct(...)) picks the SAME winner as the previous
-    # row_number-desc formulation — but as a HASH AGGREGATE with map-side
-    # partial max instead of a shuffle + per-partition SORT: less memory,
-    # no sort spill, and the partial combine shrinks the shuffle to one
-    # row per NK. At 100 TB only the delta batch flows through it.
+    # row_number-desc formulation. Physically this is a SortAggregate
+    # (struct-typed buffers are not hash-aggregable — measured, and
+    # max_by compiles the same way), but unlike the window version it
+    # partial-aggregates map-side: the shuffle carries one row per NK,
+    # not every version. At 100 TB only the delta batch flows through it.
     hist = raw.unionByName(edits)
     if as_of is not None:
         hist = hist.filter(F.col("lastedit") <= _ts(as_of))
