@@ -1,0 +1,143 @@
+"""Deterministic distributed k-means — the trained coarse quantizer for
+IVF-style ANN (companion to `functions/simsearch.py`'s sign-LSH buckets,
+which need no training; a trained codebook fits the data's actual density).
+
+Why INTEGER k-means: float centroid math is non-associative — at 1000
+executors the per-partition partial sums arrive in nondeterministic
+order, so two runs of textbook float k-means can assign boundary points
+differently. Quantizing coordinates to integers (×1000, round-half-up)
+makes every sum exact and partition-order-invariant: the same input
+produces the SAME codebook on any cluster layout, which is what lets an
+index build be reproducible (and lets DuckDB replay it as the oracle).
+
+Execution shape per iteration (all JVM-side, no UDFs):
+- assignment: corpus ⋈ broadcast(K centroids) → squared-L2 fold →
+  argmin via ``min(struct(dist, cluster))`` — map-only over the corpus,
+  one tiny aggregate;
+- update: ``groupBy(cluster)`` with 64 per-dimension LONG sums — partial
+  aggregation shrinks the shuffle to K×64 longs per executor core.
+Iterations are a Python loop over lazy plans (centroids localCheckpoint
+per round — K rows, negligible); rounds are fixed (ITERS), not
+convergence-polled, so the job graph is static.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_mini_dw_spark.sources.tables import load_table
+
+K = 8
+ITERS = 2
+DIM = 64
+SCALE = 1000
+
+# round-half-up via floor(x+0.5): identical IEEE semantics on the JVM
+# and DuckDB (plain `round` differs between engines on .5 ties)
+_QUANT = (
+    f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE} + 0.5D) AS BIGINT))"
+)
+_DIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+)
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QUANT).alias("qv")
+    )
+
+
+def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cluster, dist): nearest centroid, ties → lowest cluster id."""
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "cluster",
+        F.expr(_DIST.format(a="qv", b="cv")).alias("dist"),
+    )
+    best = scored.groupBy("vec_id").agg(F.min(F.struct("dist", "cluster")).alias("w"))
+    return best.select(
+        "vec_id", F.col("w.cluster").alias("cluster"), F.col("w.dist").alias("dist")
+    )
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final (vec_id, cluster, dist) after ITERS rounds of integer k-means
+    seeded with the first K vectors (deterministic init)."""
+    vecs = _quantized(spark, sf_dir).localCheckpoint(eager=False)
+    centroids = vecs.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cluster"), F.col("qv").alias("cv")
+    )
+    for _ in range(ITERS):
+        members = _assign(vecs, centroids).join(vecs, "vec_id")
+        # 64 per-dimension LONG sums → exact, partition-order-invariant
+        sums = members.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(DIM)],
+        )
+        centroids = sums.select(
+            "cluster",
+            F.array(
+                *[
+                    F.floor(F.col(f"s{i}").cast("double") / F.col("n") + F.lit(0.5)).cast(
+                        "long"
+                    )
+                    for i in range(DIM)
+                ]
+            ).alias("cv"),
+        ).localCheckpoint(eager=False)
+    return _assign(vecs, centroids).select(
+        "vec_id", F.col("cluster").cast("bigint").alias("cluster"), F.col("dist").cast("bigint").alias("dist")
+    )
+
+
+_SQL_QUANT = (
+    f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE} + 0.5) AS BIGINT))"
+)
+
+
+def _sql_dist(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, {DIM + 1}),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+
+
+def _sql_round(centroids_from: str) -> str:
+    """One iteration: assignment against `centroids_from` → new centroids."""
+    return f"""
+  SELECT cluster, list(s ORDER BY i) AS cv FROM (
+    SELECT a.cluster, t.i,
+           CAST(floor(SUM(e.qv[t.i]) * 1.0 / COUNT(*) + 0.5) AS BIGINT) AS s
+    FROM (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cluster,
+               {_sql_dist("e.qv", "c.cv")} AS dist,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_sql_dist("e.qv", "c.cv")}, c.cluster) AS rn
+        FROM e, {centroids_from} c) WHERE rn = 1) a
+    JOIN e USING (vec_id), range(1, {DIM + 1}) t(i)
+    GROUP BY a.cluster, t.i)
+  GROUP BY cluster
+"""
+
+
+def kmeans_assign_sql() -> str:
+    sql = f"""
+WITH e AS (SELECT vec_id, {_SQL_QUANT} AS qv FROM embeddings),
+c0 AS (SELECT vec_id AS cluster, qv AS cv FROM e WHERE vec_id < {K}),
+"""
+    prev = "c0"
+    for r in range(1, ITERS + 1):
+        sql += f"c{r} AS ({_sql_round(prev)}),\n"
+        prev = f"c{r}"
+    sql += f"""
+final AS (
+  SELECT e.vec_id, c.cluster, {_sql_dist("e.qv", "c.cv")} AS dist,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_sql_dist("e.qv", "c.cv")}, c.cluster) AS rn
+  FROM e, {prev} c)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist FROM final WHERE rn = 1
+"""
+    return sql

@@ -582,6 +582,14 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     same fixpoint as a recursive CTE.
     """
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return components_from_pairs(pairs)
+
+
+def components_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Generic min-label-propagation connected components over an
+    undirected edge list (columns ``doc_a``, ``doc_b``); returns
+    (doc_id, component = min node id of the component). Shared by the
+    text (jaccard) and embedding (cosine) near-dup graphs."""
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()

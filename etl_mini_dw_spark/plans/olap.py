@@ -209,3 +209,117 @@ EVENTS_UNPIVOT_SQL = """
 SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, event_type, COUNT(*) AS n_events
 FROM events GROUP BY 1, 2
 """
+
+
+def order_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window battery per customer order history: lag / lead /
+    rank / ntile / running total in ONE window pass.
+
+    All five functions share a single ``partitionBy(custkey)`` sort, so
+    the physical plan is one shuffle + one per-partition sort regardless
+    of how many window expressions ride on it (WindowExec evaluates them
+    together). Orderings are total (o_orderkey is the orders PK). The
+    running total is exact DECIMAL, cast to DOUBLE at the very end.
+    """
+    from pyspark.sql import Window
+
+    orders = typed_table(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    by_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    running = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total_dec = F.col("o_totalprice").cast("decimal(14,2)")
+    # lag/lead at partition edges → −1 sentinel (prices are strictly
+    # positive): NULL doubles round-trip as None on Spark but NaN through
+    # DuckDB→pandas, which would break the value hash
+    price_dbl = F.col("o_totalprice").cast("double")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.coalesce(F.lag(price_dbl).over(seq), F.lit(-1.0)).alias("prev_total"),
+        F.coalesce(F.lead(price_dbl).over(seq), F.lit(-1.0)).alias("next_total"),
+        F.row_number().over(by_price).cast("int").alias("price_rank"),
+        F.ntile(4).over(seq).cast("int").alias("recency_quartile"),
+        F.sum(total_dec).over(running).cast("decimal(38,2)").cast("double").alias("running_spend"),
+    )
+
+
+ORDER_WINDOW_BATTERY_SQL = """
+SELECT o_custkey, o_orderkey,
+       COALESCE(lag(CAST(o_totalprice AS DOUBLE)) OVER seq, -1.0) AS prev_total,
+       COALESCE(lead(CAST(o_totalprice AS DOUBLE)) OVER seq, -1.0) AS next_total,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS price_rank,
+       CAST(ntile(4) OVER seq AS INTEGER) AS recency_quartile,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_spend
+FROM orders
+WINDOW seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (order year, status): all four grouping levels in one
+    pass — like ``sales_rollup`` but the full lattice. Partial-aggregable:
+    Spark expands the grouping sets map-side and combines per level, so
+    the shuffle carries one row per (level, group), never the input."""
+    orders = typed_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").cast("decimal(14,2)").alias("price"),
+        )
+        .cube("order_year", "status")
+        .agg(
+            F.sum("price").cast("decimal(38,2)").cast("double").alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+ORDERS_CUBE_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, o_orderstatus AS status,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_orders,
+       CAST(GROUPING(year(o_orderdate))*2 + GROUPING(o_orderstatus) AS INTEGER) AS gid
+FROM orders GROUP BY CUBE (year(o_orderdate), o_orderstatus)
+"""
+
+
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((year, priority), (year), ()) — the
+    subtotal shape a reporting layer asks for when CUBE computes too
+    much. Same one-pass partial-aggregable execution as cube/rollup."""
+    orders = typed_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").cast("decimal(14,2)").alias("price"),
+        )
+        .groupingSets(
+            [["order_year", "priority"], ["order_year"], []],
+            "order_year",
+            "priority",
+        )
+        .agg(
+            F.sum("price").cast("decimal(38,2)").cast("double").alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+REVENUE_GROUPING_SETS_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, o_orderpriority AS priority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_orders,
+       CAST(GROUPING(year(o_orderdate))*2 + GROUPING(o_orderpriority) AS INTEGER) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority), (year(o_orderdate)), ())
+"""

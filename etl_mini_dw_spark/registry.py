@@ -422,3 +422,30 @@ _register("ext_stratified_sample", sampling.stratified_sample, sampling.STRATIFI
 _register("ext_train_test_split", sampling.train_test_split, sampling.TRAIN_TEST_SPLIT_SQL)
 _register("ext_decontaminate", sampling.decontaminate, sampling.DECONTAMINATE_SQL)
 _register("ext_pii_redaction", sampling.pii_redaction, sampling.PII_REDACTION_SQL)
+
+# --- round 2 breadth: windows battery, full grouping lattice, trained IVF,
+# --- embedding clustering, streaming dedup, bucketed co-located join --------
+from etl_mini_dw_spark.functions import cluster
+from etl_mini_dw_spark.plans import bucketing
+
+_register(
+    "ext_order_window_battery", olap.order_window_battery, olap.ORDER_WINDOW_BATTERY_SQL
+)
+_register("ext_orders_cube", olap.orders_cube, olap.ORDERS_CUBE_SQL)
+_register(
+    "ext_revenue_grouping_sets", olap.revenue_grouping_sets, olap.REVENUE_GROUPING_SETS_SQL
+)
+_register("ext_kmeans_ivf_assign", cluster.kmeans_assign, cluster.kmeans_assign_sql())
+_register(
+    "ext_embedding_cluster_components",
+    simsearch.embedding_cluster_components,
+    simsearch.embedding_cluster_components_sql(),
+)
+_register(
+    "ext_streaming_dedup_users", ev.streaming_dedup_distinct_users, ev.STREAMING_DEDUP_SQL
+)
+_register(
+    "ext_bucketed_revenue_by_priority",
+    bucketing.bucketed_revenue_by_priority,
+    bucketing.BUCKETED_REVENUE_SQL,
+)

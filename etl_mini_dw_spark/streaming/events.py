@@ -254,3 +254,58 @@ SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        COUNT(*) AS n_events
 FROM s GROUP BY user_id, sid
 """
+
+
+def streaming_dedup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicates`` state keyed on
+    (user_id, event_type), append-mode parquet sink, then a lazy batch
+    aggregate over the deduped sink — per-type distinct-user counts.
+
+    The streaming operator under test is the dedup state store: each
+    micro-batch appends only first-seen keys, so the sink holds exactly
+    one row per (user, type) and no result row passes through the
+    driver. Unbounded key-state is the DEMO configuration — production
+    bounds it with ``dropDuplicatesWithinWatermark`` (same plan, state
+    evicted past the watermark), at the cost of re-admitting keys that
+    reappear later than the horizon, which breaks value-parity with the
+    global-DISTINCT oracle on bounded replay — so the gate pins the
+    exact variant.
+    """
+    _ensure_session_confs(spark)
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="stream_dedup_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_dedup_ckpt_")
+
+    def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        # append mode: each batch carries only newly-first-seen keys
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(_write_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    deduped = spark.read.schema(stream.schema).parquet(out_dir)
+    return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+STREAMING_DEDUP_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""

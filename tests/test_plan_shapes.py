@@ -79,3 +79,25 @@ def test_fact_increment_delta_not_force_broadcast(spark, sf_dir):
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 2, plan[:3000]
     # the dimension-sided joins keep their explicit hints
     assert plan.count("BroadcastHashJoin") >= 4, plan[:3000]
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    """Both sides stored bucketed on the join key ⇒ the SortMergeJoin
+    consumes the scans directly — NO Exchange anywhere in the join plan
+    (the final aggregate is excluded from the frame under test)."""
+    from etl_mini_dw_spark.plans import bucketing
+
+    plan = _plan(bucketing.bucketed_join_df(spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "Exchange" not in plan, plan[:2000]
+    assert "SelectedBucketsCount" in plan, plan[:2000]
+
+
+def test_window_battery_single_shuffle(spark, sf_dir):
+    """All five window functions share one partitioning: exactly one
+    Exchange (hashpartitioning on o_custkey) in the whole plan."""
+    from etl_mini_dw_spark.plans import olap
+
+    plan = _plan(olap.order_window_battery(spark, sf_dir))
+    assert plan.count("Exchange") <= 2, plan[:3000]  # 1 shuffle (+AQE read)
+    assert "Window" in plan
