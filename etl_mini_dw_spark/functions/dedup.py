@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_mini_dw_spark.sources.tables import fanout_scan, load_table
+from etl_mini_dw_spark.sources.tables import fanout_scan, load_table, stage_memo
 
 SHINGLE_K = 8
 N_HASHES = 8
@@ -50,14 +50,8 @@ _NORM_SQL = r"lower(regexp_replace(text, '\s+', ' ', 'g'))"
 # so repeated queries in one session (bench, driver, a real pipeline run)
 # materialize the staging work once — the in-session analog of writing a
 # staged table, which is exactly what this would be at 100 TB.
-_STAGE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
-
-
-def _memo(spark: SparkSession, sf_dir: str, stage: str, build) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, stage)
-    if key not in _STAGE_MEMO:
-        _STAGE_MEMO[key] = build()
-    return _STAGE_MEMO[key]
+# per-(session, sf-dir) staged-frame memo — shared engine-wide helper
+_memo = stage_memo
 
 
 def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:

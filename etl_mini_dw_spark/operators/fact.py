@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from etl_mini_dw_spark import fixtures_spec as spec
 from etl_mini_dw_spark.functions.dimdate import build_dim_date
 from etl_mini_dw_spark.operators import scd2
-from etl_mini_dw_spark.sources.tables import typed_table
+from etl_mini_dw_spark.sources.tables import stage_memo, typed_table
 
 # (fact column, dim spec, dim nk column in the fact source)
 DIM_LINKS = [
@@ -73,35 +73,44 @@ def src_sales(
     latest-per-NK window reproduce a mutable source table the driver's
     immutable testdata doesn't have.
     """
-    li = typed_table(spark, sf_dir, "lineitem")
-    orders = typed_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
-    )
-    raw = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "inner").select(
-        "l_orderkey",
-        "l_linenumber",
-        "o_custkey",
-        "l_suppkey",
-        "l_partkey",
-        "o_orderdate",
-        F.col("l_quantity").alias("qty"),
-        F.col("l_extendedprice").alias("price"),
-        F.col("l_tax").alias("tax"),
-        # P3 greatest-of-two change timestamp (`code/SQL_1…sql:500–501`)
-        F.greatest("l_shipdate", "o_orderdate").alias("lastedit"),
-    )
-    edits = raw.filter((F.col("l_orderkey") % spec.FACT_EDIT_MOD) == 0).select(
-        "l_orderkey",
-        "l_linenumber",
-        "o_custkey",
-        "l_suppkey",
-        "l_partkey",
-        "o_orderdate",
-        (F.col("qty") + F.lit(1)).cast("decimal(12,2)").alias("qty"),
-        "price",
-        "tax",
-        F.timestamp_add("DAY", F.lit(spec.FACT_EDIT_DAYS), F.col("lastedit")).alias("lastedit"),
-    )
+    def build_hist() -> DataFrame:
+        li = typed_table(spark, sf_dir, "lineitem")
+        orders = typed_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate"
+        )
+        raw = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "inner").select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_custkey",
+            "l_suppkey",
+            "l_partkey",
+            "o_orderdate",
+            F.col("l_quantity").alias("qty"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_tax").alias("tax"),
+            # P3 greatest-of-two change timestamp (`code/SQL_1…sql:500–501`)
+            F.greatest("l_shipdate", "o_orderdate").alias("lastedit"),
+        )
+        edits = raw.filter((F.col("l_orderkey") % spec.FACT_EDIT_MOD) == 0).select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_custkey",
+            "l_suppkey",
+            "l_partkey",
+            "o_orderdate",
+            (F.col("qty") + F.lit(1)).cast("decimal(12,2)").alias("qty"),
+            "price",
+            "tax",
+            F.timestamp_add(
+                "DAY", F.lit(spec.FACT_EDIT_DAYS), F.col("lastedit")
+            ).alias("lastedit"),
+        )
+        # lazily checkpointed once per (session, sf-dir): the initial and
+        # incremental phases of a two-phase run (and the orchestrator's
+        # repeated loads) all consume this same staged frame — at 100 TB
+        # this is the staged edit-history table between the join and the
+        # per-batch aggregates
+        return raw.unionByName(edits).localCheckpoint(eager=False)
     # The testdata's lineitem is NOT unique on (orderkey, linenumber) —
     # latest-per-NK-wins is the engine's documented adaptation of the
     # reference's unique OrderLines key. The ordering is TOTAL within a
@@ -113,9 +122,19 @@ def src_sales(
     # max_by compiles the same way), but unlike the window version it
     # partial-aggregates map-side: the shuffle carries one row per NK,
     # not every version. At 100 TB only the delta batch flows through it.
-    hist = raw.unionByName(edits)
+    hist = stage_memo(spark, sf_dir, "fact_hist", build_hist)
     if as_of is not None:
         hist = hist.filter(F.col("lastedit") <= _ts(as_of))
+    # F2 watermark predicate applied BEFORE the latest-per-NK aggregate —
+    # value-identical to filtering after it because ``lastedit`` is the
+    # FIRST field of the ordering struct: the winner always carries the
+    # group-max lastedit, so (a) if the winner clears the watermark it
+    # survives the pre-filter and stays the max of the kept subset, and
+    # (b) if it doesn't, no row of the group does and the group vanishes
+    # either way. The payoff is the scale contract: an incremental run
+    # aggregates ONLY rows newer than the watermark (cost ∝ delta), not
+    # the whole edit history.
+    hist = hist.filter(F.col("lastedit") > _ts(watermark))
     winner = F.max(
         F.struct(
             "lastedit", "l_partkey", "l_suppkey", "qty", "price", "tax",
@@ -141,8 +160,7 @@ def src_sales(
     value = (F.col("qty") * F.col("price")).cast("decimal(18,4)")
     aftertax = (value * (F.lit(1).cast("decimal(4,2)") - F.col("tax"))).cast("decimal(18,6)")
     return (
-        latest.filter(F.col("lastedit") > _ts(watermark))  # F2
-        .select(
+        latest.select(
             # key-derived surrogate (see module docstring)
             (F.col("l_orderkey") * LINE_MULT + F.col("l_linenumber"))
             .cast("bigint")
@@ -312,11 +330,19 @@ def fact_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = build_dim_date(spark, spec.DATE_START, spec.DATE_END)
 
     # phase 1: what the warehouse looked like after loading up to the split;
-    # materialized once (it feeds the watermark read, the update join and
-    # the insert anti-join — exactly what the orchestrator's stored table
-    # would be)
-    f0 = src_sales(spark, sf_dir, spec.LOW, as_of=spec.FACT_SPLIT)
-    state0 = _with_datekey(resolve_dimensions(f0, dims), dd).select(*FACT_COLS).localCheckpoint()
+    # materialized once PER SESSION (it feeds the watermark read, the
+    # update join and the insert anti-join — exactly the stored fact
+    # table the orchestrator would have written after phase 1, so the
+    # memo is the in-session analog of reading that table back)
+    def build_state0() -> DataFrame:
+        f0 = src_sales(spark, sf_dir, spec.LOW, as_of=spec.FACT_SPLIT)
+        return (
+            _with_datekey(resolve_dimensions(f0, dims), dd)
+            .select(*FACT_COLS)
+            .localCheckpoint()
+        )
+
+    state0 = stage_memo(spark, sf_dir, "fact_state0", build_state0)
 
     # data-driven watermark advance (`code/SQL_1…sql:1493–1500`), read back
     # to the driver like the reference's scalar tracker lookup (P11)

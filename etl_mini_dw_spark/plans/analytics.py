@@ -259,3 +259,217 @@ SELECT c_count, COUNT(*) AS custdist FROM (
   GROUP BY c_custkey)
 GROUP BY c_count
 """
+
+
+def min_price_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped correlated subquery: for each part (bounded probe
+    set), the supplier(s) that shipped it at the minimum unit price.
+
+    The correlated `MIN` decorrelates into an aggregate + equi-join-back
+    — Spark and modern planners do exactly this rewrite; expressing it
+    directly keeps the plan two hash joins on l_partkey (no per-row
+    subquery execution, which is what kills correlated queries at scale).
+    """
+    li = typed_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    probe = li.filter(F.col("l_partkey") < 200)
+    min_price = probe.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    sup = typed_table(spark, sf_dir, "supplier")
+    return (
+        probe.join(
+            F.broadcast(min_price),
+            (probe.l_partkey == min_price.l_partkey)
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .drop(min_price.l_partkey)
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_partkey",
+            "s_suppkey",
+            "s_name",
+            F.col("min_price").cast("double").alias("min_price"),
+        )
+        .distinct()
+    )
+
+
+MIN_PRICE_SUPPLIER_SQL = """
+SELECT DISTINCT l_partkey, s_suppkey, s_name,
+       CAST(min_price AS DOUBLE) AS min_price
+FROM (
+  SELECT l_partkey, l_suppkey,
+         CAST(l_extendedprice AS DECIMAL(14,2)) AS price,
+         MIN(CAST(l_extendedprice AS DECIMAL(14,2))) OVER (PARTITION BY l_partkey) AS min_price
+  FROM lineitem WHERE l_partkey < 200)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE price = min_price
+"""
+
+
+def top_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped: revenue lost to returns per customer in a
+    quarter, top 20 (deterministic tiebreak on custkey)."""
+    li = typed_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = typed_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    customer = typed_table(spark, sf_dir, "customer")
+    nation = typed_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("decimal(38,4)").cast("double").alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+TOP_RETURNED_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS lost_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped: promo revenue share per month — conditional
+    aggregation (CASE inside SUM), ratio taken on DOUBLEs derived from
+    exact DECIMAL sums (both engines divide identical doubles)."""
+    li = typed_table(spark, sf_dir, "lineitem")
+    part = typed_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount"))
+    promo = F.when(
+        F.col("p_type").startswith("PROMO"), revenue.cast("decimal(18,4)")
+    ).otherwise(F.lit(0.00).cast("decimal(18,4)"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(promo).cast("decimal(38,4)").cast("double").alias("promo_revenue"),
+            F.sum(revenue).cast("decimal(38,4)").cast("double").alias("total_revenue"),
+        )
+        .withColumn(
+            "promo_share",
+            F.round(F.col("promo_revenue") / F.col("total_revenue"), 6),
+        )
+    )
+
+
+PROMO_REVENUE_SQL = """
+SELECT ship_month,
+       CAST(promo_rev AS DOUBLE) AS promo_revenue,
+       CAST(total_rev AS DOUBLE) AS total_revenue,
+       round(CAST(promo_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6) AS promo_share
+FROM (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         SUM(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                            * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                            AS DECIMAL(18,4))
+                  ELSE CAST(0.00 AS DECIMAL(18,4)) END) AS promo_rev,
+         SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1)
+"""
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: orders whose total quantity clears a threshold
+    (GROUP BY + HAVING on the fact), joined back to customer detail —
+    the HAVING prunes before the dimension join ever happens."""
+    li = typed_table(spark, sf_dir, "lineitem")
+    orders = typed_table(spark, sf_dir, "orders")
+    customer = typed_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("decimal(38,2)").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+LARGE_VOLUME_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped: per-nation revenue kept only if it exceeds a
+    fraction of the GLOBAL total — the scalar subquery is hoisted into a
+    1-row broadcast cross join (P12 pattern), never a driver collect."""
+    li = typed_table(spark, sf_dir, "lineitem")
+    sup = typed_table(spark, sf_dir, "supplier")
+    nation = typed_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount"))
+    per_nation = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("decimal(38,4)").alias("nation_rev"))
+    )
+    total = per_nation.agg(F.sum("nation_rev").cast("decimal(38,4)").alias("total_rev"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("nation_rev").cast("double") > F.col("total_rev").cast("double") / 30)
+        .select(
+            "n_name",
+            F.col("nation_rev").cast("double").alias("nation_revenue"),
+            F.round(
+                F.col("nation_rev").cast("double") / F.col("total_rev").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+    )
+
+
+NATION_REVENUE_SHARE_SQL = """
+WITH per_nation AS (
+  SELECT n_name,
+         SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS nation_rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name),
+total AS (SELECT SUM(nation_rev) AS total_rev FROM per_nation)
+SELECT n_name,
+       CAST(nation_rev AS DOUBLE) AS nation_revenue,
+       round(CAST(nation_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6) AS revenue_share
+FROM per_nation, total
+WHERE CAST(nation_rev AS DOUBLE) > CAST(total_rev AS DOUBLE) / 30
+"""

@@ -449,3 +449,24 @@ _register(
     bucketing.bucketed_revenue_by_priority,
     bucketing.BUCKETED_REVENUE_SQL,
 )
+
+# --- round 2: five more classic OLAP shapes (Q2/Q10/Q11/Q14/Q18) ------------
+_register(
+    "min_price_supplier_per_part",
+    analytics.min_price_supplier_per_part,
+    analytics.MIN_PRICE_SUPPLIER_SQL,
+)
+_register(
+    "top_returned_customers",
+    analytics.top_returned_customers,
+    analytics.TOP_RETURNED_CUSTOMERS_SQL,
+)
+_register("promo_revenue_ratio", analytics.promo_revenue_ratio, analytics.PROMO_REVENUE_SQL)
+_register(
+    "large_volume_customers",
+    analytics.large_volume_customers,
+    analytics.LARGE_VOLUME_CUSTOMERS_SQL,
+)
+_register(
+    "nation_revenue_share", analytics.nation_revenue_share, analytics.NATION_REVENUE_SHARE_SQL
+)

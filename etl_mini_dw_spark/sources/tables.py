@@ -76,6 +76,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_STAGE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def stage_memo(spark: SparkSession, sf_dir: str, stage: str, build) -> DataFrame:
+    """One shared (lazily checkpointed) staged frame per (session, sf-dir).
+
+    The in-session analog of a staged intermediate table: expensive
+    upstream stages (shingle digests, the fact edit-history union) are
+    built once and every consumer plan references the materialized
+    blocks. Stage names are global — keep them unique across modules.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir, stage)
+    if key not in _STAGE_MEMO:
+        _STAGE_MEMO[key] = build()
+    return _STAGE_MEMO[key]
+
+
 def fanout_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Round-robin fanout for CPU-bound pipelines over small scans.
 
