@@ -145,3 +145,52 @@ DOC_FINGERPRINT_SQL = r"""
 SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
 FROM documents
 """
+
+
+TOP_BIGRAMS_K = 50
+WORD_RE = "[a-z]+"
+
+
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-K word bigrams — the n-gram frequency table every
+    corpus analysis starts from.
+
+    Plan shape: regex word extraction and bigram assembly happen ONCE
+    per document in a map stage whose output is lazily checkpointed —
+    the explode that follows would otherwise re-evaluate the pipelined
+    array expression per OUTPUT bigram (the Generate trap in CLAUDE.md).
+    The count is a plain hash aggregate with map-side combine; K rows
+    survive to the driver-side sort.
+    """
+    docs = fanout_scan(spark, load_table(spark, sf_dir, "documents")).select(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0).alias("w")
+    )
+    bigrams = docs.select(
+        F.when(
+            F.size("w") >= 2,
+            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"),
+        )
+        .otherwise(F.expr("array()"))
+        .alias("bg")
+    ).localCheckpoint(eager=False)
+    return (
+        bigrams.select(F.explode("bg").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(TOP_BIGRAMS_K)
+    )
+
+
+TOP_BIGRAMS_SQL = f"""
+WITH words AS (
+  SELECT regexp_extract_all(lower(text), '{WORD_RE}') AS w FROM documents
+),
+bigrams AS (
+  SELECT unnest(list_transform(range(1, greatest(len(w), 1)),
+                               i -> w[i] || ' ' || w[i+1])) AS bigram
+  FROM words
+)
+SELECT bigram, COUNT(*) AS n FROM bigrams
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT {TOP_BIGRAMS_K}
+"""

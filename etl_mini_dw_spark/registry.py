@@ -470,3 +470,18 @@ _register(
 _register(
     "nation_revenue_share", analytics.nation_revenue_share, analytics.NATION_REVENUE_SHARE_SQL
 )
+
+# --- round 2: landing formats proven in tests; corpus n-grams; stream-static --
+from etl_mini_dw_spark.functions import text as _text
+
+_register("ext_top_bigrams", _text.top_bigrams, _text.TOP_BIGRAMS_SQL)
+_register(
+    "ext_streaming_enriched_segments",
+    ev.streaming_enriched_segment_counts,
+    ev.STREAMING_ENRICHED_SQL,
+)
+_register(
+    "ext_streaming_click_attribution",
+    ev.streaming_click_purchase_attribution,
+    ev.STREAMING_ATTRIBUTION_SQL,
+)

@@ -309,3 +309,150 @@ STREAMING_DEDUP_SQL = """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
 """
+
+
+def streaming_enriched_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with a STATIC
+    dimension (customer → market segment) inside the streaming query,
+    then aggregated per segment.
+
+    The static side is re-planned per micro-batch and broadcast — the
+    canonical pattern for enriching a stream with slowly-changing
+    reference data without restarting the query (swap the static source
+    for the SCD2 current-snapshot view and this is the production
+    topology). Left join + UNKNOWN fallback keeps events whose user has
+    no dimension row, mirroring the warehouse's unknown-member contract.
+    Complete-mode foreachBatch parquet sink; nothing passes through the
+    driver.
+    """
+    _ensure_session_confs(spark)
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", F.col("value").cast("decimal(14,2)").alias("value"))
+    )
+    segments = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment"))
+    )
+    enriched = stream.join(F.broadcast(segments), "user_id", "left").withColumn(
+        "segment", F.coalesce(F.col("segment"), F.lit("UNKNOWN"))
+    )
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").cast("decimal(38,2)").cast("double").alias("total_value"),
+    )
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="stream_enrich_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_enrich_ckpt_")
+
+    def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(_write_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.schema(agg.schema).parquet(out_dir)
+
+
+STREAMING_ENRICHED_SQL = """
+SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY 1
+"""
+
+
+ATTRIBUTION_WINDOW_MIN = 30
+
+
+def streaming_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join: purchases attributed to a click by
+    the same user within ATTRIBUTION_WINDOW_MIN minutes — per-day pair
+    counts.
+
+    Both sides carry watermarks and the join condition carries the time
+    bound, so each side's state store evicts rows once the other side's
+    watermark passes the bound — the state-bounded formulation of the
+    classic attribution join (an unbounded-state stream join is refused
+    by the engine in append mode). The joined pairs land in a parquet
+    sink distributed; the per-day rollup is a lazy batch aggregate over
+    the sink (chaining a second stateful aggregate onto the join inside
+    one streaming query is the one shape Spark still restricts).
+    On bounded single-batch replay nothing is late, so the result equals
+    the batch interval join the oracle runs.
+    """
+    _ensure_session_confs(spark)
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+
+    def _side(event_type: str, alias: str):
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .filter(F.col("event_type") == event_type)
+            .selectExpr(
+                f"user_id AS {alias}_user", f"ts AS {alias}_ts", f"event_id AS {alias}_id"
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    clicks, purchases = _side("click", "c"), _side("purchase", "p")
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND "
+            f"p_ts <= c_ts + INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES"
+        ),
+    )
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="stream_attr_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_attr_ckpt_")
+
+    def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        pairs.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(_write_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    joined = spark.read.schema(pairs.schema).parquet(out_dir)
+    return joined.groupBy(
+        F.date_format("c_ts", "yyyy-MM-dd").alias("click_day")
+    ).agg(F.count(F.lit(1)).alias("n_attributed"))
+
+
+STREAMING_ATTRIBUTION_SQL = f"""
+SELECT strftime(c.ts, '%Y-%m-%d') AS click_day,
+       COUNT(*) AS n_attributed
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) c
+JOIN (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+GROUP BY 1
+"""
