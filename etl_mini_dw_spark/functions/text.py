@@ -194,3 +194,68 @@ bigrams AS (
 SELECT bigram, COUNT(*) AS n FROM bigrams
 GROUP BY bigram ORDER BY n DESC, bigram LIMIT {TOP_BIGRAMS_K}
 """
+
+
+TFIDF_TOP_TERMS = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K characteristic terms per document by tf·idf.
+
+    Uses the LINEAR idf variant ``score = tf × N / df`` instead of the
+    log form: every input to the score is an exact integer (term
+    frequency, corpus size, document frequency), so the ranking is
+    bit-identical across engines and cluster layouts — ``ln`` comes from
+    libm and legitimately differs by 1 ulp between platforms, which is
+    exactly the kind of nondeterminism a reproducible corpus pipeline
+    (and the oracle gate) can't tolerate. Monotone in tf and 1/df like
+    the log form, so the per-document ranking is the standard one.
+
+    Plan: explode over a checkpointed word array (Generate trap), one
+    (doc, term) hash aggregate, one term-keyed df aggregate, a broadcast
+    of the 1-row corpus size, and a per-doc top-K window. Every shuffle
+    key (doc, term) is high-cardinality — no hot spots at scale.
+    """
+    from pyspark.sql import Window
+
+    docs = fanout_scan(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0).alias("w")
+    ).localCheckpoint(eager=False)
+    words = docs.select("doc_id", F.explode("w").alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+TFIDF_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.term, tf, df,
+         CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+  FROM tf JOIN df ON tf.term = df.term, n
+)
+SELECT doc_id, term, tf, df, score, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored)
+WHERE rank <= {TFIDF_TOP_TERMS}
+"""

@@ -485,3 +485,4 @@ _register(
     ev.streaming_click_purchase_attribution,
     ev.STREAMING_ATTRIBUTION_SQL,
 )
+_register("ext_tfidf_top_terms", _text.tfidf_top_terms, _text.TFIDF_SQL)
