@@ -486,3 +486,35 @@ _register(
     ev.STREAMING_ATTRIBUTION_SQL,
 )
 _register("ext_tfidf_top_terms", _text.tfidf_top_terms, _text.TFIDF_SQL)
+
+# --- round 2: classic battery II (Q7/Q8/Q9/Q15/Q17/Q19/Q21/Q22 analogues) ---
+from etl_mini_dw_spark.plans import classic
+
+_register(
+    "bilateral_nation_trade", classic.bilateral_nation_trade, classic.BILATERAL_TRADE_SQL
+)
+_register(
+    "regional_market_share", classic.regional_market_share, classic.REGIONAL_MARKET_SHARE_SQL
+)
+_register("product_line_profit", classic.product_line_profit, classic.PRODUCT_LINE_PROFIT_SQL)
+_register("top_supplier_by_quarter", classic.top_supplier_by_quarter, classic.TOP_SUPPLIER_SQL)
+_register(
+    "small_quantity_order_revenue",
+    classic.small_quantity_order_revenue,
+    classic.SMALL_QTY_REVENUE_SQL,
+)
+_register(
+    "disjunctive_promo_revenue",
+    classic.disjunctive_promo_revenue,
+    classic.DISJUNCTIVE_REVENUE_SQL,
+)
+_register(
+    "sole_returning_supplier",
+    classic.sole_returning_supplier,
+    classic.SOLE_RETURNING_SUPPLIER_SQL,
+)
+_register(
+    "idle_high_balance_customers",
+    classic.idle_high_balance_customers,
+    classic.IDLE_CUSTOMERS_SQL,
+)

@@ -111,14 +111,30 @@ def fanout_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+def events_ts_to_timestamp(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-tz TIMESTAMP, whatever it scanned as.
+
+    The driver's generated events parquet has carried both TIMESTAMP(NANOS)
+    (read as ns-long under ``nanosAsLong``) and plain TIMESTAMP(MICROS)
+    (read as TIMESTAMP_NTZ) across rounds; branch on the scanned dtype so
+    ingest is schema-version-proof. Mirrored by ``CAST(ts AS TIMESTAMP)``
+    oracle-side in both cases. Works on batch and streaming frames alike.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        # ns-long → µs truncation
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def typed_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Source table with the exact-decimal ingest casts applied."""
     df = load_table(spark, sf_dir, name)
     for col, dtype in TYPED_DECIMALS.get(name, {}).items():
         df = df.withColumn(col, F.col(col).cast(dtype))
     if name == "events":
-        # ns → µs truncation, mirrored by CAST(ts AS TIMESTAMP) oracle-side
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = events_ts_to_timestamp(df)
     return df
 
 

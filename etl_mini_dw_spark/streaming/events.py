@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_mini_dw_spark.sources.tables import _ensure_session_confs, typed_table
+from etl_mini_dw_spark.sources.tables import (
+    _ensure_session_confs,
+    events_ts_to_timestamp,
+    typed_table,
+)
 
 SESSION_GAP_MIN = 30
 TOP_K_USERS = 10
@@ -166,8 +170,8 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     production topology.
     """
     path = f"{sf_dir}/events.parquet"
-    # stream source carries the RAW parquet schema (ts arrives as ns-long
-    # under nanosAsLong); typed-ingest conversions applied on the stream.
+    # stream source carries the RAW parquet schema (ts dtype varies by
+    # testdata generation); typed-ingest conversions applied on the stream.
     # The file source wants a directory → stream the sf dir with a glob.
     _ensure_session_confs(spark)
     raw_schema = spark.read.parquet(path).schema
@@ -176,7 +180,7 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(events_ts_to_timestamp)
         .withColumn("value", F.col("value").cast("decimal(14,2)"))
     )
     agg = (
@@ -405,7 +409,7 @@ def streaming_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> Da
             .option("maxFilesPerTrigger", 1)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .transform(events_ts_to_timestamp)
             .filter(F.col("event_type") == event_type)
             .selectExpr(
                 f"user_id AS {alias}_user", f"ts AS {alias}_ts", f"event_id AS {alias}_id"

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from etl_mini_dw_spark.sources.tables import _ensure_session_confs
+from etl_mini_dw_spark.sources.tables import _ensure_session_confs, events_ts_to_timestamp
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 STATE_SCHEMA = "n bigint, total double"
@@ -51,7 +51,7 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(events_ts_to_timestamp)
         .select("user_id", F.col("value").cast("double").alias("value"))
     )
     out = stream.groupBy("user_id").applyInPandasWithState(
