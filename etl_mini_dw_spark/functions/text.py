@@ -259,3 +259,131 @@ SELECT doc_id, term, tf, df, score, CAST(rank AS INTEGER) AS rank FROM (
   FROM scored)
 WHERE rank <= {TFIDF_TOP_TERMS}
 """
+
+
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition quality signals.
+
+    The standard repetition filters a corpus pipeline applies before
+    training (Rae et al. 2021 §A1.1 use line/ngram duplication fractions;
+    adapted here to the word level since this corpus has no line
+    structure):
+
+    - ``dup_token_ratio``   — 1 − distinct/total tokens (type-token
+      complement; high ⇒ the doc repeats a small vocabulary)
+    - ``top_token_ratio``   — share of the single most frequent token
+    - ``dup_bigram_ratio``  — 1 − distinct/total word bigrams (catches
+      looping phrases that token-level stats miss)
+
+    Plan: one regex word extraction per doc into a lazily-checkpointed
+    array column (so the three signal expressions reference the
+    materialized array instead of re-running the regex — the
+    no-expensive-expr-re-evaluation rule), then a single map-only
+    projection. Per-doc work is O(len·distinct) on bounded documents; no
+    shuffle at any scale.
+    """
+    docs = (
+        fanout_scan(spark, load_table(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0).alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    staged = docs.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        F.expr(
+            "array_max(transform(array_distinct(w), t -> size(filter(w, x -> x = t))))"
+        ).alias("top_count"),
+        F.when(
+            F.size("w") >= 2,
+            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"),
+        )
+        .otherwise(F.expr("array()"))
+        .alias("bg"),
+    )
+    n_t = F.col("n_tokens").cast("double")
+    n_bg = F.size("bg").cast("double")
+    return staged.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.lit(1.0) - F.col("n_distinct").cast("double") / n_t, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_ratio"),
+        F.when(F.col("n_tokens") > 0, F.round(F.col("top_count").cast("double") / n_t, 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_token_ratio"),
+        F.when(
+            F.size("bg") > 0,
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct("bg")).cast("double") / n_bg, 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_ratio"),
+    )
+
+
+REPETITION_SIGNALS_SQL = f"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS w FROM documents
+),
+staged AS (
+  SELECT doc_id,
+         len(w) AS n_tokens,
+         len(list_distinct(w)) AS n_distinct,
+         list_max(list_transform(list_distinct(w),
+                                 t -> len(list_filter(w, x -> x = t)))) AS top_count,
+         list_transform(range(1, greatest(len(w), 1)),
+                        i -> w[i] || ' ' || w[i+1]) AS bg
+  FROM words
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN n_tokens > 0
+            THEN round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_token_ratio,
+       CASE WHEN n_tokens > 0
+            THEN round(CAST(top_count AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+            ELSE 0.0 END AS top_token_ratio,
+       CASE WHEN len(bg) > 0
+            THEN round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)
+                           / CAST(len(bg) AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_bigram_ratio
+FROM staged
+"""
+
+
+LENGTH_BUCKET_WIDTH = 25
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram per source — the corpus-composition summary
+    behind every mixture/length-filter decision. Integer bucket
+    arithmetic (floor to a fixed width) so bucket edges are identical on
+    both engines; one hash aggregate with map-side combine, grouping key
+    cardinality = |sources| × |buckets| (tiny), no skew.
+    """
+    docs = fanout_scan(spark, load_table(spark, sf_dir, "documents"))
+    n_tokens = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0))
+    bucket = (n_tokens / F.lit(LENGTH_BUCKET_WIDTH)).cast("bigint") * LENGTH_BUCKET_WIDTH
+    return (
+        docs.select("source", bucket.alias("token_bucket"))
+        .groupBy("source", "token_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+DOC_LENGTH_HISTOGRAM_SQL = f"""
+SELECT source,
+       CAST(len(regexp_extract_all(lower(text), '{WORD_RE}'))
+            // {LENGTH_BUCKET_WIDTH} AS BIGINT) * {LENGTH_BUCKET_WIDTH} AS token_bucket,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""

@@ -486,6 +486,12 @@ _register(
     ev.STREAMING_ATTRIBUTION_SQL,
 )
 _register("ext_tfidf_top_terms", _text.tfidf_top_terms, _text.TFIDF_SQL)
+_register(
+    "ext_repetition_signals", _text.repetition_signals, _text.REPETITION_SIGNALS_SQL
+)
+_register(
+    "ext_doc_length_histogram", _text.doc_length_histogram, _text.DOC_LENGTH_HISTOGRAM_SQL
+)
 
 # --- round 2: classic battery II (Q7/Q8/Q9/Q15/Q17/Q19/Q21/Q22 analogues) ---
 from etl_mini_dw_spark.plans import classic
