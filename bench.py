@@ -72,19 +72,26 @@ def main() -> None:
         load1, load5, _ = os.getloadavg()
     except OSError:
         load1 = load5 = -1.0
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "machine_load_avg_1m": round(load1, 2),
-                "machine_load_avg_5m": round(load5, 2),
-            }
-        )
-    )
+    # The driver tail-captures stdout with a ~2.2 KB budget; the full
+    # per-query dict (60+ entries) outgrew it in round 2 → parsed: null.
+    # Contract: ONE compact line (headline + 10 slowest), full detail in
+    # BENCH_LOCAL.json next to this script.
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "n_queries": len(timings),
+        "machine_load_avg_1m": round(load1, 2),
+        "machine_load_avg_5m": round(load5, 2),
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+        json.dump(full, f, indent=2, sort_keys=True)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    compact_queries = {n: timings[n] for n in HEADLINE if n in timings}
+    compact_queries.update(slowest)
+    print(json.dumps({**full, "queries": compact_queries, "detail": "BENCH_LOCAL.json"}))
 
 
 if __name__ == "__main__":

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from etl_mini_dw_spark import fixtures_spec as spec
 from etl_mini_dw_spark.etl import runlog, tracker
-from etl_mini_dw_spark.etl.store import ParquetStore
+from etl_mini_dw_spark.etl.store import make_store
 from etl_mini_dw_spark.functions.dimdate import build_dim_date
 from etl_mini_dw_spark.operators import fact, scd2
 from etl_mini_dw_spark.sources import staging
@@ -58,9 +58,11 @@ EXPECTED_TABLES = [
 
 
 class Warehouse:
-    def __init__(self, spark: SparkSession, base_dir: str, sf_dir: str) -> None:
+    def __init__(
+        self, spark: SparkSession, base_dir: str, sf_dir: str, backend: str = "parquet"
+    ) -> None:
         self.spark = spark
-        self.store = ParquetStore(base_dir)
+        self.store = make_store(base_dir, backend)
         self.sf_dir = sf_dir
 
     def missing_tables(self) -> list[str]:

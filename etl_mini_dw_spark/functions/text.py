@@ -303,7 +303,7 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.expr("array()"))
         .alias("bg"),
-    )
+    ).localCheckpoint(eager=False)  # bg referenced 3× below; stop projection collapse
     n_t = F.col("n_tokens").cast("double")
     n_bg = F.size("bg").cast("double")
     return staged.select(

@@ -441,3 +441,140 @@ WHERE CAST(CAST(c_acctbal AS DECIMAL(14,2)) AS DOUBLE) > avg_bal
                     AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
 GROUP BY 1
 """
+
+
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-shaped: pure predicate aggregate — no join at all.
+
+    Exists to prove the scan-level machinery: all three conjuncts
+    (shipdate range, discount band, quantity cap) push into the parquet
+    reader as ``PushedFilters`` and the plan is a single
+    whole-stage-codegen scan→partial-agg→1-row exchange. At 100 TB this
+    is the shape where pushdown is the entire game: the date range
+    prunes partitions, the row-group stats skip most of the rest.
+    Discount band compares exact DECIMAL(4,2) on both engines (the data
+    is exact 2-decimal; a double BETWEEN would be representation-
+    dependent at the band edges).
+    """
+    li = typed_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(
+                F.lit("0.05").cast("decimal(4,2)"), F.lit("0.07").cast("decimal(4,2)")
+            )
+            & (F.col("l_quantity") < F.lit(24).cast("decimal(12,2)"))
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount"))
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("forecast_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+FORECAST_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+             * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS forecast_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07
+  AND CAST(l_quantity AS DECIMAL(12,2)) < 24
+"""
+
+
+def line_status_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped: conditional (CASE-inside-SUM) counts of high- vs
+    low-priority order lines per lineitem category over a shipdate year.
+
+    The spec query pivots on ``l_shipmode``, which this testdata does not
+    carry (TESTDATA.md); the grouping keys are the available lineitem
+    categoricals (returnflag × linestatus) — the plan shape the query
+    exists to exercise is unchanged: one fact⋈fact equi-join shuffle on
+    orderkey with the date filter pushed to the lineitem scan, then a
+    partial-aggregable CASE-conditional count pair, six groups out.
+    """
+    li = typed_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = typed_table(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+LINE_STATUS_PRIORITY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def bulk_shipping_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-shaped nested semi-join chain: suppliers in one nation who
+    shipped a meaningful volume (>50 units on some part) of 'widget'
+    parts.
+
+    Three nesting levels, each a semi-join (never a fanning-out inner
+    join): part-name filter → lineitem volume aggregate HAVING →
+    distinct supplier keys → supplier probe. The spec query's partsupp
+    availability test has no table here (TESTDATA.md); the lineitem
+    volume HAVING keeps the identical chain shape. At scale: the part
+    probe is a broadcast semi, the volume aggregate shuffles only
+    (partkey, suppkey, qty), and the final semi broadcasts the tiny
+    qualifying-supplier set back against the dimension.
+    """
+    part_keys = (
+        typed_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey")
+    )
+    li = typed_table(spark, sf_dir, "lineitem")
+    qualifying = (
+        li.join(F.broadcast(part_keys), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > F.lit(50).cast("decimal(12,2)"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supplier = typed_table(spark, sf_dir, "supplier")
+    nation = typed_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    return (
+        supplier.join(
+            F.broadcast(qualifying), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+BULK_SHIPPING_SUPPLIERS_SQL = """
+SELECT s_suppkey, s_name FROM supplier
+JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+  GROUP BY l_partkey, l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 50)
+ORDER BY s_name
+"""

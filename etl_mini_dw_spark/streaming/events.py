@@ -131,17 +131,22 @@ FROM s GROUP BY user_id, session_seq
 
 
 def topk_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-K users by total event value (A4 + window top-k + O2)."""
+    """Top-K users by total event value (A4 + window top-k + O2).
+
+    ``orderBy().limit(K)`` compiles to TakeOrderedAndProject: each
+    partition keeps its local top K, the driver merges K×partitions
+    rows — no single-partition Exchange of the full per-user aggregate
+    (|users| rows; hundreds of millions at 100 TB). ``rank`` is derived
+    AFTER the limit, so the row_number window only ever sorts K rows.
+    """
     ev = typed_table(spark, sf_dir, "events")
     totals = ev.groupBy("user_id").agg(
         F.sum("value").cast("decimal(38,2)").cast("double").alias("total_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    top = totals.orderBy(F.col("total_value").desc(), F.col("user_id")).limit(TOP_K_USERS)
     w = Window.orderBy(F.col("total_value").desc(), F.col("user_id"))
-    return (
-        totals.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= TOP_K_USERS)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 TOPK_USERS_SQL = f"""
