@@ -558,6 +558,13 @@ _register(
     classic.BULK_SHIPPING_SUPPLIERS_SQL,
 )
 
+# --- round 3: training-corpus assembly (chunking / packing / mixing) --------
+from etl_mini_dw_spark.functions import corpus
+
+_register("ext_doc_chunks", corpus.doc_chunks, corpus.DOC_CHUNKS_SQL)
+_register("ext_sequence_packing", corpus.sequence_packing, corpus.SEQUENCE_PACKING_SQL)
+_register("ext_mixture_sampling", corpus.mixture_sampling, corpus.MIXTURE_SAMPLING_SQL)
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). Rounds 1–2 proved the §2
