@@ -161,11 +161,18 @@ def mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle plus a map-side probe, regardless of corpus size. Output is
     the per-source mixing report (threshold, docs/tokens kept).
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.size(_tokens_col()).cast("bigint").alias("n_tokens"),
-        _hash_col().alias("h"),
+    # one corpus pass: the per-doc token counts feed three consumers
+    # (per-source mass, the global total, the kept-side filter) — stage
+    # them once instead of re-running the regex extraction per consumer
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(_tokens_col()).cast("bigint").alias("n_tokens"),
+            _hash_col().alias("h"),
+        )
+        .localCheckpoint(eager=False)
     )
     ppm = (
         F.when(F.col("source").isin(*FAVORED_SOURCES), F.lit(FAVORED_PPM))
@@ -200,7 +207,7 @@ def mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        thresholds.join(kept, "source", "left")
+        thresholds.join(F.broadcast(kept), "source", "left")
         .select(
             "source",
             "source_docs",

@@ -319,3 +319,114 @@ WHERE round({_DOT_SQL.format(a="a.embedding", b="b.embedding")}
 """
     inner = NEARDUP_COMPONENTS_SQL.format(pairs=pairs)
     return f"SELECT doc_id AS vec_id, component FROM ({inner})"
+
+
+# --- int8 scalar quantization + integer-exact quantized ANN -----------------
+# The memory-side scale lever: 64 float32 dims (256 B) become 64 uint8
+# codes (64 B) — 4× more vectors per executor page, integer SIMD
+# scoring, and (because scoring is pure int64 arithmetic) results that
+# are bit-reproducible on any partitioning, unlike float dot products.
+# Production systems re-rank the int8 top-k' with full-precision
+# vectors; the quantized pass below is that first-stage scorer.
+
+QUANT_LO, QUANT_HI = -1.0, 1.0  # fixed clamp range ⇒ codes are data-independent
+QUANT_LEVELS = 255
+
+_CODE = (
+    f"transform({{a}}, v -> CAST(floor((least(greatest(CAST(v AS DOUBLE),"
+    f" {QUANT_LO}), {QUANT_HI}) - {QUANT_LO}) * {QUANT_LEVELS} /"
+    f" ({QUANT_HI} - {QUANT_LO})) AS INT))"
+)
+_CODE_SQL = (
+    f"list_transform({{a}}, v -> CAST(floor((least(greatest(CAST(v AS DOUBLE),"
+    f" {QUANT_LO}), {QUANT_HI}) - {QUANT_LO}) * {QUANT_LEVELS} /"
+    f" ({QUANT_HI} - {QUANT_LO})) AS INT))"
+)
+# centered integer dot product: (a-128)·(b-128), pure int64 — no float anywhere
+_QDOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST((x - 128) * (y - 128) AS BIGINT)),"
+    " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+_QDOT_SQL = (
+    "list_sum(list_transform(range(1, 65),"
+    " i -> CAST(({a}[i] - 128) * ({b}[i] - 128) AS BIGINT)))"
+)
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization report: code digest + integer stats.
+
+    Map-only (no shuffle); the md5 code signature is what a codebook
+    registry would key on to detect quantizer drift between pipeline
+    versions.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    staged = emb.select(
+        "vec_id", F.expr(_CODE.format(a="embedding")).alias("codes")
+    ).localCheckpoint(eager=False)  # codes referenced 4× below
+    return staged.select(
+        "vec_id",
+        F.size("codes").alias("n_dims"),
+        F.expr("aggregate(codes, CAST(0 AS BIGINT), (acc, v) -> acc + v)").alias(
+            "code_sum"
+        ),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+        F.md5(F.concat_ws(" ", "codes")).alias("code_sig"),
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = f"""
+WITH c AS (SELECT vec_id, {_CODE_SQL.format(a="embedding")} AS codes FROM embeddings)
+SELECT vec_id,
+       CAST(len(codes) AS INT) AS n_dims,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       CAST(list_min(codes) AS INT) AS code_min,
+       CAST(list_max(codes) AS INT) AS code_max,
+       md5(array_to_string(codes, ' ')) AS code_sig
+FROM c
+"""
+
+
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-stage quantized ANN: top-k by centered int8 dot product.
+
+    Same query/candidate shape as ``ann_bruteforce_topk`` but the score
+    is exact int64 arithmetic over the staged uint8 codes — the scan
+    side carries 64 B/vector instead of 256 B, and there is no float
+    operation anywhere in the scoring path.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = emb.select(
+        "vec_id", F.expr(_CODE.format(a="embedding")).alias("codes")
+    ).localCheckpoint(eager=False)  # quantize each side once, not per pair
+    q = coded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("qc")
+    )
+    c = coded.select(F.col("vec_id").alias("cand_id"), F.col("codes").alias("cc"))
+    w = Window.partitionBy("query_id").orderBy(F.col("qdot").desc(), F.col("cand_id"))
+    return (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("qdot", F.expr(_QDOT.format(a="qc", b="cc")))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "qdot", "rank")
+    )
+
+
+ANN_INT8_SQL = f"""
+WITH coded AS (SELECT vec_id, {_CODE_SQL.format(a="embedding")} AS codes FROM embeddings),
+q AS (SELECT vec_id AS query_id, codes AS qc FROM coded WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cand_id, codes AS cc FROM coded),
+scored AS (
+  SELECT query_id, cand_id,
+         CAST({_QDOT_SQL.format(a="qc", b="cc")} AS BIGINT) AS qdot
+  FROM q, c WHERE query_id <> cand_id
+)
+SELECT query_id, cand_id, qdot, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY qdot DESC, cand_id) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+"""

@@ -565,6 +565,26 @@ _register("ext_doc_chunks", corpus.doc_chunks, corpus.DOC_CHUNKS_SQL)
 _register("ext_sequence_packing", corpus.sequence_packing, corpus.SEQUENCE_PACKING_SQL)
 _register("ext_mixture_sampling", corpus.mixture_sampling, corpus.MIXTURE_SAMPLING_SQL)
 
+# --- round 3: int8 quantization + integer-exact quantized ANN ---------------
+_register(
+    "ext_embedding_quantize", simsearch.embedding_quantize, simsearch.EMBEDDING_QUANTIZE_SQL
+)
+_register("ext_ann_int8_topk", simsearch.ann_int8_topk, simsearch.ANN_INT8_SQL)
+
+# --- round 3: incremental aggregate maintenance through the MERGE seam ------
+from etl_mini_dw_spark.plans import incremental
+
+_register(
+    "ext_incremental_rollup",
+    incremental.incremental_monthly_rollup,
+    incremental.INCREMENTAL_ROLLUP_SQL,
+)
+_register(
+    "ext_streaming_merge_totals",
+    ev.streaming_merge_user_totals,
+    ev.STREAMING_MERGE_TOTALS_SQL,
+)
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). Rounds 1–2 proved the §2

@@ -465,3 +465,62 @@ JOIN (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) p
 WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 GROUP BY 1
 """
+
+
+def streaming_merge_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE sink: update-mode per-user totals upserted into a
+    warehouse table through the store seam, micro-batch by micro-batch.
+
+    The canonical streaming-upsert topology: each micro-batch of an
+    update-mode aggregation carries only the users whose totals CHANGED,
+    and ``foreachBatch`` applies them as a keyed MERGE
+    (``etl/store.py::merge_upsert`` — on a Delta backend the identical
+    call is a commit-log ``MERGE INTO``). The maintained table always
+    holds the latest total per user; no result row passes through the
+    driver. Per-user aggregation state is watermark-free (unbounded) in
+    this bounded-replay demo — production keys state by (user, window)
+    with a watermark, or sets a state TTL.
+    """
+    _ensure_session_confs(spark)
+    import tempfile
+
+    from etl_mini_dw_spark.etl.store import ParquetStore
+
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("value", F.col("value").cast("decimal(14,2)"))
+    )
+    totals = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").cast("decimal(38,2)").cast("double").alias("total_value"),
+    )
+    store = ParquetStore(tempfile.mkdtemp(prefix="stream_merge_store_"))
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_merge_ckpt_")
+
+    def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        # update mode ⇒ the batch holds only changed users; MERGE them over
+        store.merge_upsert(spark, batch_df, "user_totals", keys=["user_id"])
+
+    q = (
+        totals.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(_merge_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return store.read(spark, "user_totals")
+
+
+STREAMING_MERGE_TOTALS_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+"""

@@ -101,3 +101,49 @@ def test_window_battery_single_shuffle(spark, sf_dir):
     plan = _plan(olap.order_window_battery(spark, sf_dir))
     assert plan.count("Exchange") <= 2, plan[:3000]  # 1 shuffle (+AQE read)
     assert "Window" in plan
+
+
+def test_topk_users_is_take_ordered(spark, sf_dir):
+    """Global top-k must compile to TakeOrderedAndProject (per-partition
+    top-K, driver merges K×partitions rows) — NOT a row_number window over
+    a single-partition Exchange of the full per-user aggregate."""
+    from etl_mini_dw_spark.streaming import events as ev
+
+    plan = _plan(ev.topk_users_by_value(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    # the one sort of ALL users a global window would force must be gone:
+    # any SinglePartition exchange may only carry the K-row result
+    assert "Exchange SinglePartition" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_forecast_revenue_full_pushdown(spark, sf_dir):
+    """Q6 shape exists to prove scan machinery: all three predicates reach
+    the parquet reader and the scan reads only the needed columns."""
+    from etl_mini_dw_spark.plans import classic
+
+    plan = _plan(classic.forecast_revenue_change(spark, sf_dir))
+    pushed = plan.split("PushedFilters: ")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed, pushed
+    read = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" not in read and "l_returnflag" not in read, read
+    assert "Join" not in plan
+
+
+def test_bulk_shipping_semis_broadcast(spark, sf_dir):
+    """Q20's nested chain: every semi-join level broadcasts its small side;
+    the only shuffle is the per-(part,supp) volume aggregate."""
+    from etl_mini_dw_spark.plans import classic
+
+    plan = _plan(classic.bulk_shipping_suppliers(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_mixture_thresholds_broadcast_back(spark, sf_dir):
+    """The 20-row per-source threshold frame must probe the corpus via a
+    broadcast join — the corpus side must never shuffle on source."""
+    from etl_mini_dw_spark.functions import corpus
+
+    plan = _plan(corpus.mixture_sampling(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan
