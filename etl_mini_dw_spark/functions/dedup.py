@@ -631,3 +631,44 @@ FROM reach GROUP BY node
 
 def neardup_components_sql() -> str:
     return NEARDUP_COMPONENTS_SQL.format(pairs=f"SELECT doc_a, doc_b FROM ({NGRAM_JACCARD_SQL})")
+
+
+def neardup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision: one keep/drop flag per document.
+
+    The operator a training pipeline actually runs: label every doc with
+    its near-dup component (singletons keep their own id), then keep the
+    best representative per component — longest text wins, ties broken by
+    lowest doc_id. The ranking window partitions by component, whose size
+    is bounded by cluster width, so no global sort at any scale; the
+    component labels come from the shared min-label-propagation loop.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    comp = neardup_components(spark, sf_dir)
+    labeled = docs.join(comp, "doc_id", "left").withColumn(
+        "component", F.coalesce("component", F.col("doc_id"))
+    )
+    rank_w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return labeled.select(
+        "doc_id",
+        "component",
+        (F.row_number().over(rank_w) == 1).alias("keep"),
+    )
+
+
+def neardup_keep_canonical_sql() -> str:
+    return f"""
+WITH comp AS ({neardup_components_sql()}),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, component,
+       ROW_NUMBER() OVER (PARTITION BY component
+                          ORDER BY n_chars DESC, doc_id) = 1 AS keep
+FROM labeled
+"""

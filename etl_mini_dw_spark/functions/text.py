@@ -387,3 +387,55 @@ SELECT source,
 FROM documents
 GROUP BY 1, 2
 """
+
+
+TOP_POSTINGS = 50
+POSTINGS_HEAD = 20
+
+
+def token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per-token document frequency, total term
+    frequency, and the head of the sorted posting list.
+
+    The IR/decontamination primitive: two shuffles — (token, doc_id) for
+    per-doc tf, then token for the corpus rollup — both partial-
+    aggregable. Posting lists are capped to the first ``POSTINGS_HEAD``
+    doc_ids (df/total_tf stay exact over ALL postings) so no row grows
+    with corpus size; at 100 TB the full postings would go to a bucketed
+    table keyed by token instead of an in-row array. Token array is
+    checkpointed ahead of the explode (Generate re-evaluation rule).
+    """
+    docs = (
+        fanout_scan(spark, load_table(spark, sf_dir, "documents"))
+        .select("doc_id", F.transform(_tokens(), lambda t: F.lower(t)).alias("toks"))
+        .localCheckpoint(eager=False)
+    )
+    per = (
+        docs.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    agg = per.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTINGS_HEAD).alias(
+            "postings_head"
+        ),
+    )
+    return agg.orderBy(F.col("df").desc(), "token").limit(TOP_POSTINGS)
+
+
+TOKEN_POSTINGS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lower(unnest(regexp_extract_all(text, '{TOKEN_RE}'))) AS token
+  FROM documents
+),
+per AS (SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+         (list_sort(list(doc_id)))[1:{POSTINGS_HEAD}] AS postings_head
+  FROM per GROUP BY 1
+)
+SELECT token, df, total_tf, postings_head
+FROM agg ORDER BY df DESC, token LIMIT {TOP_POSTINGS}
+"""

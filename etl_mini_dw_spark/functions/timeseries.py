@@ -1,0 +1,189 @@
+"""Per-entity time-series feature operators over the events stream.
+
+Extension family (SURVEY §2.13 has no reference counterpart): the
+feature-engineering shapes a training pipeline derives from raw event
+logs — rolling-window aggregates, bounded-lag EWMA, and hourly
+resampling with forward fill. All expressed with built-in window
+functions on ONE shuffle per query (partitionBy user_id), no UDFs.
+
+Scale notes (100 TB): every window here partitions by ``user_id`` —
+state per task is bounded by one user's history slice, never global.
+The rolling frames are ROWS-bounded (constant memory per row); the
+EWMA is deliberately a *bounded-lag* (8-term) approximation so it
+stays a fixed-size expression instead of an unbounded recursive scan —
+the exact recursive EWMA is not partial-aggregable and would force a
+sequential pass per user; 8 halving terms reproduce the true EWMA to
+2^-8 relative error, exactly, in decimal arithmetic, on any partition
+layout. The gap-fill grid is generated per user between that user's
+own min/max active hour (``sequence`` + ``explode``), so fan-out is
+bounded by span, and the fill is `last(ignorenulls)` over the same
+user partition — one shuffle end-to-end.
+
+Money-math contract: values go through DECIMAL(14,2) before any sum
+(CLAUDE.md invariant), doubles only in the final projection; second
+deltas use integer µs division (`div`), never float division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_mini_dw_spark.sources.tables import typed_table
+
+ROLL_ROWS = 5  # rolling frame: current row + 4 preceding
+EWMA_TERMS = 8  # bounded-lag EWMA depth (2^-8 tail truncation)
+GAPFILL_DAYS = 7  # resample slice: first week of the stream
+
+
+def _vdec():
+    return F.col("value").cast("decimal(14,2)")
+
+
+def rolling_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event rolling features: 5-row sum/avg, lag delta, inter-arrival secs, EWMA-8.
+
+    One shuffle (user_id), one sort (ts, event_id — event_id breaks ts
+    ties for a total order), every frame ROWS-bounded.
+    """
+    ev = typed_table(spark, sf_dir, "events").withColumn(
+        "us", F.expr("unix_micros(ts)")
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = order.rowsBetween(-(ROLL_ROWS - 1), 0)
+    roll_sum = F.sum(_vdec()).over(frame)
+    roll_n = F.count(F.lit(1)).over(frame)
+    prev_v = F.lag(_vdec()).over(order)
+    prev_us = F.lag("us").over(order)
+    # EWMA-8: sum_{k=0..7} value[i-k] * 2^-(k+1), absent lags contribute 0.
+    # Weights are exact DECIMAL(12,8) halvings — partial sums exact, so the
+    # result is identical on any partitioning.
+    ewma = None
+    for k in range(EWMA_TERMS):
+        w = F.lit(0.5 ** (k + 1)).cast("decimal(12,8)")
+        term = F.coalesce(F.lag(_vdec(), k).over(order), F.lit(0).cast("decimal(14,2)")) * w
+        ewma = term if ewma is None else ewma + term
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        roll_sum.cast("double").alias("roll_sum_5"),
+        roll_n.alias("roll_n_5"),
+        (roll_sum.cast("double") / roll_n).alias("roll_avg_5"),
+        (_vdec() - prev_v).cast("double").alias("delta_prev"),
+        F.expr("(us - lag(us) over (partition by user_id order by ts, event_id)) div 1000000").alias(
+            "secs_since_prev"
+        ),
+        ewma.cast("double").alias("ewma8"),
+    )
+
+
+def rolling_user_features_sql() -> str:
+    terms = " + ".join(
+        "COALESCE(LAG(v, %d) OVER wo, CAST(0 AS DECIMAL(14,2))) * CAST(%.8f AS DECIMAL(12,8))"
+        % (k, 0.5 ** (k + 1))
+        for k in range(EWMA_TERMS)
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(value AS DECIMAL(14,2)) AS v,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       CAST(SUM(v) OVER w5 AS DOUBLE) AS roll_sum_5,
+       COUNT(*) OVER w5 AS roll_n_5,
+       CAST(SUM(v) OVER w5 AS DOUBLE) / COUNT(*) OVER w5 AS roll_avg_5,
+       CAST(v - LAG(v) OVER wo AS DOUBLE) AS delta_prev,
+       (us - LAG(us) OVER wo) // 1000000 AS secs_since_prev,
+       CAST({terms} AS DOUBLE) AS ewma8
+FROM ev
+WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+       w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN {ROLL_ROWS - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+def gapfill_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample per user over the stream's first week, forward-filled.
+
+    Grid = ``sequence(user_min_hour, user_max_hour, 1 hour)`` exploded per
+    user (fan-out bounded by a user's active span, ≤168 rows/user for the
+    week slice), left-joined to the per-hour aggregate, then
+    ``last(value, ignorenulls)`` forward fill over the user partition.
+    The week slice is anchored to the GLOBAL min ts via a 1-row aggregate
+    cross join (broadcast — the G2 scalar-subquery pattern), not a literal,
+    so it tracks driver testdata regeneration.
+    """
+    ev = typed_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.date_trunc("hour", F.min("ts")).alias("t0"))
+    sliced = (
+        ev.crossJoin(F.broadcast(anchor))
+        .where(F.col("ts") < F.col("t0") + F.expr(f"INTERVAL {GAPFILL_DAYS} DAYS"))
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+    )
+    # last event per (user, hour): max(struct) — hash-aggregable, deterministic
+    hourly = sliced.groupBy("user_id", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.struct("ts", "event_id", _vdec().alias("v"))).alias("last_ev"),
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    fill_w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+    return joined.select(
+        "user_id",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last(F.col("last_ev.v"), ignorenulls=True).over(fill_w).cast("double").alias("filled_value"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
+
+
+GAPFILL_SQL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CAST(value AS DECIMAL(14,2)) AS v
+  FROM events
+),
+anchor AS (SELECT date_trunc('hour', MIN(ts)) AS t0 FROM ev),
+sliced AS (
+  SELECT ev.*, date_trunc('hour', ts) AS hour
+  FROM ev, anchor WHERE ts < t0 + INTERVAL {GAPFILL_DAYS} DAYS
+),
+ranked AS (
+  SELECT user_id, hour, v,
+         ROW_NUMBER() OVER (PARTITION BY user_id, hour
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, hour) AS n_in_hour
+  FROM sliced
+),
+hourly AS (
+  SELECT user_id, hour, n_in_hour AS n_events, v AS last_v
+  FROM ranked WHERE rn = 1
+),
+spans AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM spans
+)
+SELECT g.user_id,
+       strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS hour_s,
+       COALESCE(h.n_events, 0) AS n_events,
+       CAST(last_value(h.last_v IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_value,
+       h.n_events IS NULL AS is_gap
+FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+"""

@@ -1,0 +1,146 @@
+"""Storage-layout operators: Z-order clustering + zone maps, and an
+exact table profiler.
+
+Data-skipping is the other half of the 100 TB story: scan pruning only
+works if the data LAYOUT co-locates related rows so file-level min/max
+stats (zone maps) are tight. ``zorder_zonemap`` computes the standard
+bit-interleaved Z-value over two join/filter keys, assigns rows to
+fixed-width Z-ranges ("files"), and emits the per-range zone map — the
+min/max spread per bin is exactly what a reader's skipping predicate
+sees. Everything is integer bit arithmetic (map-only after a 1-row
+bounds broadcast), so the binning is reproducible on any partitioning;
+at production scale the same Z-key feeds ``repartitionByRange(zkey)``
++ sorted parquet writes, and the zone map comes free from the footer
+stats.
+
+``table_profile`` is the stats-collection pass (ANALYZE): one aggregate
+over the table computing per-column row/null/distinct counts and
+min/max. Exact COUNT(DISTINCT) is used here because the oracle gate
+demands bit-equality; the multi-distinct Expand multiplies scan rows by
+the column count, so at 100 TB you would swap each to
+``approx_count_distinct`` (HLL, one pass, partial-aggregable) — the
+plan shape is otherwise identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_mini_dw_spark.sources.tables import typed_source_sql, typed_table
+
+Z_BITS = 16
+Z_BINS = 64
+
+# Shared Spark-SQL / DuckDB bit-interleave expression over columns x, y
+# (low Z_BITS bits of each; production would rank-normalize keys first —
+# the testdata keys are dense from 1 so the mask is the identity here).
+_Z_EXPR = " | ".join(
+    f"(((x >> {i}) & 1) << {2 * i + 1}) | (((y >> {i}) & 1) << {2 * i})"
+    for i in range(Z_BITS)
+)
+
+
+def zorder_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order lineitem by (l_partkey, l_suppkey) into ``Z_BINS`` ranges
+    and emit each range's zone map (count + per-key min/max)."""
+    li = typed_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % (1 << Z_BITS)).alias("x"),
+        (F.col("l_suppkey") % (1 << Z_BITS)).alias("y"),
+        "l_partkey",
+        "l_suppkey",
+    )
+    z = li.withColumn("zkey", F.expr(_Z_EXPR))
+    bounds = z.agg(F.min("zkey").alias("zmin"), F.max("zkey").alias("zmax"))
+    binned = z.crossJoin(F.broadcast(bounds)).withColumn(
+        "bin",
+        F.expr(f"((zkey - zmin) * {Z_BINS}) div (zmax - zmin + 1)"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("zkey").alias("z_min"),
+        F.max("zkey").alias("z_max"),
+        F.min("l_partkey").alias("partkey_min"),
+        F.max("l_partkey").alias("partkey_max"),
+        F.min("l_suppkey").alias("suppkey_min"),
+        F.max("l_suppkey").alias("suppkey_max"),
+    )
+
+
+ZORDER_ZONEMAP_SQL = f"""
+WITH keyed AS (
+  SELECT l_partkey % {1 << Z_BITS} AS x, l_suppkey % {1 << Z_BITS} AS y,
+         l_partkey, l_suppkey
+  FROM lineitem
+),
+z AS (SELECT *, {_Z_EXPR} AS zkey FROM keyed),
+bounds AS (SELECT MIN(zkey) AS zmin, MAX(zkey) AS zmax FROM z),
+binned AS (
+  SELECT z.*, ((zkey - zmin) * {Z_BINS}) // (zmax - zmin + 1) AS bin
+  FROM z, bounds
+)
+SELECT bin, COUNT(*) AS n_rows,
+       MIN(zkey) AS z_min, MAX(zkey) AS z_max,
+       MIN(l_partkey) AS partkey_min, MAX(l_partkey) AS partkey_max,
+       MIN(l_suppkey) AS suppkey_min, MAX(l_suppkey) AS suppkey_max
+FROM binned GROUP BY bin
+"""
+
+
+PROFILE_COLS = [
+    "l_orderkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_returnflag",
+]
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column profile of lineitem: rows, nulls, distincts,
+    min/max (as strings, one long-format row per column)."""
+    li = typed_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__min, {c}__max" for c in PROFILE_COLS
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(PROFILE_COLS)}, {stack_args})"
+        " as (column_name, n_nonnull, n_distinct, min_s, max_s)",
+    ).select(
+        "column_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_nonnull")).alias("n_nulls"),
+        "n_distinct",
+        "min_s",
+        "max_s",
+    )
+
+
+def table_profile_sql() -> str:
+    per = []
+    for c in PROFILE_COLS:
+        per.append(
+            f"COUNT({c}) AS {c}__nn, COUNT(DISTINCT {c}) AS {c}__nd,"
+            f" CAST(MIN({c}) AS VARCHAR) AS {c}__min, CAST(MAX({c}) AS VARCHAR) AS {c}__max"
+        )
+    rows = []
+    for c in PROFILE_COLS:
+        rows.append(
+            f"SELECT '{c}' AS column_name, n_rows, n_rows - {c}__nn AS n_nulls,"
+            f" {c}__nd AS n_distinct, {c}__min AS min_s, {c}__max AS max_s FROM a"
+        )
+    return f"""
+WITH li AS ({typed_source_sql("lineitem")}),
+a AS (SELECT COUNT(*) AS n_rows, {", ".join(per)} FROM li)
+{" UNION ALL ".join(rows)}
+"""

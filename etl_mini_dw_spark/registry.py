@@ -585,6 +585,26 @@ _register(
     ev.STREAMING_MERGE_TOTALS_SQL,
 )
 
+# --- round 3: time-series features, dedup decisions, inverted index,
+# --- storage layout (Z-order zone maps) and exact table profiling -----------
+from etl_mini_dw_spark.functions import timeseries
+from etl_mini_dw_spark.plans import layout
+
+_register(
+    "ext_rolling_user_features",
+    timeseries.rolling_user_features,
+    timeseries.rolling_user_features_sql(),
+)
+_register("ext_events_gapfill", timeseries.gapfill_user_hourly, timeseries.GAPFILL_SQL)
+_register(
+    "ext_neardup_keep_canonical",
+    dedup.neardup_keep_canonical,
+    dedup.neardup_keep_canonical_sql(),
+)
+_register("ext_token_postings", text.token_postings, text.TOKEN_POSTINGS_SQL)
+_register("ext_zorder_zonemap", layout.zorder_zonemap, layout.ZORDER_ZONEMAP_SQL)
+_register("ext_table_profile", layout.table_profile, layout.table_profile_sql())
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). Rounds 1–2 proved the §2
