@@ -132,6 +132,58 @@ class ParquetStore:
         ):
             shutil.rmtree(leftover, ignore_errors=True)
 
+    def data_files(self, name: str) -> list[str]:
+        """Paths of the table's parquet data files (recursing into
+        partition dirs; dot-prefixed swap dirs are invisible by glob)."""
+        self._recover(name)
+        final = self.path(name)
+        return sorted(
+            f
+            for f in glob.glob(os.path.join(final, "**", "*.parquet"), recursive=True)
+            if "._old" not in f and "._tmp" not in f
+        )
+
+    def compact(
+        self, spark: SparkSession, name: str, target_file_bytes: int = 128 * 2**20
+    ) -> tuple[int, int]:
+        """Small-file compaction: rewrite the table into
+        ``ceil(total_bytes / target_file_bytes)`` files via ``coalesce``
+        (no shuffle — coalesce only glues scan splits together) and the
+        same atomic swap as ``write``. Returns (files_before, files_after).
+
+        The 100 TB operational reality this serves: streaming sinks and
+        per-batch MERGEs accrete thousands of KB-scale files per table,
+        and scan cost becomes file-open-bound. Production (Delta
+        ``OPTIMIZE``) bin-packs per partition with a commit log;
+        this is the same rewrite with directory-swap atomicity. No-op
+        (zero rewrite cost) when the table already meets the target.
+        """
+        files = self.data_files(name)
+        total = sum(os.path.getsize(f) for f in files)
+        n_target = max(1, -(-total // target_file_bytes))
+        if n_target >= len(files):
+            return (len(files), len(files))
+        # post-state must be materialized before the swap unlinks its input
+        post = self.read(spark, name).coalesce(n_target).localCheckpoint()
+        self.write(post, name)
+        return (len(files), len(self.data_files(name)))
+
+    def write_clustered(
+        self, df: DataFrame, name: str, cluster_by: list[str], n_files: int
+    ) -> None:
+        """Clustered write: range-partition on ``cluster_by`` into
+        ``n_files`` output files, sorted within each — the production
+        Z-order/data-skipping write path. Each file's footer min/max on
+        the cluster columns is tight and files are pairwise ~disjoint,
+        so a reader's skip predicate prunes whole files
+        (``plans/layout.py`` computes the resulting zone map).
+        repartitionByRange samples the keys for balanced bounds — one
+        shuffle, no global sort."""
+        out = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+        self.write(out, name)
+
     def merge_upsert(
         self, spark: SparkSession, df: DataFrame, name: str, keys: list[str]
     ) -> None:
@@ -216,6 +268,23 @@ class DeltaStore(ParquetStore):
             .option("replaceWhere", f"{partition_col} IN ({in_list})")
             .save(self.path(name))
         )
+
+    def compact(
+        self, spark: SparkSession, name: str, target_file_bytes: int = 128 * 2**20
+    ) -> tuple[int, int]:
+        """Delta bin-packing compaction: one OPTIMIZE commit, readers
+        never see a partial rewrite and concurrent appends conflict-check
+        against the commit log instead of racing a directory rename."""
+        from delta.tables import DeltaTable
+        from pyspark.sql import functions as F
+
+        def snapshot_files() -> int:  # on-disk files include pre-VACUUM history
+            return self.read(spark, name).select(F.input_file_name()).distinct().count()
+
+        before = snapshot_files()
+        spark.conf.set("spark.databricks.delta.optimize.maxFileSize", str(target_file_bytes))
+        DeltaTable.forPath(spark, self.path(name)).optimize().executeCompaction()
+        return (before, snapshot_files())
 
     def merge_upsert(
         self, spark: SparkSession, df: DataFrame, name: str, keys: list[str]

@@ -524,3 +524,100 @@ SELECT user_id, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY user_id
 """
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode streaming ``session_window`` sessions per user.
+
+    The stateful-session topology: gap-merged session state per
+    (user, session), watermark-driven eviction — a session row is
+    EMITTED (appended to the sink, exactly once) only when the event-time
+    watermark passes its end, i.e. no future event can extend it. This is
+    the only correct way to stream sessions: complete mode would pin
+    every session in state forever. The oracle mirrors the closure rule
+    explicitly: lag-based sessions (half-open ``>=`` gap boundary, the
+    session_window convention) filtered to those whose window end is
+    under the final watermark ``floor_ms(max ts) - delay`` — so the
+    eviction semantics themselves are value-checked, not just the sums.
+    At scale: state is bounded by (active users × open sessions within
+    the watermark horizon); swap the file source for Kafka unchanged.
+    """
+    _ensure_session_confs(spark)
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .transform(events_ts_to_timestamp)
+        .withColumn("value", F.col("value").cast("decimal(14,2)"))
+    )
+    sess = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").cast("decimal(38,2)").cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_session_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_session_ckpt_")
+
+    def _append_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        # append mode ⇒ each batch carries only newly-closed sessions
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        sess.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(_append_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.schema(sess.schema).parquet(out_dir)
+
+
+STREAMING_SESSION_SQL = f"""
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                  CAST(value AS DECIMAL(14,2)) AS v FROM events),
+wm AS (SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 10 MINUTE AS w FROM e),
+g AS (
+  SELECT user_id, ts, v,
+         CASE WHEN lag(ts) OVER win IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER win) >= {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+),
+sess AS (
+  SELECT user_id,
+         MIN(ts) AS session_start_ts,
+         MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end_ts,
+         COUNT(*) AS n_events,
+         CAST(SUM(v) AS DOUBLE) AS total_value
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id,
+       strftime(session_start_ts, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(session_end_ts, '%Y-%m-%d %H:%M:%S') AS session_end,
+       n_events, total_value
+FROM sess, wm
+WHERE session_end_ts < w
+"""

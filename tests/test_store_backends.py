@@ -87,3 +87,44 @@ def test_warehouse_on_delta_backend(spark, sf_dir, tmp_path):
     wh.init()
     wh.run_all()
     assert wh.missing_tables() == []
+
+
+def test_compact_reduces_files_and_preserves_values(spark, store):
+    df = spark.range(10_000).selectExpr(
+        "cast(id as int) k", "cast(id % 7 as string) grp", "cast(id as double) v"
+    )
+    store.write(df.repartition(40), "t")
+    assert len(store.data_files("t")) == 40
+    before, after = store.compact(spark, "t", target_file_bytes=256 * 2**20)
+    assert before == 40 and after < 5
+    got = store.read(spark, "t")
+    assert got.count() == 10_000
+    assert got.selectExpr("sum(v)").first()[0] == sum(range(10_000))
+
+
+def test_compact_noop_when_already_compact(spark, store):
+    store.write(spark.range(100).selectExpr("id k").coalesce(1), "t")
+    before, after = store.compact(spark, "t")
+    assert (before, after) == (1, 1)
+
+
+def test_write_clustered_files_are_disjoint_on_cluster_key(spark, store):
+    import pyarrow.parquet as pq
+
+    df = spark.range(50_000).selectExpr("cast(id * 37 % 50000 as bigint) ck", "id v")
+    store.write_clustered(df, "t", ["ck"], n_files=8)
+    files = store.data_files("t")
+    assert len(files) == 8
+    # footer min/max per file — the zone map a skipping reader prunes on
+    ranges = []
+    total = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        lo = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        total += md.num_rows
+        ranges.append((lo, hi))
+    assert total == 50_000
+    ranges.sort()
+    for (_, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b  # pairwise disjoint ⇒ any point predicate hits ONE file
