@@ -1,0 +1,147 @@
+"""Behavioral event analytics: ordered funnels and cohort retention.
+
+The two canonical product-analytics shapes over an event log, expressed
+so each is ONE shuffle on ``user_id`` plus a tiny rollup:
+
+- **Funnel** (view → click → purchase, strictly ordered, 24 h budget):
+  per-user step timestamps are conditional MINs computed with
+  partition-only windows (no ORDER BY ⇒ no sort — the whole-partition
+  frame), chained selects so step N's predicate can reference step
+  N-1's timestamp. All three Window operators share one Exchange on
+  user_id; the final stage rollup is a 1-row aggregate → ``stack``.
+- **Cohort retention**: cohort = day of the user's first event;
+  activity offsets in days; distinct active users per (cohort, offset).
+  groupBy user (first event) + join back on the same key, then the
+  (cohort, offset) rollup — partial-aggregable end to end.
+
+At 100 TB both keep state bounded per user slice; no global sort, no
+driver materialization. Oracle mirrors are plain join-chain SQL — same
+values, any plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_mini_dw_spark.sources.tables import typed_table
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_BUDGET_HOURS = 24
+
+
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered 3-step funnel with a 24 h completion budget.
+
+    Step semantics: first view; first click strictly after that view;
+    first purchase strictly after that click — each step within
+    ``FUNNEL_BUDGET_HOURS`` of the first view.
+    """
+    ev = typed_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    u = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "fv", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(u)
+        )
+        .withColumn(
+            "fc",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("fv")),
+                    F.col("ts"),
+                )
+            ).over(u),
+        )
+        .withColumn(
+            "fp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("fc")),
+                    F.col("ts"),
+                )
+            ).over(u),
+        )
+    )
+    budget = F.expr(f"INTERVAL {FUNNEL_BUDGET_HOURS} HOURS")
+    per_user = staged.groupBy("user_id").agg(
+        F.min("fv").alias("fv"), F.min("fc").alias("fc"), F.min("fp").alias("fp")
+    )
+    counts = per_user.agg(
+        F.count("fv").alias("n1"),
+        F.count(F.when(F.col("fc") <= F.col("fv") + budget, 1)).alias("n2"),
+        F.count(
+            F.when(
+                (F.col("fc") <= F.col("fv") + budget)
+                & (F.col("fp") <= F.col("fv") + budget),
+                1,
+            )
+        ).alias("n3"),
+    )
+    return counts.selectExpr(
+        "stack(3, 'view', n1, 'view>click', n2, 'view>click>purchase', n3)"
+        " as (stage, n_users)"
+    )
+
+
+FUNNEL_SQL = f"""
+WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+v AS (SELECT user_id, MIN(ts) AS fv FROM e WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS fc
+  FROM e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.fv
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS fp
+  FROM e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.fc
+  GROUP BY 1
+),
+per AS (
+  SELECT v.user_id, v.fv, c.fc, p.fp
+  FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+),
+counts AS (
+  SELECT COUNT(fv) AS n1,
+         COUNT(CASE WHEN fc <= fv + INTERVAL {FUNNEL_BUDGET_HOURS} HOURS THEN 1 END) AS n2,
+         COUNT(CASE WHEN fc <= fv + INTERVAL {FUNNEL_BUDGET_HOURS} HOURS
+                     AND fp <= fv + INTERVAL {FUNNEL_BUDGET_HOURS} HOURS THEN 1 END) AS n3
+  FROM per
+)
+SELECT 'view' AS stage, n1 AS n_users FROM counts
+UNION ALL SELECT 'view>click', n2 FROM counts
+UNION ALL SELECT 'view>click>purchase', n3 FROM counts
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-cohort retention triangle: users grouped by first-event day,
+    distinct active users at each day offset."""
+    ev = typed_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    cohorts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day", F.datediff("day", "cohort_day").alias("offset_days")
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "offset_days",
+            "n_active_users",
+        )
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+cohorts AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       date_diff('day', cohort_day, day) AS offset_days,
+       COUNT(DISTINCT user_id) AS n_active_users
+FROM e JOIN cohorts USING (user_id)
+GROUP BY cohorts.cohort_day, 2
+"""

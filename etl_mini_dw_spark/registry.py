@@ -610,6 +610,16 @@ _register(
     ev.STREAMING_SESSION_SQL,
 )
 
+# --- round 3: behavioral analytics (ordered funnel, cohort retention) -------
+from etl_mini_dw_spark.plans import behavior
+
+_register(
+    "ext_funnel_view_click_purchase",
+    behavior.funnel_view_click_purchase,
+    behavior.FUNNEL_SQL,
+)
+_register("ext_cohort_retention", behavior.cohort_retention, behavior.COHORT_RETENTION_SQL)
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). Rounds 1–2 proved the §2
