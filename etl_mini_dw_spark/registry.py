@@ -620,6 +620,15 @@ _register(
 )
 _register("ext_cohort_retention", behavior.cohort_retention, behavior.COHORT_RETENTION_SQL)
 
+# --- round 3: snapshot-diff CDC (reverse change-data-capture) ---------------
+from etl_mini_dw_spark.fixtures_spec import DIMS as _CDC_DIMS
+
+_register(
+    "ext_snapshot_cdc_customer",
+    lambda spark, sf_dir: staging.snapshot_cdc(spark, sf_dir, _CDC_DIMS["customer"]),
+    staging.snapshot_cdc_sql(_CDC_DIMS["customer"]),
+)
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). Rounds 1–2 proved the §2

@@ -190,3 +190,75 @@ def current_snapshot(
     """S3 view: NKs currently live in the source (delete detection input)."""
     v = src_versions_as_of(spark, sf_dir, dim, as_of)
     return v.filter(F.col("valid_to") > _ts(HIGH_GUARD)).select(F.col("k").alias(dim.nk))
+
+
+CDC_T1 = "1994-01-05 00:00:00"  # EPOCH1 + 4 days: mid-birth instant so the
+# diff below exercises ALL THREE change classes (see snapshot_cdc)
+
+
+def snapshot_cdc(spark: SparkSession, sf_dir: str, dim: DimSpec) -> DataFrame:
+    """Snapshot-diff CDC: classify every natural key as INSERT / UPDATE /
+    DELETE between the live source image at ``CDC_T1`` and the present.
+
+    The reverse-CDC operator a warehouse needs when a source system
+    exposes only snapshots (no change log): full outer join of the two
+    live images on the NK, null-safe column comparison (F5's ``<=>``)
+    for UPDATE detection, unchanged keys dropped. One shuffle on the NK;
+    at 100 TB both sides are scan-pruned to live rows before the join
+    and the diff cost is ∝ |keys|, not |history|.
+    """
+    v = src_versions(spark, sf_dir, dim)
+    attrs = [c for c in v.columns if c not in ("valid_from", "valid_to", "from_archive")]
+    t1 = _ts(CDC_T1)
+    old = v.filter((F.col("valid_from") <= t1) & (F.col("valid_to") > t1)).select(
+        *[F.col(c).alias(f"old_{c}") for c in attrs]
+    )
+    new = v.filter(F.col("valid_to") > _ts(HIGH_GUARD)).select(
+        *[F.col(c).alias(f"new_{c}") for c in attrs]
+    )
+    joined = old.join(new, old.old_k == new.new_k, "full_outer")
+    any_change = None
+    for c in attrs:
+        if c == "k":
+            continue
+        diff = ~(F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")))
+        any_change = diff if any_change is None else (any_change | diff)
+    change_type = (
+        F.when(F.col("old_k").isNull(), "INSERT")
+        .when(F.col("new_k").isNull(), "DELETE")
+        .when(any_change, "UPDATE")
+    )
+    return (
+        joined.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            F.coalesce("old_k", "new_k").alias("k"),
+            "change_type",
+            F.col("old_name"),
+            F.col("new_name"),
+        )
+    )
+
+
+def snapshot_cdc_sql(dim: DimSpec) -> str:
+    from etl_mini_dw_spark.oracle.fixture_sql import versions_sql
+
+    return f"""
+WITH v AS ({versions_sql(dim)}),
+old AS (
+  SELECT * FROM v
+  WHERE valid_from <= TIMESTAMP '{CDC_T1}' AND valid_to > TIMESTAMP '{CDC_T1}'
+),
+new AS (SELECT * FROM v WHERE valid_to > TIMESTAMP '{HIGH_GUARD}'),
+joined AS (
+  SELECT old.k AS old_k, new.k AS new_k, old.name AS old_name, new.name AS new_name,
+         CASE WHEN old.k IS NULL THEN 'INSERT'
+              WHEN new.k IS NULL THEN 'DELETE'
+              WHEN old.name IS DISTINCT FROM new.name
+                {"OR old.main_sellerid IS DISTINCT FROM new.main_sellerid OR old.category_name IS DISTINCT FROM new.category_name" if dim.source == "customer" else ""}
+              THEN 'UPDATE' END AS change_type
+  FROM old FULL OUTER JOIN new ON old.k = new.k
+)
+SELECT COALESCE(old_k, new_k) AS k, change_type, old_name, new_name
+FROM joined WHERE change_type IS NOT NULL
+"""
