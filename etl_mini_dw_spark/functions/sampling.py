@@ -201,3 +201,39 @@ SELECT doc_id,
                           '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_sig
 FROM a
 """
+
+
+RESERVOIR_K = 10
+
+
+def reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k per-stratum sample — a "reservoir" with the
+    randomness replaced by the multiplicative hash, so membership is a
+    pure function of doc_id (re-runs and backfills agree).
+
+    Unlike fraction-based ``stratified_sample`` this guarantees EXACTLY
+    ``RESERVOIR_K`` docs per source (when the stratum is big enough) —
+    the balanced-eval-set builder. Rank window partitions by source
+    (bounded state, no global sort); ties broken by doc_id for a total
+    order. At 100 TB the per-stratum top-k would use the two-level
+    top-k shape instead of a full rank: same output, partial-aggregable.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(_hash_col(), "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select("source", "doc_id", "rk")
+    )
+
+
+RESERVOIR_SQL = f"""
+SELECT source, doc_id, rk FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY {_HASH_SQL}, doc_id) AS rk
+  FROM documents
+) WHERE rk <= {RESERVOIR_K}
+"""

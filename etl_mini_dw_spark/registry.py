@@ -605,6 +605,7 @@ _register("ext_token_postings", text.token_postings, text.TOKEN_POSTINGS_SQL)
 _register("ext_zorder_zonemap", layout.zorder_zonemap, layout.ZORDER_ZONEMAP_SQL)
 _register("ext_table_profile", layout.table_profile, layout.table_profile_sql())
 _register("ext_equidepth_histogram", layout.equidepth_histogram, layout.EQUIDEPTH_HIST_SQL)
+_register("ext_reservoir_per_source", sampling.reservoir_per_source, sampling.RESERVOIR_SQL)
 _register(
     "ext_streaming_session_windows",
     ev.streaming_session_windows,
