@@ -145,3 +145,116 @@ SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
 FROM e JOIN cohorts USING (user_id)
 GROUP BY cohorts.cohort_day, 2
 """
+
+
+def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: NEW / RETAINED / RESURRECTED / CHURNED
+    user counts per day.
+
+    Per (user, active-day) distinct frame, then one lag window per user:
+    new = first active day; retained = active yesterday too; resurrected
+    = active before but not yesterday. Churned is attributed to the day
+    AFTER an activity day with no successor (lead-based, so it needs no
+    calendar join). Two shuffles: user window + day rollup — both
+    bounded, no global sort.
+    """
+    ev = typed_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    days = ev.distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    prev = F.lag("day").over(w)
+    nxt = F.lead("day").over(w)
+    labeled = days.select(
+        "user_id",
+        "day",
+        F.when(prev.isNull(), "new")
+        .when(F.datediff("day", prev) == 1, "retained")
+        .otherwise("resurrected")
+        .alias("status"),
+        # churn event: no activity tomorrow → user churns on day+1
+        (nxt.isNull() | (F.datediff(nxt, "day") > 1)).alias("churns_next"),
+    )
+    by_status = (
+        labeled.groupBy("day")
+        .pivot("status", ["new", "retained", "resurrected"])
+        .agg(F.count(F.lit(1)))
+    )
+    churned = (
+        labeled.filter("churns_next")
+        .select(F.date_add("day", 1).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("churned"))
+    )
+    return (
+        by_status.join(churned, "day", "full_outer")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("new", F.lit(0)).alias("n_new"),
+            F.coalesce("retained", F.lit(0)).alias("n_retained"),
+            F.coalesce("resurrected", F.lit(0)).alias("n_resurrected"),
+            F.coalesce("churned", F.lit(0)).alias("n_churned"),
+        )
+    )
+
+
+GROWTH_ACCOUNTING_SQL = """
+WITH e AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events
+),
+labeled AS (
+  SELECT user_id, day,
+         CASE WHEN lag(day) OVER w IS NULL THEN 'new'
+              WHEN date_diff('day', lag(day) OVER w, day) = 1 THEN 'retained'
+              ELSE 'resurrected' END AS status,
+         (lead(day) OVER w IS NULL
+          OR date_diff('day', day, lead(day) OVER w) > 1) AS churns_next
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY day)
+),
+by_status AS (
+  SELECT day,
+         COUNT(CASE WHEN status = 'new' THEN 1 END) AS n_new,
+         COUNT(CASE WHEN status = 'retained' THEN 1 END) AS n_retained,
+         COUNT(CASE WHEN status = 'resurrected' THEN 1 END) AS n_resurrected
+  FROM labeled GROUP BY 1
+),
+churned AS (
+  SELECT day + 1 AS day, COUNT(*) AS n_churned
+  FROM labeled WHERE churns_next GROUP BY 1
+)
+SELECT strftime(COALESCE(b.day, c.day), '%Y-%m-%d') AS day,
+       COALESCE(n_new, 0) AS n_new,
+       COALESCE(n_retained, 0) AS n_retained,
+       COALESCE(n_resurrected, 0) AS n_resurrected,
+       COALESCE(n_churned, 0) AS n_churned
+FROM by_status b FULL OUTER JOIN churned c USING (day)
+"""
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition counts (Markov edge list) per
+    user journey: lag(event_type) over each user's time-ordered stream,
+    then a (from, to) rollup. One user-window shuffle + one pair rollup."""
+    ev = typed_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM e
+)
+SELECT from_type, to_type, COUNT(*) AS n_transitions
+FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2
+"""

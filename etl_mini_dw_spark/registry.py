@@ -621,6 +621,8 @@ _register(
     behavior.FUNNEL_SQL,
 )
 _register("ext_cohort_retention", behavior.cohort_retention, behavior.COHORT_RETENTION_SQL)
+_register("ext_growth_accounting", behavior.growth_accounting, behavior.GROWTH_ACCOUNTING_SQL)
+_register("ext_event_transitions", behavior.event_transitions, behavior.EVENT_TRANSITIONS_SQL)
 
 # --- round 3: snapshot-diff CDC (reverse change-data-capture) ---------------
 from etl_mini_dw_spark.fixtures_spec import DIMS as _CDC_DIMS
