@@ -74,3 +74,15 @@ def read_jsonl(
 
 def write_jsonl(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — columnar like parquet (schema travels in the file, so
+    no DDL needed); predicate pushdown and column pruning apply the
+    same way. The other columnar landing format a warehouse inherits."""
+    _ensure_session_confs(spark)
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)

@@ -49,3 +49,33 @@ def test_csv_corrupt_rows_quarantined(spark, tmp_path):
     assert bad.count() == 1
     # the original line survives for repair/alerting
     assert "not_a_number" in bad.first()[formats.CORRUPT_COL]
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from etl_mini_dw_spark.sources import formats
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, None, None)],
+        "id bigint, s string, v double",
+    )
+    p = str(tmp_path / "t.orc")
+    formats.write_orc(df, p)
+    back = formats.read_orc(spark, p)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_orc_predicate_pushdown_in_plan(spark, tmp_path):
+    import contextlib, io
+
+    from pyspark.sql import functions as F
+
+    from etl_mini_dw_spark.sources import formats
+
+    formats.write_orc(spark.range(1000).selectExpr("id", "id % 7 as k"), str(tmp_path / "t"))
+    q = formats.read_orc(spark, str(tmp_path / "t")).filter(F.col("k") == 3).select("id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    s = buf.getvalue()
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,3)]" in s
