@@ -141,3 +141,30 @@ final AS (
 SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist FROM final WHERE rn = 1
 """
     return sql
+
+
+def kmeans_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook quality report: per-cluster size, exact integer inertia
+    (Σ squared-L2 in quantized units), and mean distance.
+
+    The index-health check an IVF deployment runs after (re)training:
+    skewed sizes mean probe imbalance, inertia drift means the codebook
+    no longer fits the data. Pure rollup over the assignment frame — the
+    integer distances make the inertia bit-exact on any partitioning.
+    """
+    a = kmeans_assign(spark, sf_dir)
+    return a.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("dist").alias("inertia"),
+        (F.sum("dist").cast("double") / F.count(F.lit(1))).alias("mean_dist"),
+    )
+
+
+def kmeans_cluster_quality_sql() -> str:
+    return f"""
+WITH assign AS ({kmeans_assign_sql()})
+SELECT cluster, COUNT(*) AS n_vectors,
+       CAST(SUM(dist) AS BIGINT) AS inertia,
+       CAST(SUM(dist) AS DOUBLE) / COUNT(*) AS mean_dist
+FROM assign GROUP BY cluster
+"""

@@ -607,6 +607,11 @@ _register("ext_table_profile", layout.table_profile, layout.table_profile_sql())
 _register("ext_equidepth_histogram", layout.equidepth_histogram, layout.EQUIDEPTH_HIST_SQL)
 _register("ext_reservoir_per_source", sampling.reservoir_per_source, sampling.RESERVOIR_SQL)
 _register(
+    "ext_kmeans_cluster_quality",
+    cluster.kmeans_cluster_quality,
+    cluster.kmeans_cluster_quality_sql(),
+)
+_register(
     "ext_streaming_session_windows",
     ev.streaming_session_windows,
     ev.STREAMING_SESSION_SQL,
