@@ -439,3 +439,56 @@ agg AS (
 SELECT token, df, total_tf, postings_head
 FROM agg ORDER BY df DESC, token LIMIT {TOP_POSTINGS}
 """
+
+
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics per source: token count, distinct vocabulary,
+    type-token ratio — the Heaps-law corpus signal that flags template/
+    boilerplate sources (tiny vocabulary, huge token count).
+
+    Two partial-aggregable shuffles: (source, token) then source.
+    """
+    docs = (
+        fanout_scan(spark, load_table(spark, sf_dir, "documents"))
+        .select("source", F.transform(_tokens(), lambda t: F.lower(t)).alias("toks"))
+        .localCheckpoint(eager=False)
+    )
+    per = (
+        docs.select("source", F.explode("toks").alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return per.groupBy("source").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_vocab"),
+        (F.count(F.lit(1)).cast("double") / F.sum("tf")).alias("type_token_ratio"),
+    )
+
+
+VOCAB_STATS_SQL = f"""
+WITH tok AS (
+  SELECT source, lower(unnest(regexp_extract_all(text, '{TOKEN_RE}'))) AS token
+  FROM documents
+),
+per AS (SELECT source, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT source, CAST(SUM(tf) AS BIGINT) AS n_tokens, COUNT(*) AS n_vocab,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(tf) AS BIGINT) AS type_token_ratio
+FROM per GROUP BY source
+"""
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier QA: confusion counts of labeled vs predicted language —
+    the acceptance gate before trusting lang-ID for corpus routing."""
+    pred = lang_id(spark, sf_dir)
+    return pred.groupBy(
+        F.col("lang_label"), F.col("lang_pred")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def langid_confusion_sql() -> str:
+    return f"""
+WITH pred AS ({lang_id_sql()})
+SELECT lang_label, lang_pred, COUNT(*) AS n_docs
+FROM pred GROUP BY 1, 2
+"""

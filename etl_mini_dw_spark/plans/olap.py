@@ -323,3 +323,51 @@ SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, o_orderpriority AS prio
 FROM orders
 GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority), (year(o_orderdate)), ())
 """
+
+
+BASKET_TOP = 20
+
+
+def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lite: the top co-occurring part pairs across orders.
+
+    Self-join on l_orderkey with ``a < b`` — fan-out is bounded by
+    (items-per-order choose 2), a per-order constant, never corpus-
+    scale: the same per-container-pair-bound argument as LSH banding.
+    Distinct parts per order first so multi-line items don't inflate
+    pair counts. Top-20 via TakeOrderedAndProject (no global sort).
+    """
+    li = (
+        typed_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(BASKET_TOP)
+    )
+
+
+PART_COOCCURRENCE_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, COUNT(*) AS n_orders
+FROM pairs GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT {BASKET_TOP}
+"""

@@ -611,6 +611,9 @@ _register(
     cluster.kmeans_cluster_quality,
     cluster.kmeans_cluster_quality_sql(),
 )
+_register("ext_vocab_stats", text.vocab_stats, text.VOCAB_STATS_SQL)
+_register("ext_langid_confusion", text.langid_confusion, text.langid_confusion_sql())
+_register("ext_part_cooccurrence", olap.part_cooccurrence, olap.PART_COOCCURRENCE_SQL)
 _register(
     "ext_streaming_session_windows",
     ev.streaming_session_windows,
