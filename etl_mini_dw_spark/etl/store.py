@@ -208,6 +208,25 @@ class ParquetStore:
         # swap renames the generation it is reading from out from under it
         self.write(post.localCheckpoint(), name)
 
+    def delete_keys(
+        self, spark: SparkSession, name: str, keys_df: DataFrame, keys: list[str]
+    ) -> None:
+        """Keyed DELETE (the right-to-be-forgotten seam): remove every row
+        whose key appears in ``keys_df``; everything else survives.
+
+        Parquet path: read-current → anti-join → atomic swap (cost ∝
+        table, same structural limit as ``merge_upsert`` and the same
+        reason production wants the Delta backend, where this call is a
+        commit-log ``DELETE WHERE`` rewriting only matched files). The
+        anti-join broadcasts when the key set is small — the common
+        erasure-request shape.
+        """
+        if not self.exists(name):
+            return
+        current = self.read(spark, name)
+        post = current.join(keys_df.select(*keys).distinct(), keys, "left_anti")
+        self.write(post.localCheckpoint(), name)
+
 
 def delta_available() -> bool:
     """True iff the delta-spark bindings are importable on this classpath."""
@@ -304,6 +323,24 @@ class DeltaStore(ParquetStore):
             .execute()
         )
 
+    def delete_keys(
+        self, spark: SparkSession, name: str, keys_df: DataFrame, keys: list[str]
+    ) -> None:
+        """Commit-log DELETE: rewrites only the files holding matched
+        keys — erasure cost ∝ matches, the 100 TB answer."""
+        if not self.exists(name):
+            return
+        from delta.tables import DeltaTable
+
+        cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+        (
+            DeltaTable.forPath(spark, self.path(name))
+            .alias("t")
+            .merge(keys_df.select(*keys).distinct().alias("s"), cond)
+            .whenMatchedDelete()
+            .execute()
+        )
+
 
 def make_store(base_dir: str, backend: str = "auto") -> ParquetStore:
     """Store factory: ``parquet`` | ``delta`` | ``auto`` (delta if importable)."""
@@ -312,3 +349,36 @@ def make_store(base_dir: str, backend: str = "auto") -> ParquetStore:
     if backend not in ("auto", "parquet"):
         raise ValueError(f"unknown store backend: {backend!r}")
     return ParquetStore(base_dir)
+
+
+class IdempotentForeachBatch:
+    """Exactly-once-effective ``foreachBatch`` wrapper.
+
+    Structured Streaming guarantees at-least-once delivery to
+    ``foreachBatch``: after a restart the last micro-batch is REPLAYED
+    with the same ``batch_id``, and Spark's own docs put the dedup
+    burden on the sink. This wrapper records committed batch ids as
+    marker files; a replayed id is skipped. The marker is written AFTER
+    the wrapped function returns, so the one remaining torn window
+    (crash between apply and marker) re-applies the batch — which is
+    why the wrapped operation should be idempotent by key (a keyed
+    ``merge_upsert`` is): guard + keyed MERGE = exactly-once effect.
+    At scale the marker dir lives next to the checkpoint on the same
+    object store; one tiny file per batch.
+    """
+
+    def __init__(self, commits_dir: str, fn) -> None:
+        self.commits_dir = commits_dir
+        self.fn = fn
+        self.skipped: list[int] = []
+        os.makedirs(commits_dir, exist_ok=True)
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.commits_dir, f"{batch_id}.done")
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(self._marker(batch_id)):
+            self.skipped.append(batch_id)
+            return
+        self.fn(batch_df, batch_id)
+        open(self._marker(batch_id), "w").close()

@@ -86,3 +86,14 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 def write_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
+
+
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read landings whose schemas evolved (columns added over time):
+    ``mergeSchema`` unions the footer schemas, older files yield NULL for
+    later-added columns. The ONLY schema flexibility this seam offers —
+    type CHANGES still fail loudly (by design: silent coercion poisons
+    downstream casts; an evolved landing adds columns, it never mutates
+    them). Merge cost is footer-only, not data."""
+    _ensure_session_confs(spark)
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

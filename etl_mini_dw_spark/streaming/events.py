@@ -506,10 +506,17 @@ def streaming_merge_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         # update mode ⇒ the batch holds only changed users; MERGE them over
         store.merge_upsert(spark, batch_df, "user_totals", keys=["user_id"])
 
+    # batch-id replay guard + keyed MERGE = exactly-once effect (see
+    # IdempotentForeachBatch: streaming replays the last batch on restart)
+    from etl_mini_dw_spark.etl.store import IdempotentForeachBatch
+
+    sink = IdempotentForeachBatch(
+        tempfile.mkdtemp(prefix="stream_merge_commits_"), _merge_batch
+    )
     q = (
         totals.writeStream.outputMode("update")
         .option("checkpointLocation", ckpt_dir)
-        .foreachBatch(_merge_batch)
+        .foreachBatch(sink)
         .start()
     )
     try:

@@ -79,3 +79,18 @@ def test_orc_predicate_pushdown_in_plan(spark, tmp_path):
         q.explain("formatted")
     s = buf.getvalue()
     assert "PushedFilters: [IsNotNull(k), EqualTo(k,3)]" in s
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    from etl_mini_dw_spark.sources import formats
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.createDataFrame([(1, "a")], "id bigint, s string").write.parquet(v1)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, s string, score double"
+    ).write.parquet(v2)
+    got = formats.read_parquet_evolved(spark, v1, v2)
+    assert set(got.columns) == {"id", "s", "score"}
+    rows = {r["id"]: (r["s"], r["score"]) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}

@@ -128,3 +128,34 @@ def test_write_clustered_files_are_disjoint_on_cluster_key(spark, store):
     ranges.sort()
     for (_, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
         assert hi_a <= lo_b  # pairwise disjoint ⇒ any point predicate hits ONE file
+
+
+def test_delete_keys_removes_only_matches(spark, store):
+    store.write(_df(spark, [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)]), "t")
+    store.delete_keys(spark, "t", spark.createDataFrame([(2,), (9,)], "k int"), ["k"])
+    got = sorted(r["k"] for r in store.read(spark, "t").collect())
+    assert got == [1, 3]
+
+
+def test_delete_keys_missing_table_is_noop(spark, store):
+    store.delete_keys(spark, "nope", spark.createDataFrame([(1,)], "k int"), ["k"])
+    assert not store.exists("nope")
+
+
+def test_idempotent_foreach_batch_skips_replayed_ids(spark, store, tmp_path):
+    from etl_mini_dw_spark.etl.store import IdempotentForeachBatch
+
+    applied = []
+
+    def fn(batch_df, batch_id):
+        applied.append(batch_id)
+        store.merge_upsert(spark, batch_df, "t", ["k"])
+
+    sink = IdempotentForeachBatch(str(tmp_path / "commits"), fn)
+    b0 = _df(spark, [(1, "a", 1.0)])
+    sink(b0, 0)
+    sink(b0, 0)  # streaming replay after restart: same batch id
+    sink(_df(spark, [(2, "a", 2.0)]), 1)
+    assert applied == [0, 1]
+    assert sink.skipped == [0]
+    assert store.read(spark, "t").count() == 2
