@@ -672,3 +672,69 @@ SELECT doc_id, component,
                           ORDER BY n_chars DESC, doc_id) = 1 AS keep
 FROM labeled
 """
+
+
+# --- edit-distance near-dups (blocked, thresholded Levenshtein) -------------
+# The third dedup family beside set-based MinHash/Jaccard and bitwise
+# SimHash: edit distance catches small in-place mutations (typos,
+# re-orderings inside a window) that shingle sets blur out. All-pairs
+# Levenshtein is O(n²·len²) and impossible at corpus scale; the standard
+# production shape is block → thresholded verify, which is what this does.
+
+EDIT_PREFIX_LEN = 40
+EDIT_MAX_DIST = 10
+
+
+def edit_distance_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein near-duplicate candidates over ``documents``.
+
+    1. Normalize to a fixed-length key (lowercased 40-char prefix) so
+       per-pair cost is bounded regardless of document length.
+    2. Block on the leading word: candidate pairs only form inside a
+       block, so the self-join is bounded by Σ b² (the same argument as
+       the LSH bands above — never all-pairs). At 100 TB the block key
+       is the shuffle key; a skewed "stop-prefix" block would be capped
+       with a block-frequency filter exactly like the decontamination
+       shingle-df cap in sampling.py.
+    3. Verify with the 3-arg thresholded ``levenshtein``: Spark abandons
+       the DP row once the running minimum exceeds the bound — O(len·k)
+       per pair, not O(len²) — and returns -1 past the threshold, which
+       the filter drops. The DuckDB mirror filters the plain distance to
+       the same bound, so the survivor set is value-identical.
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.substring(F.lower(F.col("text")), 1, EDIT_PREFIX_LEN).alias("pfx"),
+        )
+        .withColumn("blk", F.regexp_extract("pfx", "^[a-z]+", 0))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            F.levenshtein(F.col("a.pfx"), F.col("b.pfx"), EDIT_MAX_DIST).alias("d_raw"),
+        )
+        .filter(F.col("d_raw") >= 0)
+        .select("doc_id_1", "doc_id_2", F.col("d_raw").cast("bigint").alias("dist"))
+    )
+
+
+EDIT_DISTANCE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         substr(lower(text), 1, {EDIT_PREFIX_LEN}) AS pfx,
+         regexp_extract(substr(lower(text), 1, {EDIT_PREFIX_LEN}), '^[a-z]+') AS blk
+  FROM documents
+)
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= {EDIT_MAX_DIST}
+"""

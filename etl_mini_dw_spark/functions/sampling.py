@@ -237,3 +237,61 @@ SELECT source, doc_id, rk FROM (
   FROM documents
 ) WHERE rk <= {RESERVOIR_K}
 """
+
+
+# --- Poisson PPS (probability-proportional-to-size) weighted sampling -------
+
+PPS_TARGET_K = 50  # expected sample size
+
+
+def pps_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted document sample, inclusion ∝ document cost (``n_chars``).
+
+    The training-mixture sampler: each document enters the sample
+    independently with probability min(1, k·w/W) where w is its cost
+    and W the corpus total — expected size k, heavy documents always
+    kept, and the Horvitz–Thompson weight 1/p makes any downstream sum
+    unbiased. The inclusion decision is the pure INTEGER comparison
+    ``u·W < k·w·MOD`` on the deterministic id-hash uniform u ∈ [0, MOD):
+    no floating point anywhere in the decision, so the sample is a pure
+    function of (id, weight, corpus total) — identical across engines,
+    runs, and partitionings.
+
+    Plan shape: one partial-agg for the scalar W, broadcast back via a
+    1-row cross join (the J4 hoist), then a map-only filter+projection —
+    no shuffle of the corpus itself at any scale. At 100 TB `u·W` can
+    exceed int64; promote the comparison to DECIMAL(38,0)/HUGEINT there
+    (same plan shape); at gate scales int64 has 6 orders of headroom.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.agg(F.sum("n_chars").cast("bigint").alias("w_total"))
+    keep = (_hash_col() * F.col("w_total")) < (
+        F.lit(PPS_TARGET_K) * F.col("n_chars") * F.lit(HASH_MOD)
+    )
+    p = F.least(
+        F.lit(1.0),
+        (F.lit(float(PPS_TARGET_K)) * F.col("n_chars").cast("double"))
+        / F.col("w_total").cast("double"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(tot))
+        .filter(keep)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_chars").alias("w"),
+            (F.lit(1.0) / p).alias("ht_weight"),
+        )
+    )
+
+
+PPS_SAMPLE_SQL = f"""
+WITH t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS w_total FROM documents)
+SELECT doc_id, lang, source, n_chars AS w,
+       CAST(1 AS DOUBLE) / least(CAST(1 AS DOUBLE),
+            ({PPS_TARGET_K}.0 * CAST(n_chars AS DOUBLE)) / CAST(w_total AS DOUBLE)
+       ) AS ht_weight
+FROM documents, t
+WHERE ({_HASH_SQL}) * w_total < {PPS_TARGET_K} * n_chars * {HASH_MOD}
+"""

@@ -641,6 +641,15 @@ _register(
     staging.snapshot_cdc_sql(_CDC_DIMS["customer"]),
 )
 
+# --- round 3b: edit-distance dedup, PPS weighted sampling, anomaly days -----
+from etl_mini_dw_spark.plans import anomaly
+
+_register("ext_edit_distance_neardups", dedup.edit_distance_neardups, dedup.EDIT_DISTANCE_SQL)
+_register("ext_pps_weighted_sample", sampling.pps_weighted_sample, sampling.PPS_SAMPLE_SQL)
+_register(
+    "ext_revenue_anomaly_days", anomaly.revenue_anomaly_days, anomaly.REVENUE_ANOMALY_SQL
+)
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). Rounds 1–2 proved the §2
