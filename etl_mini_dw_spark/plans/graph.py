@@ -1,0 +1,129 @@
+"""Iterative graph algorithms on warehouse-derived graphs (extension).
+
+PageRank over the part co-occurrence graph (`plans/olap.py::
+part_cooccurrence` builds the same edge base): "which parts sit at the
+center of the basket network" — the standard item-importance signal for
+recommendations, and the repo's demonstration that *iterative* algorithms
+run Spark-first as a sequence of joins + aggregates (the same pattern as
+the min-label-propagation connected components in `functions/dedup.py`).
+
+Determinism: textbook PageRank is double math and a distributed double
+sum is reduction-order-dependent — not reproducible, not oracle-
+checkable. Ranks here are INTEGER-scaled (10^12): contributions use
+integer floor-division ``r div deg``, the damping update is
+``(15·S) div 100 + (85·Σ) div 100`` — every operation exact, so the
+fixpoint trajectory is bit-identical on any cluster layout and in the
+DuckDB mirror (3 unrolled CTE iterations).
+
+Scale: per iteration one shuffle (contributions aggregate on dst) over
+|E| rows; edges+degrees are staged once (lazy localCheckpoint) and the
+rank lineage is cut per round — the classic Pregel-as-joins shape. At
+100 TB |E| sums are promoted to DECIMAL(38,0) (int64 carries ~9.2e18;
+Σ r ≤ N·10^12 caps N at ~9M nodes before promotion is needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_mini_dw_spark.sources.tables import typed_table
+
+PR_SCALE = 1_000_000_000_000  # 10^12 fixed-point
+PR_ITERS = 3
+MIN_COOCCUR_ORDERS = 2  # edge threshold: co-occur in ≥ 2 orders
+
+
+def _edges_sql() -> str:
+    return f"""
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+g AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_COOCCUR_ORDERS}
+),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM g
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM g
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM edges)
+"""
+
+
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-scaled PageRank (3 iterations) over part co-occurrence.
+
+    Returns (p_partkey, rank_scaled) — rank in 10^12 fixed-point.
+    """
+    li = (
+        typed_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    g = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= MIN_COOCCUR_ORDERS)
+        .select("pa", "pb")
+    )
+    edges = g.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        g.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # stage once: every iteration re-reads edges⋈deg
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
+
+    rank = nodes.select("node", F.lit(PR_SCALE).cast("bigint").alias("r"))
+    base = (15 * PR_SCALE) // 100
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges_deg.join(rank, edges_deg.src == rank.node)
+            .select("dst", F.expr("r div deg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").cast("bigint").alias("contrib"))
+        )
+        rank = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("bigint")
+                    + F.expr("(85 * coalesce(contrib, 0)) div 100")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)  # cut the per-round lineage
+        )
+    return rank.select(F.col("node").alias("p_partkey"), F.col("r").alias("rank_scaled"))
+
+
+def pagerank_parts_sql() -> str:
+    scale, base = PR_SCALE, (15 * PR_SCALE) // 100
+    sql = f"WITH {_edges_sql()}, r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)"
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        sql += f""",
+c{i} AS (
+  SELECT e.dst AS node, SUM(p.r // d.deg) AS contrib
+  FROM edges e JOIN {prev} p ON e.src = p.node JOIN deg d ON e.src = d.src
+  GROUP BY 1
+),
+r{i} AS (
+  SELECT n.node,
+         CAST({base} + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c{i} c USING (node)
+)"""
+        prev = f"r{i}"
+    sql += f"\nSELECT node AS p_partkey, r AS rank_scaled FROM {prev}"
+    return sql

@@ -650,6 +650,16 @@ _register(
     "ext_revenue_anomaly_days", anomaly.revenue_anomaly_days, anomaly.REVENUE_ANOMALY_SQL
 )
 
+# --- round 3b: corpus bigram-LM surprisal scoring ---------------------------
+from etl_mini_dw_spark.functions import lm
+
+_register("ext_lm_surprisal_score", lm.lm_surprisal_score, lm.LM_SURPRISAL_SQL)
+
+# --- round 3b: integer-exact PageRank over part co-occurrence ---------------
+from etl_mini_dw_spark.plans import graph
+
+_register("ext_pagerank_parts", graph.pagerank_parts, graph.pagerank_parts_sql())
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). Rounds 1–2 proved the §2
