@@ -660,6 +660,22 @@ from etl_mini_dw_spark.plans import graph
 
 _register("ext_pagerank_parts", graph.pagerank_parts, graph.pagerank_parts_sql())
 
+# --- round 3b: mergeable HLL sketch rollup (rows-only: estimate is
+# engine-specific by design; tolerance + merge-consistency contracts are
+# pinned in tests/test_approx_sketches.py) ----------------------------------
+from etl_mini_dw_spark.plans import sketches
+
+_register("ext_hll_user_rollup", sketches.hll_user_rollup, None)
+
+# --- round 3b: event-sourced SCD2 with late-arriving splice -----------------
+from etl_mini_dw_spark.operators import scd2_events
+
+_register(
+    "scd2_customer_late_splice",
+    scd2_events.customer_late_splice,
+    scd2_events.customer_late_splice_sql(),
+)
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). Rounds 1–2 proved the §2

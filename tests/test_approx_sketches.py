@@ -27,3 +27,41 @@ def test_percentile_approx_close_to_exact(spark, sf_dir):
     exact = ev.select(F.expr("percentile(v, 0.5)")).first()[0]
     approx = ev.select(F.percentile_approx("v", 0.5, 10000)).first()[0]
     assert abs(approx - exact) <= max(1.0, 0.05 * abs(exact)), (exact, approx)
+
+
+def test_hll_rollup_tolerance_and_merge_consistency(spark, sf_dir):
+    """Merged daily HLL rollup ≈ exact distinct; merge ≡ one-shot sketch."""
+    from etl_mini_dw_spark.plans.sketches import HLL_LGK, hll_user_rollup
+    from etl_mini_dw_spark.sources.tables import typed_table
+
+    rolled = {
+        r["event_type"]: r for r in hll_user_rollup(spark, sf_dir).collect()
+    }
+    ev = typed_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["u"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    assert set(rolled) == set(exact)
+    for et, row in rolled.items():
+        assert abs(row["approx_users"] - exact[et]) / exact[et] < 0.05, (
+            et, row["approx_users"], exact[et],
+        )
+    # merging the stored daily sketches must equal sketching the raw data
+    # in one shot — registers are max-merged, so the union is lossless
+    oneshot = {
+        r["event_type"]: r["a"]
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(HLL_LGK))
+            ).alias("a")
+        )
+        .collect()
+    }
+    for et in exact:
+        assert rolled[et]["approx_users"] == oneshot[et], (
+            et, rolled[et]["approx_users"], oneshot[et],
+        )
