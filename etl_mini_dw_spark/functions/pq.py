@@ -1,0 +1,245 @@
+"""Product quantization (PQ) ANN — the memory-scale path of the index family.
+
+Completes the quantization story beside `simsearch.embedding_quantize`
+(int8 scalar: 4× smaller) and `cluster.kmeans_assign` (trained coarse
+IVF): PQ splits each 64-dim vector into M=4 subspaces of 16 dims, trains
+an independent K=8 codebook per subspace (same deterministic integer
+k-means as the coarse quantizer), and stores each vector as M small codes
+— 4 bytes instead of 256, the compression that lets a 100 TB corpus keep
+its whole index in executor memory. Queries score candidates with the
+asymmetric distance computation (ADC): one (M×K)-entry lookup table of
+exact integer sub-distances per query, then a code-indexed sum — no
+original vectors touched at query time.
+
+Everything is the repo's integer k-means arithmetic (×1000 quantized
+coordinates, LONG sums, floor(s/n + 0.5) centroid updates), so training,
+codes, and ADC scores are bit-identical on any cluster layout and fully
+replayable by the DuckDB oracle (per-subspace unrolled CTE iterations).
+
+Scale shape: training = M independent small-loop jobs (K×16 longs per
+round); encoding = M broadcast-argmin map stages; ADC = codes (long form,
+M rows/vector) ⋈ broadcast query tables (N_QUERIES×M×K rows) → per-pair
+sum → per-query top-k window. The corpus-sized frames carry only codes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_mini_dw_spark.functions.simsearch import N_QUERIES, TOP_K
+from etl_mini_dw_spark.sources.tables import load_table
+
+PQ_M = 4  # subspaces
+PQ_SUB = 16  # dims per subspace (4 × 16 = 64)
+PQ_K = 8  # centroids per subspace codebook
+PQ_ITERS = 2
+SCALE = 1000
+
+_QUANT = (
+    f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE} + 0.5D) AS BIGINT))"
+)
+_DIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+)
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.expr(_QUANT).alias("qv"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _sub(df: DataFrame, m: int) -> DataFrame:
+    """Subspace slice m: columns (vec_id, sv)."""
+    return df.select("vec_id", F.slice("qv", m * PQ_SUB + 1, PQ_SUB).alias("sv"))
+
+
+def _assign_sub(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, code, dist): nearest sub-centroid, ties → lowest code."""
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "code", F.expr(_DIST.format(a="sv", b="cv")).alias("dist")
+    )
+    best = scored.groupBy("vec_id").agg(F.min(F.struct("dist", "code")).alias("w"))
+    return best.select(
+        "vec_id", F.col("w.code").alias("code"), F.col("w.dist").alias("dist")
+    )
+
+
+def _train_sub(vecs: DataFrame) -> DataFrame:
+    """Deterministic integer k-means codebook for ONE subspace: (code, cv)."""
+    cents = vecs.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code"), F.col("sv").alias("cv")
+    )
+    for _ in range(PQ_ITERS):
+        members = _assign_sub(vecs, cents).join(vecs, "vec_id")
+        sums = members.groupBy("code").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("sv")[i]).alias(f"s{i}") for i in range(PQ_SUB)],
+        )
+        cents = sums.select(
+            "code",
+            F.array(
+                *[
+                    F.floor(
+                        F.col(f"s{i}").cast("double") / F.col("n") + F.lit(0.5)
+                    ).cast("long")
+                    for i in range(PQ_SUB)
+                ]
+            ).alias("cv"),
+        ).localCheckpoint(eager=False)
+    return cents
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector PQ code word: (vec_id, code_0 … code_{M-1})."""
+    emb = _quantized(spark, sf_dir)
+    out = emb.select("vec_id")
+    for m in range(PQ_M):
+        sub = _sub(emb, m)
+        code_m = _assign_sub(sub, _train_sub(sub)).select(
+            "vec_id", F.col("code").cast("int").alias(f"code_{m}")
+        )
+        out = out.join(code_m, "vec_id")
+    return out
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k neighbors per query by asymmetric PQ distance (ADC).
+
+    Queries are the same ``vec_id < N_QUERIES`` set as the brute-force
+    baseline, so recall against `ext_ann_bruteforce_topk` is directly
+    inspectable. adc_dist is the exact integer Σ_m ‖q_m − c[code_m]‖².
+    """
+    emb = _quantized(spark, sf_dir)
+    codes = pq_codes(spark, sf_dir)
+    # long-form codes: (vec_id, m, code)
+    codes_long = None
+    for m in range(PQ_M):
+        part = codes.select(
+            "vec_id", F.lit(m).alias("m"), F.col(f"code_{m}").alias("code")
+        )
+        codes_long = part if codes_long is None else codes_long.unionByName(part)
+    # per-query distance tables: (query_id, m, code, d) — M×K rows per query
+    qtab = None
+    for m in range(PQ_M):
+        sub = _sub(emb, m)
+        q = sub.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("sv").alias("qsv")
+        )
+        t = q.crossJoin(F.broadcast(_train_sub(sub))).select(
+            "query_id",
+            F.lit(m).alias("m"),
+            "code",
+            F.expr(_DIST.format(a="qsv", b="cv")).alias("d"),
+        )
+        qtab = t if qtab is None else qtab.unionByName(t)
+    scored = (
+        codes_long.join(F.broadcast(qtab), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("d").cast("bigint").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "adc_dist", "rank")
+    )
+
+
+# --- DuckDB mirrors ---------------------------------------------------------
+
+_SQL_QUANT = (
+    f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE} + 0.5) AS BIGINT))"
+)
+
+
+def _sql_dist(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, {PQ_SUB + 1}),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+
+
+def _sql_sub_views(m: int) -> str:
+    """CTE text for subspace m: slice + unrolled training + code assignment.
+
+    Produces views e{m} (vec_id, sv), c{m}_{PQ_ITERS} (code, cv) and
+    code{m} (vec_id, code).
+    """
+    lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+    out = f"e{m} AS (SELECT vec_id, qv[{lo}:{hi}] AS sv FROM e),\n"
+    out += (
+        f"c{m}_0 AS (SELECT vec_id AS code, sv AS cv FROM e{m} WHERE vec_id < {PQ_K}),\n"
+    )
+    prev = f"c{m}_0"
+    for r in range(1, PQ_ITERS + 1):
+        out += f"""c{m}_{r} AS (
+  SELECT code, list(s ORDER BY i) AS cv FROM (
+    SELECT a.code, t.i,
+           CAST(floor(SUM(v.sv[t.i]) * 1.0 / COUNT(*) + 0.5) AS BIGINT) AS s
+    FROM (
+      SELECT vec_id, code FROM (
+        SELECT v.vec_id, c.code,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_sql_dist("v.sv", "c.cv")}, c.code) AS rn
+        FROM e{m} v, {prev} c) WHERE rn = 1) a
+    JOIN e{m} v USING (vec_id), range(1, {PQ_SUB + 1}) t(i)
+    GROUP BY a.code, t.i)
+  GROUP BY code
+),
+"""
+        prev = f"c{m}_{r}"
+    out += f"""code{m} AS (
+  SELECT vec_id, CAST(code AS INTEGER) AS code FROM (
+    SELECT v.vec_id, c.code,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_sql_dist("v.sv", "c.cv")}, c.code) AS rn
+    FROM e{m} v, {prev} c) WHERE rn = 1
+)"""
+    return out
+
+
+def pq_codes_sql() -> str:
+    subs = ",\n".join(_sql_sub_views(m) for m in range(PQ_M))
+    joins = " ".join(f"JOIN code{m} USING (vec_id)" for m in range(1, PQ_M))
+    cols = ", ".join(f"code{m}.code AS code_{m}" for m in range(PQ_M))
+    return f"""
+WITH e AS (SELECT vec_id, {_SQL_QUANT} AS qv FROM embeddings),
+{subs}
+SELECT code0.vec_id, {cols}
+FROM code0 {joins}
+"""
+
+
+def ann_pq_topk_sql() -> str:
+    subs = ",\n".join(_sql_sub_views(m) for m in range(PQ_M))
+    codes_long = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {m} AS m, code FROM code{m}" for m in range(PQ_M)
+    )
+    qtabs = "\nUNION ALL\n".join(
+        f"""SELECT v.vec_id AS query_id, {m} AS m, c.code,
+       {_sql_dist("v.sv", "c.cv")} AS d
+FROM e{m} v, c{m}_{PQ_ITERS} c WHERE v.vec_id < {N_QUERIES}"""
+        for m in range(PQ_M)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {_SQL_QUANT} AS qv FROM embeddings),
+{subs},
+codes_long AS ({codes_long}),
+qtab AS ({qtabs}),
+scored AS (
+  SELECT q.query_id, cl.vec_id AS cand_id, CAST(SUM(q.d) AS BIGINT) AS adc_dist
+  FROM codes_long cl JOIN qtab q ON cl.m = q.m AND cl.code = q.code
+  WHERE cl.vec_id <> q.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, cand_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, cand_id) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+"""

@@ -667,6 +667,12 @@ from etl_mini_dw_spark.plans import sketches
 
 _register("ext_hll_user_rollup", sketches.hll_user_rollup, None)
 
+# --- round 3b: product-quantization ANN (codes + asymmetric distance) -------
+from etl_mini_dw_spark.functions import pq
+
+_register("ext_pq_codes", pq.pq_codes, pq.pq_codes_sql())
+_register("ext_ann_pq_topk", pq.ann_pq_topk, pq.ann_pq_topk_sql())
+
 # --- round 3b: event-sourced SCD2 with late-arriving splice -----------------
 from etl_mini_dw_spark.operators import scd2_events
 
