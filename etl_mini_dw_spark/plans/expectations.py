@@ -1,0 +1,133 @@
+"""Declarative data-contract expectations report (extension).
+
+The Great-Expectations-style suite a warehouse runs on every landed
+batch, complementing the structural Stage-5 battery (`plans/
+validation.py` — which checks the WAREHOUSE's own invariants) by
+checking the SOURCE's contract: ranges, nullability, domain membership,
+key uniqueness, referential closure. One report row per expectation:
+(check, violations, pass).
+
+Plan shape — the part that matters at 100 TB: all row-level predicates
+over one table are folded into a SINGLE conditional-sum aggregate (one
+scan, map-side partials), never one pass per check; only the two checks
+that need different topology (groupBy uniqueness, anti-join referential)
+run their own — still one shuffle each. The report is a union of 1-row
+frames: constant-size output regardless of input.
+
+The lineitem PK expectation genuinely FAILS on the driver testdata
+(lineitem is not unique on (l_orderkey, l_linenumber) — the quirk
+CLAUDE.md warns every total-ordering about): the report proves the suite
+actually catches contract breaks, not just prints green.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_mini_dw_spark.sources.tables import typed_table
+
+
+def _cnt(pred: Column) -> Column:
+    return F.sum(F.when(pred, 1).otherwise(0)).cast("bigint")
+
+
+def _report(df: DataFrame) -> DataFrame:
+    return df.withColumn("pass", F.col("violations") == 0)
+
+
+def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = typed_table(spark, sf_dir, "lineitem")
+    orders = typed_table(spark, sf_dir, "orders")
+
+    # one scan, all lineitem row-level checks as conditional sums
+    li_checks = li.agg(
+        _cnt(F.col("l_quantity").isNull() | (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "lineitem_quantity_in_1_50"
+        ),
+        _cnt(
+            F.col("l_discount").isNull()
+            | (F.col("l_discount") < 0)
+            | (F.col("l_discount") > F.lit("0.50").cast("decimal(4,2)"))
+        ).alias("lineitem_discount_in_0_0.5"),
+        _cnt(F.col("l_extendedprice") <= 0).alias("lineitem_extendedprice_positive"),
+        _cnt(F.col("l_shipdate").isNull()).alias("lineitem_shipdate_not_null"),
+    )
+    orders_checks = orders.agg(
+        _cnt(F.col("o_totalprice") <= 0).alias("orders_totalprice_positive"),
+        _cnt(F.col("o_orderdate").isNull()).alias("orders_orderdate_not_null"),
+        _cnt(
+            ~F.col("o_orderstatus").isin("O", "F", "P") | F.col("o_orderstatus").isNull()
+        ).alias("orders_status_in_domain"),
+    )
+
+    def _unpivot(agg_df: DataFrame) -> DataFrame:
+        cols = agg_df.columns
+        stack = ", ".join(f"'{c}', `{c}`" for c in cols)
+        return agg_df.select(
+            F.expr(f"stack({len(cols)}, {stack}) AS (check, violations)")
+        )
+
+    # uniqueness: its own groupBy (can't fold into a scan aggregate)
+    pk_dups = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+        .select(F.lit("lineitem_pk_unique").alias("check"), "violations")
+    )
+    # referential closure: anti-join (broadcast the key dictionary at
+    # dim scale; here orders is fact-sized so AQE picks the strategy)
+    fk_orphans = (
+        li.select("l_orderkey")
+        .join(orders.select("o_orderkey"), li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+        .select(F.lit("lineitem_orderkey_in_orders").alias("check"), "violations")
+    )
+
+    frames = [_unpivot(li_checks), _unpivot(orders_checks), pk_dups, fk_orphans]
+    return _report(reduce(lambda a, b: a.unionByName(b), frames))
+
+
+EXPECTATIONS_SQL = """
+WITH li AS (
+  SELECT SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+                  THEN 1 ELSE 0 END) AS q,
+         SUM(CASE WHEN l_discount IS NULL OR l_discount < 0
+                       OR CAST(l_discount AS DECIMAL(4,2)) > CAST('0.50' AS DECIMAL(4,2))
+                  THEN 1 ELSE 0 END) AS d,
+         SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS ep,
+         SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS sd
+  FROM lineitem
+),
+o AS (
+  SELECT SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS od,
+         SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL
+                  THEN 1 ELSE 0 END) AS st
+  FROM orders
+),
+pk AS (
+  SELECT COUNT(*) AS v FROM (
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    GROUP BY 1, 2 HAVING COUNT(*) > 1)
+),
+fk AS (
+  SELECT COUNT(*) AS v FROM lineitem
+  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+),
+r AS (
+  SELECT 'lineitem_quantity_in_1_50' AS check, CAST(q AS BIGINT) AS violations FROM li
+  UNION ALL SELECT 'lineitem_discount_in_0_0.5', CAST(d AS BIGINT) FROM li
+  UNION ALL SELECT 'lineitem_extendedprice_positive', CAST(ep AS BIGINT) FROM li
+  UNION ALL SELECT 'lineitem_shipdate_not_null', CAST(sd AS BIGINT) FROM li
+  UNION ALL SELECT 'orders_totalprice_positive', CAST(tp AS BIGINT) FROM o
+  UNION ALL SELECT 'orders_orderdate_not_null', CAST(od AS BIGINT) FROM o
+  UNION ALL SELECT 'orders_status_in_domain', CAST(st AS BIGINT) FROM o
+  UNION ALL SELECT 'lineitem_pk_unique', CAST(v AS BIGINT) FROM pk
+  UNION ALL SELECT 'lineitem_orderkey_in_orders', CAST(v AS BIGINT) FROM fk
+)
+SELECT "check", violations, violations = 0 AS pass FROM r
+"""

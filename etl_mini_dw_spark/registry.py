@@ -673,6 +673,16 @@ from etl_mini_dw_spark.functions import pq
 _register("ext_pq_codes", pq.pq_codes, pq.pq_codes_sql())
 _register("ext_ann_pq_topk", pq.ann_pq_topk, pq.ann_pq_topk_sql())
 
+# --- round 3b: entity resolution + declarative expectations suite -----------
+from etl_mini_dw_spark.plans import entity, expectations
+
+_register("ext_part_entity_matches", entity.part_entity_matches, entity.PART_ENTITY_SQL)
+_register(
+    "ext_expectations_report",
+    expectations.expectations_report,
+    expectations.EXPECTATIONS_SQL,
+)
+
 # --- round 3b: event-sourced SCD2 with late-arriving splice -----------------
 from etl_mini_dw_spark.operators import scd2_events
 
