@@ -147,3 +147,54 @@ def test_mixture_thresholds_broadcast_back(spark, sf_dir):
     plan = _plan(corpus.mixture_sampling(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "SortMergeJoin" not in plan
+
+
+def test_pps_sample_is_map_only_beside_scalar(spark, sf_dir):
+    """PPS sampling must not shuffle the corpus: the only exchange feeds
+    the 1-row scalar total (partial agg + broadcast back)."""
+    from etl_mini_dw_spark.functions import sampling
+
+    plan = _plan(sampling.pps_weighted_sample(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+    # no corpus-sized shuffle: any Exchange present must be the scalar
+    # aggregate's (single partition), never a hash repartition of docs
+    assert "hashpartitioning(doc_id" not in plan
+
+
+def test_edit_distance_neardups_no_cartesian(spark, sf_dir):
+    """The blocked Levenshtein self-join must plan as an equi-join on the
+    block key — never a cartesian/nested-loop over the corpus."""
+    from etl_mini_dw_spark.functions import dedup
+
+    plan = _plan(dedup.edit_distance_neardups(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_expectations_row_checks_single_scan(spark, sf_dir):
+    """All lineitem row-level expectations fold into ONE scan aggregate:
+    exactly 3 lineitem scans total (row checks, PK groupBy, FK side) —
+    not one per expectation."""
+    from etl_mini_dw_spark.plans import expectations
+
+    plan = _plan(expectations.expectations_report(spark, sf_dir))
+    assert plan.count("lineitem.parquet") <= 3, plan.count("lineitem.parquet")
+
+
+def test_anomaly_window_is_month_partitioned(spark, sf_dir):
+    """The z-score window must partition by month — a global (empty
+    partitionBy) window would single-task the day aggregate at scale."""
+    from etl_mini_dw_spark.plans import anomaly
+
+    plan = _plan(anomaly.revenue_anomaly_days(spark, sf_dir))
+    assert "hashpartitioning(month" in plan, plan[:3000]
+
+
+def test_pq_adc_join_is_broadcast(spark, sf_dir):
+    """ADC scoring joins corpus codes to the per-query lookup tables —
+    the tables are M×K×queries rows and must broadcast, never shuffle
+    the code frame against them with sort-merge."""
+    from etl_mini_dw_spark.functions import pq
+
+    plan = _plan(pq.ann_pq_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
