@@ -36,6 +36,26 @@ def _tokens() -> F.Column:
     return F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
 
 
+def quality_score_col() -> F.Column:
+    """The shared quality expression (identical tree in text_stats and the
+    curation operators — keep the two consumers value-locked)."""
+    n_tokens = F.size(_tokens())
+    n_chars = F.length("text")
+    punct = n_chars - F.length(F.regexp_replace("text", PUNCT_RE, ""))
+    punct_ratio = punct.cast("double") / n_chars.cast("double")
+    return F.round(
+        F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(50.0)) * (F.lit(1.0) - punct_ratio),
+        6,
+    )
+
+
+QUALITY_SQL = (
+    f"round(least(1.0, CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS DOUBLE) / 50.0)"
+    f" * (1.0 - CAST(length(text) - length(regexp_replace(text, '{PUNCT_RE}', '', 'g'))"
+    f" AS DOUBLE) / CAST(length(text) AS DOUBLE)), 6)"
+)
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document stats + quality score (length/punct/token ratios)."""
     docs = fanout_scan(spark, load_table(spark, sf_dir, "documents"))
@@ -43,11 +63,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(toks)
     n_chars = F.length("text")
     punct = n_chars - F.length(F.regexp_replace("text", PUNCT_RE, ""))
-    punct_ratio = punct.cast("double") / n_chars.cast("double")
-    quality = F.round(
-        F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(50.0)) * (F.lit(1.0) - punct_ratio),
-        6,
-    )
+    quality = quality_score_col()
     return docs.select(
         "doc_id",
         n_chars.cast("bigint").alias("n_chars_actual"),

@@ -683,6 +683,12 @@ _register(
     expectations.EXPECTATIONS_SQL,
 )
 
+# --- round 3b: corpus curation (budgeted selection, curriculum deciles) -----
+from etl_mini_dw_spark.functions import curation
+
+_register("ext_budget_curation", curation.budget_curation, curation.BUDGET_CURATION_SQL)
+_register("ext_quality_deciles", curation.quality_deciles, curation.QUALITY_DECILES_SQL)
+
 # --- round 3b: event-sourced SCD2 with late-arriving splice -----------------
 from etl_mini_dw_spark.operators import scd2_events
 
