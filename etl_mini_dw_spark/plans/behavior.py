@@ -258,3 +258,130 @@ pairs AS (
 SELECT from_type, to_type, COUNT(*) AS n_transitions
 FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2
 """
+
+
+# --- multi-model marketing attribution --------------------------------------
+
+ATTR_WINDOW_HOURS = 24
+
+
+def attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch / linear attribution of purchase value to
+    the preceding touches (views/clicks) inside a 24 h lookback.
+
+    The batch counterpart of the streaming interval-join attribution
+    (`streaming/events.py`), extended to the three standard credit
+    models in ONE pass. Money stays exact end-to-end: purchase value
+    becomes integer cents, and the linear model splits them by the
+    largest-remainder method (``cents div n`` each, the first
+    ``cents mod n`` touches in time order get the extra cent) — credits
+    sum EXACTLY to the purchase total on any engine and partitioning,
+    where a naive value/n double split would leak fractions of a cent.
+
+    Plan: purchases ⋈ touches is a user-keyed equi-join with a time-band
+    residual (shuffle on user_id, fan-out bounded by touches-per-user in
+    the window); per-purchase windows are bounded partitions; final
+    rollup is per touch-type. Purchases with no touch credit 'direct'.
+    """
+    ev = typed_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        (F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("tid"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("ttype"),
+    )
+    j = purchases.join(
+        touches,
+        (purchases.user_id == touches.user_id)
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr(f"INTERVAL {ATTR_WINDOW_HOURS} HOURS")),
+        "left",
+    ).drop(touches.user_id)
+    wp = Window.partitionBy("pid")
+    asc = Window.partitionBy("pid").orderBy(F.col("tts").asc(), F.col("tid").asc())
+    desc = Window.partitionBy("pid").orderBy(F.col("tts").desc(), F.col("tid").desc())
+    staged = j.select(
+        "pid",
+        "cents",
+        F.coalesce(F.col("ttype"), F.lit("direct")).alias("touch_type"),
+        F.count("tid").over(wp).alias("n"),
+        F.row_number().over(asc).alias("rn"),
+        F.row_number().over(desc).alias("rn_last"),
+    )
+    first_c = F.when(F.col("rn") == 1, F.col("cents")).otherwise(F.lit(0))
+    last_c = F.when(F.col("rn_last") == 1, F.col("cents")).otherwise(F.lit(0))
+    linear_c = (
+        F.when(F.col("n") == 0, F.col("cents"))
+        .otherwise(
+            F.expr("cents div n")
+            + F.when(F.col("rn") <= F.expr("cents % n"), 1).otherwise(0)
+        )
+    )
+    return (
+        staged.groupBy("touch_type")
+        .agg(
+            F.sum(first_c).cast("bigint").alias("fc"),
+            F.sum(last_c).cast("bigint").alias("lc"),
+            F.sum(linear_c).cast("bigint").alias("nc"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "touch_type",
+            (F.col("fc").cast("double") / 100.0).alias("first_touch_value"),
+            (F.col("lc").cast("double") / 100.0).alias("last_touch_value"),
+            (F.col("nc").cast("double") / 100.0).alias("linear_value"),
+            "n_rows",
+        )
+    )
+
+
+ATTRIBUTION_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(value AS DECIMAL(14,2)) AS value
+  FROM events
+),
+p AS (
+  SELECT user_id, event_id AS pid, ts AS pts,
+         CAST(value * 100 AS BIGINT) AS cents
+  FROM ev WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, event_id AS tid, ts AS tts, event_type AS ttype
+  FROM ev WHERE event_type IN ('view', 'click')
+),
+j AS (
+  SELECT p.pid, p.cents, t.tid, t.tts, t.ttype
+  FROM p LEFT JOIN t
+    ON p.user_id = t.user_id
+   AND t.tts < p.pts
+   AND t.tts >= p.pts - INTERVAL {ATTR_WINDOW_HOURS} HOUR
+),
+staged AS (
+  SELECT pid, cents,
+         COALESCE(ttype, 'direct') AS touch_type,
+         COUNT(tid) OVER (PARTITION BY pid) AS n,
+         row_number() OVER (PARTITION BY pid ORDER BY tts ASC, tid ASC) AS rn,
+         row_number() OVER (PARTITION BY pid ORDER BY tts DESC, tid DESC) AS rn_last
+  FROM j
+)
+SELECT touch_type,
+       CAST(SUM(CASE WHEN rn = 1 THEN cents ELSE 0 END) AS DOUBLE) / 100.0
+         AS first_touch_value,
+       CAST(SUM(CASE WHEN rn_last = 1 THEN cents ELSE 0 END) AS DOUBLE) / 100.0
+         AS last_touch_value,
+       CAST(SUM(CASE WHEN n = 0 THEN cents
+                     ELSE cents // n + (CASE WHEN rn <= cents % n THEN 1 ELSE 0 END)
+                END) AS DOUBLE) / 100.0 AS linear_value,
+       COUNT(*) AS n_rows
+FROM staged
+GROUP BY touch_type
+"""

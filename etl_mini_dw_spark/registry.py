@@ -689,6 +689,24 @@ from etl_mini_dw_spark.functions import curation
 _register("ext_budget_curation", curation.budget_curation, curation.BUDGET_CURATION_SQL)
 _register("ext_quality_deciles", curation.quality_deciles, curation.QUALITY_DECILES_SQL)
 
+# --- round 3b: winsorized robust means over the event measure ---------------
+from etl_mini_dw_spark.plans import winsorize
+
+_register("ext_value_winsorized", winsorize.value_winsorized, winsorize.VALUE_WINSORIZED_SQL)
+
+# --- round 3b: multi-granularity rollup tree from one staged day grain ------
+from etl_mini_dw_spark.plans import rollup_tree
+
+_register("ext_rollup_tree", rollup_tree.rollup_tree, rollup_tree.ROLLUP_TREE_SQL)
+
+# --- round 3b: multi-model attribution (exact largest-remainder splits) -----
+_register(
+    "ext_attribution_models", behavior.attribution_models, behavior.ATTRIBUTION_SQL
+)
+
+# --- round 3b: streaming mergeable-sketch maintenance (rows-only) -----------
+_register("ext_streaming_hll_sketches", ev.streaming_hll_user_sketches, None)
+
 # --- round 3b: event-sourced SCD2 with late-arriving splice -----------------
 from etl_mini_dw_spark.operators import scd2_events
 

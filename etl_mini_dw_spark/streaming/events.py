@@ -628,3 +628,65 @@ SELECT user_id,
 FROM sess, wm
 WHERE session_end_ts < w
 """
+
+
+def streaming_hll_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the mergeable HLL rollup (plans/sketches.py).
+
+    The streaming twin of `ext_hll_user_rollup`: per-event_type user
+    sketches maintained by Structured Streaming state (update-mode
+    aggregation — each micro-batch emits the new cumulative sketch for
+    the types it touched) and upserted through the exactly-once MERGE
+    sink (batch-id replay guard + keyed MERGE). The stored table always
+    holds a mergeable sketch per type — any consumer can union them
+    further (day→month→total) without touching raw events, and restart
+    replays cannot double-count (sketch re-upsert is idempotent: same
+    key, register-max state).
+
+    Output (rows-only driver check): (event_type, approx_users,
+    n_events); the REAL contract — streamed estimate ≡ one-shot batch
+    sketch estimate, which holds because HLL register-max is
+    order/batching-invariant — is pinned by tests/test_approx_sketches.py.
+    """
+    _ensure_session_confs(spark)
+    import tempfile
+
+    from etl_mini_dw_spark.etl.store import IdempotentForeachBatch, ParquetStore
+    from etl_mini_dw_spark.plans.sketches import HLL_LGK
+
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sketches = stream.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("user_sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    store = ParquetStore(tempfile.mkdtemp(prefix="stream_hll_store_"))
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_hll_ckpt_")
+
+    def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        store.merge_upsert(spark, batch_df, "type_sketches", keys=["event_type"])
+
+    sink = IdempotentForeachBatch(
+        tempfile.mkdtemp(prefix="stream_hll_commits_"), _merge_batch
+    )
+    q = (
+        sketches.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return store.read(spark, "type_sketches").select(
+        "event_type",
+        F.hll_sketch_estimate("user_sketch").alias("approx_users"),
+        "n_events",
+    )

@@ -65,3 +65,31 @@ def test_hll_rollup_tolerance_and_merge_consistency(spark, sf_dir):
         assert rolled[et]["approx_users"] == oneshot[et], (
             et, rolled[et]["approx_users"], oneshot[et],
         )
+
+
+def test_streaming_hll_equals_batch_sketch(spark, sf_dir):
+    """The streamed per-type sketch estimate must EQUAL the one-shot batch
+    sketch estimate — HLL register-max is order- and batching-invariant,
+    so incremental maintenance is lossless (and restart replays through
+    the idempotent MERGE sink cannot drift it)."""
+    from etl_mini_dw_spark.plans.sketches import HLL_LGK
+    from etl_mini_dw_spark.sources.tables import typed_table
+    from etl_mini_dw_spark.streaming.events import streaming_hll_user_sketches
+
+    streamed = {
+        r["event_type"]: (r["approx_users"], r["n_events"])
+        for r in streaming_hll_user_sketches(spark, sf_dir).collect()
+    }
+    batch = {
+        r["event_type"]: (r["a"], r["n"])
+        for r in typed_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(HLL_LGK))
+            ).alias("a"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert streamed == batch
