@@ -704,6 +704,15 @@ _register(
     "ext_attribution_models", behavior.attribution_models, behavior.ATTRIBUTION_SQL
 )
 
+# --- round 3b: end-to-end corpus pipeline composition ------------------------
+from etl_mini_dw_spark.plans import pipeline
+
+_register(
+    "ext_corpus_pipeline_summary",
+    pipeline.corpus_pipeline_summary,
+    pipeline.corpus_pipeline_summary_sql(),
+)
+
 # --- round 3b: streaming mergeable-sketch maintenance (rows-only) -----------
 _register("ext_streaming_hll_sketches", ev.streaming_hll_user_sketches, None)
 
