@@ -74,8 +74,22 @@ class ParquetStore:
         self._recover(name)
         return spark.read.parquet(self.path(name))
 
-    def write(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
-        """Materialize ``df`` as the new generation of ``name``, atomically-ish."""
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        keep_generations: int = 0,
+    ) -> None:
+        """Materialize ``df`` as the new generation of ``name``, atomically-ish.
+
+        ``keep_generations=N`` retains the last N superseded generations as
+        dot-prefixed snapshot dirs (invisible to Spark's file listing) —
+        the parquet backend's time travel, matching Delta's ``versionAsOf``
+        capability behind the same seam (`read_generation`). Snapshot dirs
+        are named by a monotonic counter, never a clock, so retention is
+        deterministic and replay-safe.
+        """
         self._recover(name)
         final = self.path(name)
         for stale in glob.glob(f"{final}._tmp_*"):  # uncommitted in-flight writes
@@ -90,7 +104,40 @@ class ParquetStore:
             os.rename(final, old)
         os.rename(tmp, final)
         if os.path.isdir(old):
-            shutil.rmtree(old, ignore_errors=True)
+            if keep_generations > 0:
+                gens = self.generations(name)
+                nxt = int(os.path.basename(gens[-1]).rsplit("_", 1)[1]) + 1 if gens else 1
+                os.rename(old, f"{final}._gen_{nxt:06d}")
+            else:
+                shutil.rmtree(old, ignore_errors=True)
+        if keep_generations > 0:
+            # prune only under an explicit retention policy: a default
+            # write must not wipe snapshots another caller retained
+            self._prune_generations(name, keep_generations)
+
+    def generations(self, name: str) -> list[str]:
+        """Retained past-generation dirs, oldest → newest."""
+        return sorted(glob.glob(f"{self.path(name)}._gen_*"))
+
+    def read_generation(self, spark: SparkSession, name: str, back: int = 1) -> DataFrame:
+        """Time travel: the table state ``back`` swaps ago (0 = current).
+
+        Only generations written with ``keep_generations`` are reachable;
+        asking past the retention horizon raises — silently serving the
+        oldest RETAINED state would misreport history.
+        """
+        if back == 0:
+            return self.read(spark, name)
+        gens = self.generations(name)
+        if back > len(gens):
+            raise ValueError(f"only {len(gens)} retained generations, asked back={back}")
+        return spark.read.parquet(gens[-back])
+
+    def _prune_generations(self, name: str, keep: int) -> None:
+        gens = self.generations(name)
+        drop = gens if keep <= 0 else gens[:-keep]
+        for g in drop:
+            shutil.rmtree(g, ignore_errors=True)
 
     def swap_partitions(
         self, df: DataFrame, name: str, partition_col: str, values: list
@@ -127,8 +174,10 @@ class ParquetStore:
     def drop(self, name: str) -> None:
         if os.path.isdir(self.path(name)):
             shutil.rmtree(self.path(name), ignore_errors=True)
-        for leftover in glob.glob(f"{self.path(name)}._old_*") + glob.glob(
-            f"{self.path(name)}._tmp_*"
+        for leftover in (
+            glob.glob(f"{self.path(name)}._old_*")
+            + glob.glob(f"{self.path(name)}._tmp_*")
+            + glob.glob(f"{self.path(name)}._gen_*")
         ):
             shutil.rmtree(leftover, ignore_errors=True)
 

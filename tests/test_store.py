@@ -95,3 +95,29 @@ def test_warehouse_fact_equals_direct_full_build(spark, sf_dir, tmp_path):
     stored = w.table("fact_sales").select(*cols)
     assert stored.exceptAll(direct).count() == 0
     assert direct.exceptAll(stored).count() == 0
+
+
+def test_generation_retention_and_time_travel(spark, tmp_path):
+    """keep_generations retains N past states readable via read_generation;
+    retention prunes beyond N; default writes never wipe retained
+    snapshots; past the horizon raises."""
+    import pytest
+
+    from etl_mini_dw_spark.etl.store import ParquetStore
+
+    store = ParquetStore(str(tmp_path / "tt"))
+    for v in (1, 2, 3):
+        store.write(spark.range(v).selectExpr("id", f"{v} AS gen"), "t", keep_generations=2)
+    assert store.read(spark, "t").agg({"gen": "max"}).first()[0] == 3
+    assert store.read_generation(spark, "t", back=1).first()["gen"] == 2
+    assert store.read_generation(spark, "t", back=2).first()["gen"] == 1
+    assert len(store.generations("t")) == 2  # pruned to the policy
+    with pytest.raises(ValueError):
+        store.read_generation(spark, "t", back=3)
+    # a default (no-retention) write must not wipe retained snapshots
+    store.write(spark.range(4).selectExpr("id", "4 AS gen"), "t")
+    assert store.read_generation(spark, "t", back=1).first()["gen"] == 2
+    # back=0 is the live table
+    assert store.read_generation(spark, "t", back=0).agg({"gen": "max"}).first()[0] == 4
+    store.drop("t")
+    assert store.generations("t") == []
