@@ -713,6 +713,15 @@ _register(
     pipeline.corpus_pipeline_summary_sql(),
 )
 
+# --- round 3b: ANN index recall report ---------------------------------------
+from etl_mini_dw_spark.plans import ann_quality
+
+_register(
+    "ext_ann_recall_report",
+    ann_quality.ann_recall_report,
+    ann_quality.ann_recall_report_sql(),
+)
+
 # --- round 3b: streaming mergeable-sketch maintenance (rows-only) -----------
 _register("ext_streaming_hll_sketches", ev.streaming_hll_user_sketches, None)
 
