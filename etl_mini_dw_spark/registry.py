@@ -722,6 +722,15 @@ _register(
     ann_quality.ann_recall_report_sql(),
 )
 
+# --- round 3b: raw-SQL warehouse surface (temp-view layer stack) -------------
+from etl_mini_dw_spark import api
+
+_register(
+    "ext_sql_mart_category_counts",
+    api.sql_mart_category_counts,
+    api.sql_mart_category_counts_sql(),
+)
+
 # --- round 3b: streaming mergeable-sketch maintenance (rows-only) -----------
 _register("ext_streaming_hll_sketches", ev.streaming_hll_user_sketches, None)
 
