@@ -13,7 +13,37 @@ from __future__ import annotations
 
 import argparse
 import importlib.util
+import math
 import sys
+from datetime import date, datetime
+from decimal import Decimal
+
+
+def _canon_cell(v):
+    """Engine-neutral cell canonicalization (same rules as
+    tests/oracle_harness.py): raw str() of numpy arrays is width-padded
+    and list-vs-ndarray sensitive — variable-length array columns
+    (posting heads, signatures) false-FAIL without this."""
+    try:
+        import numpy as np
+
+        if isinstance(v, np.ndarray):
+            v = v.tolist()
+        elif isinstance(v, np.generic):
+            v = v.item()
+    except ImportError:
+        pass
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else repr(v)
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    return str(v)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -72,8 +102,14 @@ def main() -> int:
             ok_vals = False
             if ok_rows and ok_cols:
                 cols = sorted(sdf.columns)
-                sa = sorted(map(str, sdf[cols].itertuples(index=False, name=None)))
-                ob = sorted(map(str, odf[cols].itertuples(index=False, name=None)))
+                sa = sorted(
+                    tuple(_canon_cell(v) for v in r)
+                    for r in sdf[cols].itertuples(index=False, name=None)
+                )
+                ob = sorted(
+                    tuple(_canon_cell(v) for v in r)
+                    for r in odf[cols].itertuples(index=False, name=None)
+                )
                 ok_vals = sa == ob
             status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
             print(
