@@ -28,7 +28,7 @@ from etl_mini_dw_spark.functions import dimdate
 from etl_mini_dw_spark.operators import scd2
 from etl_mini_dw_spark.plans import marts
 from etl_mini_dw_spark.sources import staging
-from etl_mini_dw_spark.sources.tables import TABLES, typed_table
+from etl_mini_dw_spark.sources.tables import TABLES, stage_memo, typed_table
 
 
 def register_warehouse_views(spark: SparkSession, sf_dir: str) -> list[str]:
@@ -45,7 +45,18 @@ def register_warehouse_views(spark: SparkSession, sf_dir: str) -> list[str]:
     for key, dim in spec.DIMS.items():
         _reg(f"src_{key}", staging.delta_extract(spark, sf_dir, dim, spec.LOW))
         _reg(f"snap_{key}", staging.current_snapshot(spark, sf_dir, dim))
-        dim_df = scd2.dim_two_phase(spark, sf_dir, dim, spec.MID, spec.NOW_FIXED)
+        # two_phase runs eager actions (watermark collect, checkpoint) at
+        # plan-build time, so the dim state is staged once per (session,
+        # sf-dir) — repeated registration, and every view that reads a
+        # dim, share one build instead of paying three dim loads each
+        dim_df = stage_memo(
+            spark,
+            sf_dir,
+            f"api_dim_{key}",
+            lambda d=dim: scd2.dim_two_phase(
+                spark, sf_dir, d, spec.MID, spec.NOW_FIXED
+            ).localCheckpoint(eager=False),
+        )
         _reg(f"dim_{key}", dim_df)
         _reg(f"mart_{key}_current", marts.mart_dim_current(dim_df, dim))
     return names

@@ -731,6 +731,16 @@ _register(
     api.sql_mart_category_counts_sql(),
 )
 
+# --- round 3b: trend slopes + hierarchical shares ----------------------------
+from etl_mini_dw_spark.plans import stats as _stats
+
+_register("ext_revenue_trend_slope", _stats.revenue_trend_slope, _stats.REVENUE_TREND_SQL)
+_register(
+    "ext_nation_share_of_region",
+    _stats.nation_share_of_region,
+    _stats.NATION_SHARE_SQL,
+)
+
 # --- round 3b: streaming mergeable-sketch maintenance (rows-only) -----------
 _register("ext_streaming_hll_sketches", ev.streaming_hll_user_sketches, None)
 
