@@ -93,3 +93,58 @@ WHERE (CASE WHEN name_close THEN {W_NAME} ELSE 0 END)
     + (CASE WHEN size_close THEN {W_SIZE} ELSE 0 END)
     + (CASE WHEN price_close THEN {W_PRICE} ELSE 0 END) >= {MIN_SCORE}
 """
+
+
+def part_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden records: cluster the match pairs into entities and pick one
+    survivor view per entity — the MDM deliverable downstream of the
+    match scores.
+
+    Entities = connected components over the match graph (the SAME
+    min-label-propagation loop the document near-dup family uses —
+    `dedup.components_from_pairs`); survivorship rules are explicit
+    aggregates: canonical attributes from the lowest-key member (the
+    oldest record wins — `min_by`), price range across members.
+    Singletons are their own entity. Cost: components over |match pairs|
+    (tiny relative to the catalog) + one catalog-sized groupBy.
+    """
+    from etl_mini_dw_spark.functions.dedup import components_from_pairs
+
+    pairs = part_entity_matches(spark, sf_dir).select(
+        F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b")
+    )
+    comp = components_from_pairs(pairs)
+    parts = typed_table(spark, sf_dir, "part")
+    labeled = parts.join(
+        comp, parts.p_partkey == comp.doc_id, "left"
+    ).withColumn("entity_id", F.coalesce(F.col("component"), F.col("p_partkey")))
+    return labeled.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.expr("min_by(p_name, p_partkey)").alias("canonical_name"),
+        F.expr("min_by(p_brand, p_partkey)").alias("canonical_brand"),
+        F.min("p_retailprice").cast("double").alias("min_price"),
+        F.max("p_retailprice").cast("double").alias("max_price"),
+    )
+
+
+def part_golden_records_sql() -> str:
+    from etl_mini_dw_spark.functions.dedup import NEARDUP_COMPONENTS_SQL
+
+    comp = NEARDUP_COMPONENTS_SQL.format(
+        pairs=f"SELECT key_a AS doc_a, key_b AS doc_b FROM ({PART_ENTITY_SQL})"
+    )
+    return f"""
+WITH comp AS ({comp}),
+labeled AS (
+  SELECT p.*, COALESCE(c.component, p.p_partkey) AS entity_id
+  FROM part p LEFT JOIN comp c ON p.p_partkey = c.doc_id
+)
+SELECT entity_id,
+       COUNT(*) AS n_members,
+       arg_min(p_name, p_partkey) AS canonical_name,
+       arg_min(p_brand, p_partkey) AS canonical_brand,
+       CAST(MIN(CAST(p_retailprice AS DECIMAL(14,2))) AS DOUBLE) AS min_price,
+       CAST(MAX(CAST(p_retailprice AS DECIMAL(14,2))) AS DOUBLE) AS max_price
+FROM labeled
+GROUP BY entity_id
+"""

@@ -678,6 +678,9 @@ from etl_mini_dw_spark.plans import entity, expectations
 
 _register("ext_part_entity_matches", entity.part_entity_matches, entity.PART_ENTITY_SQL)
 _register(
+    "ext_part_golden_records", entity.part_golden_records, entity.part_golden_records_sql()
+)
+_register(
     "ext_expectations_report",
     expectations.expectations_report,
     expectations.EXPECTATIONS_SQL,
