@@ -198,3 +198,32 @@ def test_pq_adc_join_is_broadcast(spark, sf_dir):
 
     plan = _plan(pq.ann_pq_topk(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_trend_slope_dims_broadcast(spark, sf_dir):
+    """The trend query's customer→nation→region chain must broadcast —
+    the fact-side shuffle is the only wide operator."""
+    from etl_mini_dw_spark.plans import stats
+
+    plan = _plan(stats.revenue_trend_slope(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2500]
+    assert "SortMergeJoin" not in plan
+
+
+def test_share_of_region_window_partitioned(spark, sf_dir):
+    """Share-of-parent must window inside region partitions, never a
+    global single-task window."""
+    from etl_mini_dw_spark.plans import stats
+
+    plan = _plan(stats.nation_share_of_region(spark, sf_dir))
+    assert "hashpartitioning(region" in plan, plan[:2500]
+
+
+def test_attribution_join_is_user_keyed(spark, sf_dir):
+    """Purchases⋈touches must plan as an equi-join on user_id with the
+    time band as residual — never a cartesian over the event log."""
+    from etl_mini_dw_spark.plans import behavior
+
+    plan = _plan(behavior.attribution_models(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
