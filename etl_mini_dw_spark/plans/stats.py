@@ -146,3 +146,33 @@ SELECT region, nation,
          AS share_of_region
 FROM per_nation
 """
+
+
+def value_rank_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type rank normalization (percent_rank) of the event measure —
+    the distribution-free feature transform (quantile normalization)
+    model pipelines apply to heavy-tailed inputs.
+
+    percent_rank assigns tied values the SAME rank, so the output is
+    deterministic without a tie-breaker; inputs to the (rank−1)/(n−1)
+    division are exact integers ⇒ identical doubles everywhere. Per-type
+    sort locally; the 100 TB path pre-buckets by approximate quantiles
+    exactly like `curation.quality_deciles`.
+    """
+    ev = typed_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.round(F.percent_rank().over(w), 6).alias("value_pr"),
+    )
+
+
+VALUE_RANK_NORM_SQL = """
+SELECT event_id, event_type,
+       CAST(CAST(value AS DECIMAL(14,2)) AS DOUBLE) AS value,
+       round(percent_rank() OVER (PARTITION BY event_type
+                                  ORDER BY CAST(value AS DECIMAL(14,2))), 6) AS value_pr
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+"""

@@ -744,6 +744,14 @@ _register(
     _stats.NATION_SHARE_SQL,
 )
 
+# --- round 3b: key-skew diagnostics + rank normalization ---------------------
+from etl_mini_dw_spark.plans import skew_report
+
+_register("ext_key_skew_report", skew_report.key_skew_report, skew_report.key_skew_report_sql())
+_register(
+    "ext_value_rank_normalized", _stats.value_rank_normalized, _stats.VALUE_RANK_NORM_SQL
+)
+
 # --- round 3b: streaming mergeable-sketch maintenance (rows-only) -----------
 _register("ext_streaming_hll_sketches", ev.streaming_hll_user_sketches, None)
 
