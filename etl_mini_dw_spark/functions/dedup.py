@@ -738,3 +738,83 @@ SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
 FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
 WHERE levenshtein(a.pfx, b.pfx) <= {EDIT_MAX_DIST}
 """
+
+
+# --- incremental ingest dedup: new batch vs the stored corpus index ---------
+
+NEWBATCH_MOD = 17  # doc_id % 17 == 0 simulates the arriving batch
+
+
+def incremental_newbatch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an ARRIVING batch against the existing corpus — the shape
+    every continuously-ingesting pipeline actually runs (the batch joins
+    the STORED band index; the corpus is never re-signatured and the
+    batch never all-pairs with anything).
+
+    Candidates = new-batch band signatures ⋈ corpus band index on
+    (band, band_sig) — cost ∝ batch size × band collision rate; verify =
+    exact shingle Jaccard on candidates only (same verify as the batch
+    family). In production the corpus side IS the persisted index table,
+    here stood in by the per-session staged frames (`_memo`) — identical
+    plan shape either way.
+    """
+    bands = _band_sigs(_minhash_arrays(spark, sf_dir))
+    is_new = (F.col("doc_id") % NEWBATCH_MOD) == 0
+    new_b = bands.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), "band", "band_sig"
+    )
+    old_b = bands.filter(~is_new).select(
+        F.col("doc_id").alias("old_id"), "band", "band_sig"
+    )
+    cands = new_b.join(old_b, ["band", "band_sig"]).select("new_id", "old_id").distinct()
+    arrs = _shingle_arrays(spark, sf_dir)
+    common = F.size(F.array_intersect("arr_a", "arr_b"))
+    return (
+        cands.join(
+            arrs.select(F.col("doc_id").alias("new_id"), F.col("sh_arr").alias("arr_a")),
+            "new_id",
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("old_id"), F.col("sh_arr").alias("arr_b")),
+            "old_id",
+        )
+        .withColumn("common", common)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.size("arr_a") + F.size("arr_b") - F.col("common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("new_id", F.col("old_id").alias("dup_of"), "jaccard")
+        .orderBy(F.col("jaccard").desc(), "new_id", "dup_of")
+        .limit(100)
+    )
+
+
+INCREMENTAL_NEWBATCH_SQL = f"""
+WITH bands AS ({_BAND_SQL}),
+cands AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM bands n JOIN bands o ON n.band = o.band AND n.band_sig = o.band_sig
+  WHERE n.doc_id % {NEWBATCH_MOD} = 0 AND o.doc_id % {NEWBATCH_MOD} <> 0
+),
+arrs AS ({_SHINGLE_ARRAYS_SQL}),
+scored AS (
+  SELECT c.new_id, c.old_id,
+         len(list_intersect(aa.sh_arr, ab.sh_arr)) AS common,
+         len(aa.sh_arr) AS na, len(ab.sh_arr) AS nb
+  FROM cands c
+  JOIN arrs aa ON aa.doc_id = c.new_id
+  JOIN arrs ab ON ab.doc_id = c.old_id
+)
+SELECT new_id, old_id AS dup_of,
+       round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6) AS jaccard
+FROM scored
+WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
+      >= {JACCARD_THRESHOLD}
+ORDER BY jaccard DESC, new_id, dup_of
+LIMIT 100
+"""

@@ -752,6 +752,13 @@ _register(
     "ext_value_rank_normalized", _stats.value_rank_normalized, _stats.VALUE_RANK_NORM_SQL
 )
 
+# --- round 3b: incremental ingest dedup (new batch vs corpus index) ----------
+_register(
+    "ext_incremental_newbatch_dedup",
+    dedup.incremental_newbatch_dedup,
+    dedup.INCREMENTAL_NEWBATCH_SQL,
+)
+
 # --- round 3b: streaming mergeable-sketch maintenance (rows-only) -----------
 _register("ext_streaming_hll_sketches", ev.streaming_hll_user_sketches, None)
 
