@@ -508,3 +508,82 @@ WITH pred AS ({lang_id_sql()})
 SELECT lang_label, lang_pred, COUNT(*) AS n_docs
 FROM pred GROUP BY 1, 2
 """
+
+
+# --- heavy hitters: Misra-Gries summary + exact candidate recount -----------
+HH_K = 200  # report tokens whose count exceeds n_total / HH_K
+HH_CAPACITY = 4 * HH_K  # Misra-Gries counters kept per partition
+
+
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: every token with frequency > n/``HH_K``,
+    found WITHOUT a full-vocabulary shuffle.
+
+    The scale problem: a naive ``groupBy(token)`` shuffles one row per
+    distinct (partition, token) — at 100 TB that is a vocabulary-sized
+    shuffle dominated by the long tail of hapaxes that can never be heavy
+    hitters. Two-pass mergeable-summary design instead:
+
+    1. Per-partition Misra-Gries summary (Arrow-batched ``mapInPandas``,
+       ``HH_CAPACITY`` counters, state carried across the partition's
+       batches). The batched decrement subtracts the (C+1)-th largest
+       counter value from all and evicts the non-positives — equivalent to
+       a run of unit MG decrements, each removing ≥ C+1 units of count
+       mass, so any token undercounts by at most n_p/(C+1) within its
+       partition. A token with global count > n/(C+1) therefore survives
+       in at least one partition (averaging argument), and with
+       C = 4·K ≥ K the candidate set is a superset of every true heavy
+       hitter. Output is ≤ partitions × C rows — constant per partition,
+       broadcastable.
+    2. Exact recount of candidates only: broadcast-semi-join the token
+       stream against the candidate set (map-side filter — the tail never
+       enters a shuffle), partial-aggregable groupBy over ≤ C distinct
+       keys, then the exact integer threshold ``cnt · K > n``.
+
+    The final filter is over EXACT counts, so the output is deterministic
+    regardless of partitioning even though the intermediate MG candidate
+    set is not. Integer-only math end-to-end — no float portability trap.
+    """
+    import pandas as pd
+
+    docs = (
+        fanout_scan(spark, load_table(spark, sf_dir, "documents"))
+        .select(F.transform(_tokens(), lambda t: F.lower(t)).alias("toks"))
+        .localCheckpoint(eager=False)  # Generate re-evaluation rule
+    )
+    toks = docs.select(F.explode("toks").alias("token"))
+
+    def _mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for token, c in pdf["token"].value_counts().items():
+                counters[token] = counters.get(token, 0) + int(c)
+            if len(counters) > HH_CAPACITY:
+                cut = sorted(counters.values(), reverse=True)[HH_CAPACITY]
+                counters = {t: v - cut for t, v in counters.items() if v > cut}
+        yield pd.DataFrame({"token": pd.Series(list(counters), dtype="object")})
+
+    candidates = toks.mapInPandas(_mg_partition, "token string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.join(F.broadcast(total))  # 1-row scalar hoist (J4 pattern)
+        .filter(F.col("cnt") * F.lit(HH_K) > F.col("n"))
+        .select("token", F.col("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+HEAVY_HITTER_SQL = f"""
+WITH tok AS (
+  SELECT lower(unnest(regexp_extract_all(text, '{TOKEN_RE}'))) AS token FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM tok)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM tok, tot
+GROUP BY token, n
+HAVING COUNT(*) * {HH_K} > n
+"""

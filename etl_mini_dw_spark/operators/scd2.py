@@ -242,3 +242,24 @@ def dim_two_phase(
     staged = staging.delta_extract(spark, sf_dir, dim, wm)
     snapshot = staging.current_snapshot(spark, sf_dir, dim)
     return scd2_increment(dim0, staged, snapshot, dim, now_ts)
+
+
+def dim_asof_snapshot(spark: SparkSession, sf_dir: str, dim: DimSpec, ts: str) -> DataFrame:
+    """Point-in-time dimension snapshot: the version of every member that
+    was valid AT ``ts`` (reference reads only "current" via the sentinel,
+    `code/SQL_1…sql:480–520`; this generalizes it to any analysis date).
+
+    Build the full-history dimension, then keep the one row per NK with
+    ``active_from <= ts < active_to`` — the half-open interval convention
+    shared with the fact as-of resolve, so a snapshot taken at a version
+    boundary lands on the NEWER version, never both. The unknown member
+    (1900 → 9999 validity) survives every snapshot by construction.
+
+    100 TB: the filter is a scan-level predicate (min/max row-group
+    pruning on active_from/active_to); a dimension partitioned or Z-ordered
+    on validity reads only the row groups that straddle ``ts``. SKs are
+    assigned before the filter, so snapshot SKs agree with the full build.
+    """
+    hist = dim_initial(spark, sf_dir, dim)
+    at = F.lit(ts).cast("timestamp")
+    return hist.filter((F.col("active_from") <= at) & (F.col("active_to") > at))

@@ -771,6 +771,25 @@ _register(
     scd2_events.customer_late_splice_sql(),
 )
 
+# --- round 3c: point-in-time SCD2 snapshot ----------------------------------
+_register(
+    "scd2_customer_asof_snapshot",
+    lambda spark, sf_dir: _ts_as_str(
+        scd2.dim_asof_snapshot(spark, sf_dir, spec.DIMS["customer"], spec.MID),
+        "active_from",
+        "active_to",
+    ),
+    _ts_as_str_sql(
+        f"SELECT * FROM ({warehouse_sql.dim_initial_sql(spec.DIMS['customer'])}) "
+        f"WHERE active_from <= TIMESTAMP '{spec.MID}' AND active_to > TIMESTAMP '{spec.MID}'",
+        "active_from",
+        "active_to",
+    ),
+)
+
+# --- round 3c: heavy hitters (Misra-Gries summary + exact recount) ----------
+_register("ext_heavy_hitter_tokens", text.heavy_hitter_tokens, text.HEAVY_HITTER_SQL)
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). Rounds 1–2 proved the §2
