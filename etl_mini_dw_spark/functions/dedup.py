@@ -818,3 +818,95 @@ WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
 ORDER BY jaccard DESC, new_id, dup_of
 LIMIT 100
 """
+
+
+# --- containment near-dups: the subset-duplication case ---------------------
+CONTAINMENT_THRESHOLD = 0.6
+CONTAIN_MAX_DF = 5  # posting-list cap for candidate generation
+
+
+def containment_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups: ``|A∩B| / min(|A|,|B|)``.
+
+    Jaccard under-scores a short document wholly embedded in a longer one
+    (union is dominated by the long doc), so Jaccard-tuned LSH bands
+    under-recall exactly the boilerplate-inclusion case that matters for
+    training corpora. Candidates here come instead from RARE-shingle
+    posting lists (the decontaminate pattern, intra-corpus): one pass
+    over the shingle explode, posting lists capped at ``CONTAIN_MAX_DF``
+    members, ordered in-list pair expansion — candidate work is bounded
+    by Σ df² over rare shingles, never corpus². Verification is exact
+    ``array_intersect`` over the memoized shingle arrays, work ∝
+    candidates. Deterministic despite ``collect_list`` order: the pair
+    set is symmetric-closed (a<b) and ``distinct``-ed before scoring.
+    """
+    sh = _shingles_df(spark, sf_dir)
+    per = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= CONTAIN_MAX_DF))
+    )
+    pairs = (
+        per.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, a -> transform("
+                    "filter(members, b -> b > a),"
+                    " b -> struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    arrs = _shingle_arrays(spark, sf_dir)
+    common = F.size(F.array_intersect("arr_a", "arr_b"))
+    score = F.round(
+        F.col("common").cast("double")
+        / F.least(F.size("arr_a"), F.size("arr_b")).cast("double"),
+        6,
+    )
+    return (
+        pairs.join(
+            arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a")), "doc_a"
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b")), "doc_b"
+        )
+        .withColumn("common", common)
+        .withColumn("containment", score)
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", "containment")
+        .orderBy(F.col("containment").desc(), "doc_a", "doc_b")
+        .limit(100)
+    )
+
+
+CONTAINMENT_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {CONTAIN_MAX_DF}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a
+  JOIN rare USING (shingle)
+  JOIN sh b ON b.shingle = a.shingle AND b.doc_id > a.doc_id
+),
+arrs AS ({_SHINGLE_ARRAYS_SQL}),
+scored AS (
+  SELECT p.doc_a, p.doc_b,
+         len(list_intersect(aa.sh_arr, ab.sh_arr)) AS common,
+         least(len(aa.sh_arr), len(ab.sh_arr)) AS mn
+  FROM pairs p
+  JOIN arrs aa ON aa.doc_id = p.doc_a
+  JOIN arrs ab ON ab.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b,
+       round(CAST(common AS DOUBLE) / CAST(mn AS DOUBLE), 6) AS containment
+FROM scored
+WHERE round(CAST(common AS DOUBLE) / CAST(mn AS DOUBLE), 6) >= {CONTAINMENT_THRESHOLD}
+ORDER BY containment DESC, doc_a, doc_b
+LIMIT 100
+"""

@@ -430,3 +430,84 @@ SELECT query_id, cand_id, qdot, CAST(rank AS INTEGER) AS rank FROM (
   FROM scored)
 WHERE rank <= {TOP_K}
 """
+
+
+# --- embedding column QA: per-dimension distribution stats ------------------
+EMB_DIM = 64  # testdata embedding width (TESTDATA.md)
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension health stats for the embedding column: n, mean, std,
+    min, max per vector coordinate — the drift/collapse check run before
+    trusting ANN indexes (a dead dimension or exploding scale breaks
+    IVF/PQ codebooks silently).
+
+    Scale design: NOT a posexplode + groupBy(dim) — that shuffles
+    n_vectors × EMB_DIM rows. Instead one ``agg`` with 4·EMB_DIM
+    JVM-side partial aggregates (sum, sum², min, max per coordinate):
+    map-side combine reduces every partition to ONE row of width 4·64,
+    the merge is a single tiny reduce, zero data-sized shuffle. The
+    1-row result is then unpacked to (dim_idx, stats) rows driver-free
+    via an array-of-structs explode. Float sums are order-dependent in
+    the low bits → mean/std rounded to 6 on both sides (repo precedent:
+    cosines); min/max are order-free and compared exact. sqrt is gated
+    on var > 0 identically on both sides (DuckDB raises on negatives).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(EMB_DIM):
+        v = F.col("embedding")[i].cast("double")
+        aggs += [
+            F.sum(v).alias(f"s{i}"),
+            F.sum(v * v).alias(f"q{i}"),
+            F.min(v).alias(f"mn{i}"),
+            F.max(v).alias(f"mx{i}"),
+        ]
+    row = emb.agg(*aggs)
+    unpacked = row.select(
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("bigint").alias("dim_idx"),
+                        F.col(f"s{i}").alias("s"),
+                        F.col(f"q{i}").alias("q"),
+                        F.col(f"mn{i}").alias("mn"),
+                        F.col(f"mx{i}").alias("mx"),
+                    )
+                    for i in range(EMB_DIM)
+                ]
+            )
+        ).alias("d"),
+    )
+    mean = F.col("d.s") / F.col("n")
+    var = F.col("d.q") / F.col("n") - mean * mean
+    std = F.when(var > 0, F.sqrt(var)).otherwise(F.lit(0.0))
+    return unpacked.select(
+        F.col("d.dim_idx").alias("dim_idx"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(mean, 6).alias("mean_v"),
+        F.round(std, 6).alias("std_v"),
+        F.col("d.mn").alias("min_v"),
+        F.col("d.mx").alias("max_v"),
+    )
+
+
+EMBEDDING_DIM_STATS_SQL = f"""
+WITH per AS (
+  SELECT i AS dim_idx, CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS v
+  FROM embeddings, (SELECT unnest(range({EMB_DIM})) AS i)
+),
+agg AS (
+  SELECT dim_idx, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS q,
+         MIN(v) AS mn, MAX(v) AS mx
+  FROM per GROUP BY dim_idx
+)
+SELECT CAST(dim_idx AS BIGINT) AS dim_idx, CAST(n AS BIGINT) AS n,
+       round(s / n, 6) AS mean_v,
+       round(CASE WHEN q / n - (s / n) * (s / n) > 0
+                  THEN sqrt(q / n - (s / n) * (s / n)) ELSE 0.0 END, 6) AS std_v,
+       mn AS min_v, mx AS max_v
+FROM agg
+"""

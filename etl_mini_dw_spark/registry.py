@@ -790,6 +790,16 @@ _register(
 # --- round 3c: heavy hitters (Misra-Gries summary + exact recount) ----------
 _register("ext_heavy_hitter_tokens", text.heavy_hitter_tokens, text.HEAVY_HITTER_SQL)
 
+# --- round 3c: containment near-dups (subset duplication) -------------------
+_register(
+    "ext_containment_neardups", dedup.containment_neardups, dedup.CONTAINMENT_SQL
+)
+
+# --- round 3c: embedding column QA ------------------------------------------
+_register(
+    "ext_embedding_dim_stats", simsearch.embedding_dim_stats, simsearch.EMBEDDING_DIM_STATS_SQL
+)
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). Rounds 1–2 proved the §2
