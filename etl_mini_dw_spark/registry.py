@@ -795,6 +795,13 @@ _register(
     "ext_containment_neardups", dedup.containment_neardups, dedup.CONTAINMENT_SQL
 )
 
+# --- round 3c: stream-stream LEFT OUTER interval join (topology #8) ---------
+_register(
+    "ext_streaming_left_outer_attribution",
+    ev.streaming_left_outer_attribution,
+    ev.STREAMING_LEFT_OUTER_SQL,
+)
+
 # --- round 3c: embedding column QA ------------------------------------------
 _register(
     "ext_embedding_dim_stats", simsearch.embedding_dim_stats, simsearch.EMBEDDING_DIM_STATS_SQL

@@ -690,3 +690,159 @@ def streaming_hll_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("user_sketch").alias("approx_users"),
         "n_events",
     )
+
+
+def _sentinel_landing_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Bounded-replay landing dir: the real events file (symlinked, not
+    copied) plus two far-future sentinel files.
+
+    Stream-stream OUTER joins only emit unmatched rows once the
+    watermark passes their eviction bound, and the bound is computed
+    from the watermark AFTER Catalyst pushes the per-side event-type
+    filter below the EventTimeWatermark node — so with a single bounded
+    file the per-side watermark stops at that side's own max event time
+    and the tail of the stream never evicts (measured: the latest click
+    is never emitted as an orphan). Two sentinel files — each carrying
+    one far-future 'click' and one far-future 'purchase' on reserved
+    negative user_ids that can never join — advance BOTH sides'
+    watermarks in two extra micro-batches: batch N+1 (sentinel 1) makes
+    every real row's eviction bound passable, batch N+2 (sentinel 2)
+    runs with that watermark applied and flushes ALL real state,
+    independent of no-data micro-batch timing. The harness is the
+    file-source twin of closing a Kafka topic with an end-of-stream
+    marker. mtimes are staggered so the file source replays in order.
+    """
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    landing = tempfile.mkdtemp(prefix="stream_louter_landing_")
+    real = os.path.join(sf_dir, "events.parquet")
+    os.symlink(real, os.path.join(landing, "events.parquet"))
+
+    schema = pq.read_schema(real)
+    ts_field = schema.field("ts")
+
+    def _ts_value(year: int):
+        from datetime import datetime, timezone
+
+        dt = datetime(year, 1, 1, tzinfo=timezone.utc)
+        if pa.types.is_timestamp(ts_field.type):
+            return dt.replace(tzinfo=None)
+        # ns-long rounds (nanosAsLong schema variant)
+        return int(dt.timestamp()) * 1_000_000_000
+
+    now = os.path.getmtime(real)
+    for i, year in enumerate((2090, 2091), start=1):
+        cols = {}
+        for f in schema:
+            if f.name == "ts":
+                cols[f.name] = pa.array([_ts_value(year)] * 2, type=f.type)
+            elif f.name == "event_id":
+                cols[f.name] = pa.array([-(10 * i), -(10 * i + 1)], type=f.type)
+            elif f.name == "user_id":
+                cols[f.name] = pa.array([-1, -2], type=f.type)
+            elif f.name == "event_type":
+                cols[f.name] = pa.array(["click", "purchase"], type=f.type)
+            elif f.name == "value":
+                cols[f.name] = pa.array([0.0, 0.0], type=f.type)
+            else:  # props or future string columns
+                cols[f.name] = pa.array(["{}", "{}"], type=f.type)
+        path = os.path.join(landing, f"sentinel{i}.parquet")
+        pq.write_table(pa.table(cols, schema=schema), path)
+        os.utime(path, (now + 1000 * i, now + 1000 * i))
+    return landing
+
+
+def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM **left outer** interval join: every click either
+    attributed to a purchase within ``ATTRIBUTION_WINDOW_MIN`` minutes
+    or emitted as an orphan once the watermark proves no purchase can
+    still arrive — the topology the inner attribution join cannot give
+    (an unconverted-click report is exactly the rows the inner join
+    drops).
+
+    Both sides carry 0-delay watermarks and the join carries the time
+    bound ⇒ bounded state; unmatched-left emission is watermark-gated,
+    which the sentinel landing dir (see ``_sentinel_landing_dir``) makes
+    deterministic on bounded replay — so the result equals the plain
+    batch left join and the oracle is exact, not a weakened rows-only
+    check. Sink is append-mode ``foreachBatch`` → parquet; the per-day
+    rollup is a lazy batch aggregate over the sink.
+    """
+    _ensure_session_confs(spark)
+    landing = _sentinel_landing_dir(spark, sf_dir)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _side(event_type: str, alias: str):
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(landing)
+            .transform(events_ts_to_timestamp)
+            .withWatermark("ts", "0 seconds")
+            .filter(F.col("event_type") == event_type)
+            .selectExpr(
+                f"user_id AS {alias}_user", f"ts AS {alias}_ts", f"event_id AS {alias}_id"
+            )
+        )
+
+    clicks, purchases = _side("click", "c"), _side("purchase", "p")
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND "
+            f"p_ts <= c_ts + INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES"
+        ),
+        "leftOuter",
+    )
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="stream_louter_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_louter_ckpt_")
+
+    def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        pairs.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(_write_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    joined = spark.read.schema(pairs.schema).parquet(out_dir)
+    return (
+        joined.filter(F.col("c_user") >= 0)  # drop sentinel rows
+        .groupBy(F.date_format("c_ts", "yyyy-MM-dd").alias("click_day"))
+        .agg(
+            F.count("p_id").cast("bigint").alias("n_attributed"),
+            F.sum(F.when(F.col("p_id").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphan_clicks"),
+        )
+    )
+
+
+STREAMING_LEFT_OUTER_SQL = f"""
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+c AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.ts AS c_ts, p.event_id AS p_id
+  FROM c LEFT JOIN p
+    ON c.user_id = p.user_id
+   AND p.ts >= c.ts
+   AND p.ts <= c.ts + INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTE
+)
+SELECT strftime(c_ts, '%Y-%m-%d') AS click_day,
+       CAST(COUNT(p_id) AS BIGINT) AS n_attributed,
+       CAST(COUNT(*) FILTER (p_id IS NULL) AS BIGINT) AS n_orphan_clicks
+FROM j GROUP BY 1
+"""
