@@ -227,3 +227,50 @@ def test_attribution_join_is_user_keyed(spark, sf_dir):
     plan = _plan(behavior.attribution_models(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime row-level filtering: with a selective dim-side filter and
+    a shuffle join, the optimizer must inject a bloom_filter_agg on the
+    creation side and a might_contain predicate on the fact scan — the
+    100 TB mechanism that keeps a shuffle join from reading fact rows
+    whose keys the filtered dim side can never match."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1000MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan, plan[:2500]
+        assert "might_contain" in plan, plan[:2500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_heavy_hitter_recount_is_broadcast(spark, sf_dir):
+    """The exact-recount join against the MG candidate set must be a
+    broadcast (map-side filter of the token stream), and the final
+    count must be two-phase — the tail of the vocabulary must never
+    enter a shuffle keyed by itself at full width."""
+    from etl_mini_dw_spark.functions import text
+
+    plan = _plan(text.heavy_hitter_tokens(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2500]
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
