@@ -42,3 +42,68 @@ def register_mart_views(spark, dims: dict[str, DataFrame], fact_df: DataFrame) -
     for key, df in dims.items():
         mart_dim_current(df, spec.DIMS[key]).createOrReplaceTempView(f"mart_{key}")
     mart_fact(fact_df).createOrReplaceTempView("mart_fact_sales")
+
+
+def fact_order_lifecycle(spark, sf_dir: str) -> DataFrame:
+    """Accumulating-snapshot fact: one row per order carrying its
+    lifecycle milestones (placed → first ship → last ship) and the
+    durations between them — the Kimball pattern for process-tracking
+    facts, beside the transaction-grain ``FactSales``.
+
+    Shape: ONE shuffle — the per-order milestone aggregate keys by
+    l_orderkey and the orders join reuses that partitioning (only the
+    orders side re-shuffles; with both tables bucketed on orderkey at
+    ingest, zero Exchange — plans/bucketing.py). Milestone dates are
+    MIN/MAX aggregates, so a late-arriving line simply widens the span
+    on the next run: the accumulating snapshot is an idempotent
+    re-aggregation, not an UPDATE-in-place. Dates project through
+    ``date_format`` (the no-raw-DATE output contract); money stays
+    DECIMAL until the final double cast.
+    """
+    from etl_mini_dw_spark.sources.tables import typed_table
+
+    li = typed_table(spark, sf_dir, "lineitem")
+    orders = typed_table(spark, sf_dir, "orders")
+    revenue = F.col("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.sum(revenue).cast("decimal(38,4)").cast("double").alias("revenue"),
+    )
+    j = orders.join(per_order, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+    return j.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.date_format("first_ship", "yyyy-MM-dd").alias("first_ship_day"),
+        F.date_format("last_ship", "yyyy-MM-dd").alias("last_ship_day"),
+        F.coalesce(F.col("n_lines"), F.lit(0)).cast("bigint").alias("n_lines"),
+        F.datediff("first_ship", "o_orderdate").cast("int").alias("days_to_first_ship"),
+        F.datediff("last_ship", "first_ship").cast("int").alias("ship_span_days"),
+        F.col("revenue"),
+    )
+
+
+ORDER_LIFECYCLE_SQL = """
+WITH per AS (
+  SELECT l_orderkey, COUNT(*) AS n_lines,
+         MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship,
+         SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+  FROM lineitem GROUP BY 1
+)
+SELECT o_orderkey AS orderkey, o_orderstatus AS status,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+       strftime(first_ship, '%Y-%m-%d') AS first_ship_day,
+       strftime(last_ship, '%Y-%m-%d') AS last_ship_day,
+       CAST(COALESCE(n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(first_ship AS DATE))
+            AS INTEGER) AS days_to_first_ship,
+       CAST(date_diff('day', CAST(first_ship AS DATE), CAST(last_ship AS DATE))
+            AS INTEGER) AS ship_span_days,
+       CAST(rev AS DOUBLE) AS revenue
+FROM orders LEFT JOIN per ON o_orderkey = l_orderkey
+"""

@@ -802,6 +802,11 @@ _register(
     ev.STREAMING_LEFT_OUTER_SQL,
 )
 
+# --- round 3c: accumulating-snapshot fact (order lifecycle) -----------------
+_register(
+    "fact_order_lifecycle", marts.fact_order_lifecycle, marts.ORDER_LIFECYCLE_SQL
+)
+
 # --- round 3c: embedding column QA ------------------------------------------
 _register(
     "ext_embedding_dim_stats", simsearch.embedding_dim_stats, simsearch.EMBEDDING_DIM_STATS_SQL
