@@ -107,3 +107,89 @@ SELECT o_orderkey AS orderkey, o_orderstatus AS status,
        CAST(rev AS DOUBLE) AS revenue
 FROM orders LEFT JOIN per ON o_orderkey = l_orderkey
 """
+
+
+def fact_customer_monthly_snapshot(spark, sf_dir: str) -> DataFrame:
+    """Periodic-snapshot fact: one row per (customer, month) — including
+    zero-activity months — with the month's order count/revenue and the
+    customer's cumulative revenue to date. Completes the Kimball fact
+    triad: transaction grain (``FactSales``), accumulating snapshot
+    (``fact_order_lifecycle``), periodic snapshot (this).
+
+    Shape: the month spine is generated (sequence+explode, G1 pattern)
+    and broadcast against the customer dim — the spine cross join is
+    dim-sized, never fact-sized. The activity aggregate is one
+    partial-aggregable shuffle on (month, custkey); the cumulative sum
+    windows inside custkey partitions (never global). Money stays exact
+    DECIMAL through the window so the running total is
+    partition-order-invariant. At 100 TB the snapshot is maintained by
+    appending the CURRENT month only; this full-history build is the
+    backfill path.
+    """
+    from pyspark.sql import Window
+
+    from etl_mini_dw_spark.sources.tables import typed_table
+
+    orders = typed_table(spark, sf_dir, "orders")
+    customer = typed_table(spark, sf_dir, "customer")
+    bounds = orders.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    months = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 month"))).alias("m")
+    ).select(F.date_format("m", "yyyy-MM").alias("month"))
+    spine = customer.select(F.col("c_custkey").alias("custkey")).crossJoin(
+        F.broadcast(months)
+    )
+    activity = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_custkey").alias("custkey"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("rev"),
+    )
+    j = spine.join(activity, ["month", "custkey"], "left").select(
+        "month",
+        "custkey",
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce(F.col("rev"), F.lit(0).cast("decimal(14,2)")).alias("rev"),
+    )
+    w = Window.partitionBy("custkey").orderBy("month")
+    return j.select(
+        "month",
+        "custkey",
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(w).cast("double").alias("cum_revenue"),
+    )
+
+
+CUSTOMER_MONTHLY_SNAPSHOT_SQL = """
+WITH b AS (
+  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+         date_trunc('month', MAX(o_orderdate)) AS hi
+  FROM orders
+),
+months AS (
+  SELECT strftime(m, '%Y-%m') AS month
+  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m FROM b)
+),
+spine AS (SELECT month, c_custkey AS custkey FROM months CROSS JOIN customer),
+activity AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_custkey AS custkey,
+         COUNT(*) AS n_orders, SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+  FROM orders GROUP BY 1, 2
+),
+j AS (
+  SELECT s.month, s.custkey,
+         COALESCE(a.n_orders, 0) AS n_orders,
+         COALESCE(a.rev, CAST(0 AS DECIMAL(14,2))) AS rev
+  FROM spine s LEFT JOIN activity a ON a.month = s.month AND a.custkey = s.custkey
+)
+SELECT month, custkey, CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(SUM(rev) OVER (PARTITION BY custkey ORDER BY month) AS DOUBLE)
+         AS cum_revenue
+FROM j
+"""

@@ -807,6 +807,13 @@ _register(
     "fact_order_lifecycle", marts.fact_order_lifecycle, marts.ORDER_LIFECYCLE_SQL
 )
 
+# --- round 3c: periodic-snapshot fact (customer × month spine) --------------
+_register(
+    "fact_customer_monthly_snapshot",
+    marts.fact_customer_monthly_snapshot,
+    marts.CUSTOMER_MONTHLY_SNAPSHOT_SQL,
+)
+
 # --- round 3c: embedding column QA ------------------------------------------
 _register(
     "ext_embedding_dim_stats", simsearch.embedding_dim_stats, simsearch.EMBEDDING_DIM_STATS_SQL
