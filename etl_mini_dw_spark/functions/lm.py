@@ -29,7 +29,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_mini_dw_spark.functions.text import WORD_RE
-from etl_mini_dw_spark.sources.tables import fanout_scan, load_table
 
 
 def _log2b(col: F.Column) -> F.Column:
@@ -44,15 +43,9 @@ def lm_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     document with ≥ 2 tokens; higher avg_surprisal = rarer transitions =
     lower-quality/out-of-domain text.
     """
-    docs = (
-        fanout_scan(spark, load_table(spark, sf_dir, "documents"))
-        .select(
-            "doc_id",
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0).alias("w"),
-        )
-        .filter(F.size("w") >= 2)
-        .localCheckpoint(eager=False)
-    )
+    from etl_mini_dw_spark.functions.text import _word_frame
+
+    docs = _word_frame(spark, sf_dir).select("doc_id", "w").filter(F.size("w") >= 2)
     # stage the bigram array BEFORE the explode (Generate re-evaluates
     # pipelined child expressions per OUTPUT row — CLAUDE.md invariant)
     arrs = docs.select(

@@ -18,10 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_mini_dw_spark.sources.tables import fanout_scan, load_table
+from etl_mini_dw_spark.sources.tables import fanout_scan, load_table, stage_memo
 
 TOKEN_RE = "[A-Za-z]+|[0-9]+"
 PUNCT_RE = "[.,;:!?]"
+WORD_RE = "[a-z]+"
 
 STOPWORDS = {
     "en": ["the", "a", "and", "of", "to"],
@@ -34,6 +35,48 @@ STOPWORDS = {
 
 def _tokens() -> F.Column:
     return F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
+
+
+def _token_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, lang, toks) — lowercased TOKEN_RE tokens,
+    stage-memoized per (session, sf-dir) like the dedup shingle frames:
+    the regex battery is the dominant cost of every token-level query,
+    and lang-id / vocab / postings / heavy-hitters all consume the same
+    array. Checkpointing also stops projection collapse from inlining
+    the regex into each downstream reference (lang-id references the
+    array once per language — 5× tokenization without this)."""
+
+    def build() -> DataFrame:
+        return (
+            fanout_scan(spark, load_table(spark, sf_dir, "documents"))
+            .select(
+                "doc_id",
+                "source",
+                "lang",
+                F.transform(_tokens(), lambda t: F.lower(t)).alias("toks"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    return stage_memo(spark, sf_dir, "text_tok_lower", build)
+
+
+def _word_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, w) — WORD_RE over lowercased text, stage-memoized;
+    the shared staging for the bigram/tf-idf/repetition/histogram family."""
+
+    def build() -> DataFrame:
+        return (
+            fanout_scan(spark, load_table(spark, sf_dir, "documents"))
+            .select(
+                "doc_id",
+                "source",
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0).alias("w"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    return stage_memo(spark, sf_dir, "text_word_lower", build)
 
 
 def quality_score_col() -> F.Column:
@@ -88,9 +131,9 @@ FROM documents
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram/stopword-hit language ID heuristic; ties break alphabetically."""
-    docs = fanout_scan(spark, load_table(spark, sf_dir, "documents"))
-    toks = F.transform(_tokens(), lambda t: F.lower(t))
-    out = docs.select("doc_id", F.col("lang").alias("lang_label"), toks.alias("_toks"))
+    out = _token_frame(spark, sf_dir).select(
+        "doc_id", F.col("lang").alias("lang_label"), F.col("toks").alias("_toks")
+    )
     for lang, words in STOPWORDS.items():
         in_list = " OR ".join(f"t = '{w}'" for w in words)
         out = out.withColumn(
@@ -164,7 +207,6 @@ FROM documents
 
 
 TOP_BIGRAMS_K = 50
-WORD_RE = "[a-z]+"
 
 
 def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,9 +220,7 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     The count is a plain hash aggregate with map-side combine; K rows
     survive to the driver-side sort.
     """
-    docs = fanout_scan(spark, load_table(spark, sf_dir, "documents")).select(
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0).alias("w")
-    )
+    docs = _word_frame(spark, sf_dir)
     bigrams = docs.select(
         F.when(
             F.size("w") >= 2,
@@ -234,9 +274,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = fanout_scan(spark, load_table(spark, sf_dir, "documents")).select(
-        "doc_id", F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0).alias("w")
-    ).localCheckpoint(eager=False)
+    docs = _word_frame(spark, sf_dir)
     words = docs.select("doc_id", F.explode("w").alias("term"))
     tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -298,14 +336,7 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection. Per-doc work is O(len·distinct) on bounded documents; no
     shuffle at any scale.
     """
-    docs = (
-        fanout_scan(spark, load_table(spark, sf_dir, "documents"))
-        .select(
-            "doc_id",
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0).alias("w"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    docs = _word_frame(spark, sf_dir)
     staged = docs.select(
         "doc_id",
         F.size("w").alias("n_tokens"),
@@ -385,8 +416,8 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines; one hash aggregate with map-side combine, grouping key
     cardinality = |sources| × |buckets| (tiny), no skew.
     """
-    docs = fanout_scan(spark, load_table(spark, sf_dir, "documents"))
-    n_tokens = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0))
+    docs = _word_frame(spark, sf_dir)
+    n_tokens = F.size("w")
     bucket = (n_tokens / F.lit(LENGTH_BUCKET_WIDTH)).cast("bigint") * LENGTH_BUCKET_WIDTH
     return (
         docs.select("source", bucket.alias("token_bucket"))
@@ -421,11 +452,7 @@ def token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     table keyed by token instead of an in-row array. Token array is
     checkpointed ahead of the explode (Generate re-evaluation rule).
     """
-    docs = (
-        fanout_scan(spark, load_table(spark, sf_dir, "documents"))
-        .select("doc_id", F.transform(_tokens(), lambda t: F.lower(t)).alias("toks"))
-        .localCheckpoint(eager=False)
-    )
+    docs = _token_frame(spark, sf_dir)
     per = (
         docs.select("doc_id", F.explode("toks").alias("token"))
         .groupBy("token", "doc_id")
@@ -464,11 +491,7 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two partial-aggregable shuffles: (source, token) then source.
     """
-    docs = (
-        fanout_scan(spark, load_table(spark, sf_dir, "documents"))
-        .select("source", F.transform(_tokens(), lambda t: F.lower(t)).alias("toks"))
-        .localCheckpoint(eager=False)
-    )
+    docs = _token_frame(spark, sf_dir)
     per = (
         docs.select("source", F.explode("toks").alias("token"))
         .groupBy("source", "token")
@@ -546,12 +569,7 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    docs = (
-        fanout_scan(spark, load_table(spark, sf_dir, "documents"))
-        .select(F.transform(_tokens(), lambda t: F.lower(t)).alias("toks"))
-        .localCheckpoint(eager=False)  # Generate re-evaluation rule
-    )
-    toks = docs.select(F.explode("toks").alias("token"))
+    toks = _token_frame(spark, sf_dir).select(F.explode("toks").alias("token"))
 
     def _mg_partition(batches):
         counters: dict[str, int] = {}
