@@ -385,3 +385,127 @@ SELECT touch_type,
 FROM staged
 GROUP BY touch_type
 """
+
+
+# --- RFM segmentation -------------------------------------------------------
+RFM_METRICS = (
+    ("recency_days", "rn_r", "r"),
+    ("frequency", "rn_f", "f"),
+    ("monetary", "rn_m", "m"),
+)
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM mart: per purchasing customer, recency (days since
+    last order, against the corpus max date), frequency (order count)
+    and monetary (exact-DECIMAL lifetime total), each bucketed into
+    quintiles and concatenated into the familiar 3-digit segment code.
+
+    Quintile boundaries are DISCRETE order statistics (value at rank
+    ⌈q·n/5⌉, integer rank arithmetic — the winsorize pattern), so the
+    bin assignment is a pure comparison against four broadcast scalars
+    per metric: ties land in the same bin deterministically on both
+    engines, and no interpolated double ever feeds a comparison. The
+    rank windows sort the CUSTOMER aggregate (dim-sized, not
+    fact-sized); at 100 TB the same plan holds with
+    ``approx_percentile`` boundaries snapped to real data points, the
+    documented t-digest swap. Quintiles are ascending (r=1 ⇒ most
+    recent, f=5 ⇒ most orders, m=5 ⇒ highest spend).
+    """
+    orders = typed_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    base = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "custkey",
+            F.datediff("anchor", "last_order").cast("int").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    n_row = base.agg(F.count(F.lit(1)).alias("n"))
+    ranked = base.crossJoin(F.broadcast(n_row)).select(
+        "*",
+        F.row_number().over(Window.orderBy("recency_days", "custkey")).alias("rn_r"),
+        F.row_number().over(Window.orderBy("frequency", "custkey")).alias("rn_f"),
+        F.row_number().over(Window.orderBy("monetary", "custkey")).alias("rn_m"),
+    )
+    bound_aggs = []
+    for metric, rn, tag in RFM_METRICS:
+        for q in (1, 2, 3, 4):
+            k = F.expr(f"({q} * n + 4) div 5")
+            bound_aggs.append(
+                F.min(F.when(F.col(rn) == k, F.col(metric))).alias(f"{tag}{q}")
+            )
+    bounds = ranked.agg(*bound_aggs)
+
+    def _bin(metric: str, tag: str) -> F.Column:
+        c = F.when(F.col(metric) <= F.col(f"{tag}1"), 1)
+        for q in (2, 3, 4):
+            c = c.when(F.col(metric) <= F.col(f"{tag}{q}"), q)
+        return c.otherwise(5).cast("int").alias(f"{tag}_quintile")
+
+    return base.crossJoin(F.broadcast(bounds)).select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
+        _bin("recency_days", "r"),
+        _bin("frequency", "f"),
+        _bin("monetary", "m"),
+        F.concat_ws(
+            "", _bin("recency_days", "r"), _bin("frequency", "f"), _bin("monetary", "m")
+        ).alias("segment"),
+    )
+
+
+def _rfm_bin_sql(metric: str, tag: str) -> str:
+    whens = " ".join(
+        f"WHEN {metric} <= {tag}{q} THEN {q}" for q in (1, 2, 3, 4)
+    )
+    return f"CAST(CASE {whens} ELSE 5 END AS INTEGER)"
+
+
+CUSTOMER_RFM_SQL = f"""
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                        (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+              AS INTEGER) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS monetary
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT *, (SELECT COUNT(*) FROM base) AS n,
+         row_number() OVER (ORDER BY recency_days, custkey) AS rn_r,
+         row_number() OVER (ORDER BY frequency, custkey) AS rn_f,
+         row_number() OVER (ORDER BY monetary, custkey) AS rn_m
+  FROM base
+),
+bounds AS (
+  SELECT
+    {", ".join(
+        f"MIN(CASE WHEN rn_{t} = ({q} * n + 4) // 5 THEN {m} END) AS {t}{q}"
+        for m, _, t in ((("recency_days", "rn_r", "r")), ("frequency", "rn_f", "f"),
+                        ("monetary", "rn_m", "m"))
+        for q in (1, 2, 3, 4)
+    )}
+  FROM ranked
+)
+SELECT b.custkey, b.recency_days, b.frequency,
+       CAST(b.monetary AS DOUBLE) AS monetary,
+       {_rfm_bin_sql("recency_days", "r")} AS r_quintile,
+       {_rfm_bin_sql("frequency", "f")} AS f_quintile,
+       {_rfm_bin_sql("monetary", "m")} AS m_quintile,
+       CAST({_rfm_bin_sql("recency_days", "r")} AS VARCHAR)
+         || CAST({_rfm_bin_sql("frequency", "f")} AS VARCHAR)
+         || CAST({_rfm_bin_sql("monetary", "m")} AS VARCHAR) AS segment
+FROM base b CROSS JOIN bounds
+"""

@@ -814,6 +814,15 @@ _register(
     marts.CUSTOMER_MONTHLY_SNAPSHOT_SQL,
 )
 
+# --- round 3c: RFM segmentation ---------------------------------------------
+from etl_mini_dw_spark.plans import behavior as _behavior
+
+_register(
+    "ext_customer_rfm_segments",
+    _behavior.customer_rfm_segments,
+    _behavior.CUSTOMER_RFM_SQL,
+)
+
 # --- round 3c: embedding column QA ------------------------------------------
 _register(
     "ext_embedding_dim_stats", simsearch.embedding_dim_stats, simsearch.EMBEDDING_DIM_STATS_SQL
