@@ -371,3 +371,98 @@ FROM pairs GROUP BY 1, 2
 ORDER BY n_orders DESC, part_a, part_b
 LIMIT {BASKET_TOP}
 """
+
+
+# --- association rules over the basket pairs --------------------------------
+RULES_MIN_PAIR_ORDERS = 2
+RULES_TOP = 50
+
+
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: support, directional
+    confidence, and lift for every part pair co-occurring in ≥
+    ``RULES_MIN_PAIR_ORDERS`` orders — the full market-basket deliverable
+    on top of the co-occurrence counts.
+
+    All three metrics are ratios of exact integers (pair orders, item
+    orders, total orders), so the doubles are bit-identical across
+    engines (IEEE division of identical integers); rounded to 6 anyway
+    per the repo's ratio convention. Shape: the pair self-join is the
+    Σ(basket²) bound as in co-occurrence; per-item order counts are a
+    dim-sized aggregate broadcast back; the total-orders scalar is a
+    1-row cross join. Top-``RULES_TOP`` by lift via
+    TakeOrderedAndProject — no global sort.
+    """
+    li = (
+        typed_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)  # pair join + item counts + N share one scan
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    item = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= RULES_MIN_PAIR_ORDERS)
+    )
+    scored = (
+        pair_counts.join(
+            F.broadcast(item.select(F.col("part").alias("part_a"), F.col("n_item").alias("n_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(item.select(F.col("part").alias("part_b"), F.col("n_item").alias("n_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.round(F.col("n_pair") / F.col("n_total"), 6).alias("support"),
+            F.round(F.col("n_pair") / F.col("n_a"), 6).alias("conf_a_to_b"),
+            F.round(F.col("n_pair") / F.col("n_b"), 6).alias("conf_b_to_a"),
+            F.round(
+                (F.col("n_pair") * F.col("n_total")) / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "part_a", "part_b").limit(RULES_TOP)
+
+
+PART_ASSOCIATION_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_total FROM li),
+item AS (SELECT l_partkey AS part, COUNT(*) AS n_item FROM li GROUP BY 1),
+pc AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_pair
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {RULES_MIN_PAIR_ORDERS}
+)
+SELECT part_a, part_b, CAST(n_pair AS BIGINT) AS n_pair,
+       round(CAST(n_pair AS DOUBLE) / n_total, 6) AS support,
+       round(CAST(n_pair AS DOUBLE) / ia.n_item, 6) AS conf_a_to_b,
+       round(CAST(n_pair AS DOUBLE) / ib.n_item, 6) AS conf_b_to_a,
+       round(CAST(n_pair * n_total AS DOUBLE) / (ia.n_item * ib.n_item), 6) AS lift
+FROM pc
+JOIN item ia ON ia.part = pc.part_a
+JOIN item ib ON ib.part = pc.part_b
+CROSS JOIN n
+ORDER BY lift DESC, part_a, part_b
+LIMIT {RULES_TOP}
+"""

@@ -814,6 +814,11 @@ _register(
     marts.CUSTOMER_MONTHLY_SNAPSHOT_SQL,
 )
 
+# --- round 3c: association rules (support / confidence / lift) --------------
+_register(
+    "ext_part_association_rules", olap.part_association_rules, olap.PART_ASSOCIATION_SQL
+)
+
 # --- round 3c: RFM segmentation ---------------------------------------------
 from etl_mini_dw_spark.plans import behavior as _behavior
 
