@@ -263,3 +263,75 @@ def dim_asof_snapshot(spark: SparkSession, sf_dir: str, dim: DimSpec, ts: str) -
     hist = dim_initial(spark, sf_dir, dim)
     at = F.lit(ts).cast("timestamp")
     return hist.filter((F.col("active_from") <= at) & (F.col("active_to") > at))
+
+
+def dim_version_churn(spark: SparkSession, sf_dir: str, dim: DimSpec, top: int = 100) -> DataFrame:
+    """Attribute-churn report over the SCD2 history: per natural key, how
+    many versions exist, the lifetime span covered, and the average days
+    a version stays current — the dimension-ops health check that flags
+    keys whose attributes flap (bad upstream feeds produce version storms
+    that bloat the dimension and skew as-of joins).
+
+    Closed-version durations only (the open 9999 row would poison any
+    average); integer day arithmetic + round-6 on the single ratio.
+    One NK-keyed aggregate over the dim-sized history, then
+    TakeOrderedAndProject for the top churners — no global sort.
+    """
+    hist = dim_initial(spark, sf_dir, dim).filter(F.col(dim.nk) != -1)
+    closed_days = F.when(
+        F.col("active_to") < _ts(HIGH),
+        F.datediff(F.col("active_to"), F.col("active_from")),
+    )
+    per = hist.groupBy(F.col(dim.nk).alias("nk")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+        F.date_format(F.min("active_from"), "yyyy-MM-dd").alias("first_seen_day"),
+        F.sum(closed_days).cast("bigint").alias("closed_days_total"),
+        F.sum(F.when(closed_days.isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_closed"),
+    )
+    avg_days = F.when(
+        F.col("n_closed") > 0,
+        F.round(F.col("closed_days_total") / F.col("n_closed"), 6),
+    )
+    return (
+        per.select(
+            "nk",
+            "n_versions",
+            "first_seen_day",
+            F.coalesce("closed_days_total", F.lit(0)).cast("bigint").alias(
+                "closed_days_total"
+            ),
+            "n_closed",
+            avg_days.alias("avg_days_per_version"),
+        )
+        .orderBy(F.col("n_versions").desc(), "nk")
+        .limit(top)
+    )
+
+
+def dim_version_churn_sql(dim_initial_sql: str, nk: str, high_ts: str, top: int = 100) -> str:
+    return f"""
+WITH hist AS (SELECT * FROM ({dim_initial_sql}) WHERE {nk} <> -1),
+per AS (
+  SELECT {nk} AS nk,
+         CAST(COUNT(*) AS BIGINT) AS n_versions,
+         strftime(MIN(active_from), '%Y-%m-%d') AS first_seen_day,
+         CAST(SUM(CASE WHEN active_to < TIMESTAMP '{high_ts}'
+                       THEN date_diff('day', CAST(active_from AS DATE),
+                                      CAST(active_to AS DATE)) END) AS BIGINT)
+           AS closed_days_total,
+         CAST(SUM(CASE WHEN active_to < TIMESTAMP '{high_ts}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_closed
+  FROM hist GROUP BY 1
+)
+SELECT nk, n_versions, first_seen_day,
+       CAST(COALESCE(closed_days_total, 0) AS BIGINT) AS closed_days_total,
+       n_closed,
+       CASE WHEN n_closed > 0
+            THEN round(CAST(closed_days_total AS DOUBLE) / n_closed, 6) END
+         AS avg_days_per_version
+FROM per
+ORDER BY n_versions DESC, nk
+LIMIT {top}
+"""

@@ -814,6 +814,17 @@ _register(
     marts.CUSTOMER_MONTHLY_SNAPSHOT_SQL,
 )
 
+# --- round 3c: SCD2 version-churn report ------------------------------------
+_register(
+    "ext_customer_version_churn",
+    lambda spark, sf_dir: scd2.dim_version_churn(spark, sf_dir, spec.DIMS["customer"]),
+    scd2.dim_version_churn_sql(
+        warehouse_sql.dim_initial_sql(spec.DIMS["customer"]),
+        spec.DIMS["customer"].nk,
+        spec.HIGH,
+    ),
+)
+
 # --- round 3c: association rules (support / confidence / lift) --------------
 _register(
     "ext_part_association_rules", olap.part_association_rules, olap.PART_ASSOCIATION_SQL
