@@ -41,6 +41,9 @@ HEADLINE = [
     "scd2_customer_two_phase",
     "fact_sales_initial",
     "fact_sales_two_phase",
+    "fact_order_lifecycle",
+    "fact_customer_monthly_snapshot",
+    "scd2_customer_asof_snapshot",
 ]
 
 

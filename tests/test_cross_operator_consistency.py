@@ -82,3 +82,61 @@ def test_hll_rollup_agrees_with_exact_within_rsd(spark, sf_dir):
     }
     for et, e in exact.items():
         assert abs(est[et] - e) <= max(3, 3 * 0.008 * e), (et, est[et], e)
+
+
+def test_asof_snapshot_at_horizon_is_current_rows(spark, sf_dir):
+    """A point-in-time snapshot taken just under the open-row sentinel
+    must equal the is_current slice of the full history — same keys,
+    same SKs. Catches a half-open-interval drift that the value oracle
+    (pinned at MID) can't see at the horizon."""
+    from etl_mini_dw_spark import fixtures_spec as spec
+    from etl_mini_dw_spark.operators import scd2
+
+    dim = spec.DIMS["customer"]
+    snap = scd2.dim_asof_snapshot(spark, sf_dir, dim, spec.HIGH_GUARD)
+    cur = scd2.dim_initial(spark, sf_dir, dim).filter(F.col("is_current"))
+    assert snap.count() == cur.count()
+    assert snap.select(dim.sk).subtract(cur.select(dim.sk)).count() == 0
+
+
+def test_rfm_quintiles_partition_customers_evenly(spark, sf_dir):
+    """Each RFM dimension's quintiles must cover all customers with the
+    boundary-rank construction: every bin non-degenerate at this sf and
+    bin 1..4 cumulative counts within one boundary-tie run of q·n/5."""
+    from etl_mini_dw_spark.plans import behavior
+
+    rfm = behavior.customer_rfm_segments(spark, sf_dir).cache()
+    n = rfm.count()
+    for tag in ("r", "f", "m"):
+        bins = {
+            r["q"]: r["c"]
+            for r in rfm.groupBy(F.col(f"{tag}_quintile").alias("q"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        assert set(bins) <= {1, 2, 3, 4, 5}
+        assert sum(bins.values()) == n
+        # ascending cumulative counts reach each boundary rank ⌈q·n/5⌉
+        cum = 0
+        for q in (1, 2, 3, 4):
+            cum += bins.get(q, 0)
+            assert cum >= (q * n + 4) // 5, (tag, q, cum, n)
+
+
+def test_heavy_hitter_exactness_vs_full_groupby(spark, sf_dir):
+    """The MG-candidate path must return exactly the tokens a full
+    vocabulary groupBy finds above threshold (superset guarantee +
+    exact recount ⇒ equality)."""
+    from etl_mini_dw_spark.functions import text
+
+    hh = text.heavy_hitter_tokens(spark, sf_dir)
+    toks = text._token_frame(spark, sf_dir).select(F.explode("toks").alias("token"))
+    full = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(toks.agg(F.count(F.lit(1)).alias("n"))))
+        .filter(F.col("cnt") * text.HH_K > F.col("n"))
+        .select("token", "cnt")
+    )
+    assert hh.subtract(full).count() == 0
+    assert full.subtract(hh).count() == 0
