@@ -295,3 +295,150 @@ SELECT doc_id, lang, source, n_chars AS w,
 FROM documents, t
 WHERE ({_HASH_SQL}) * w_total < {PPS_TARGET_K} * n_chars * {HASH_MOD}
 """
+
+
+# --- Bloom-filter membership: the decontamination sketch at scale -----------
+BLOOM_BITS = 65536  # M — 2048 × 32-bit words
+BLOOM_WORD = 32  # 32-bit words: (1 << bit) never touches a sign bit in either engine
+# two engine-portable 28-bit hashes from ONE md5 per shingle (dedup's
+# conv-vs-0x trick); double hashing pos_i = (h1 + i·h2) mod M gives the
+# standard k-probe Bloom from two base hashes
+_BLOOM_H1_SPARK = "CAST(conv(substr(md5(shingle), 1, 7), 16, 10) AS BIGINT)"
+_BLOOM_H2_SPARK = "CAST(conv(substr(md5(shingle), 9, 7), 16, 10) AS BIGINT)"
+_BLOOM_H1_DUCK = "('0x' || substr(md5(shingle), 1, 7))::BIGINT"
+_BLOOM_H2_DUCK = "('0x' || substr(md5(shingle), 9, 7))::BIGINT"
+
+
+def bloom_membership_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: build a 64 Kbit Bloom filter over the
+    TRAIN side's shingles, probe it with every TEST document's shingles,
+    and report per test doc the Bloom-positive count beside the exact
+    count (so the false-positive overhead is visible in the output).
+
+    This is how decontamination actually ships at 100 TB: the train-side
+    n-gram set is petabyte-scale, but its Bloom filter is a few GB of
+    (word, bits) rows — buildable with one ``bit_or`` aggregate (2048
+    groups here; sized to the real corpus in production), mergeable
+    across corpus shards by the same ``bit_or``, broadcastable to every
+    probe task. The probe side is a broadcast join + bitwise AND — the
+    test stream never shuffles. All math is integer (md5 → 28-bit ints →
+    double-hashed positions), so the filter bits are BIT-IDENTICAL on
+    both engines and the oracle replays the whole sketch, not a
+    tolerance check.
+    """
+    split = F.when(_hash_col() < DECON_TRAIN_CUT, F.lit("train")).otherwise(F.lit("test"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", split.alias("split"))
+    sh = _shingles_df(spark, sf_dir).join(docs, "doc_id")
+
+    hashed = sh.select(
+        "doc_id",
+        "split",
+        "shingle",
+        F.expr(_BLOOM_H1_SPARK).alias("h1"),
+        F.expr(_BLOOM_H2_SPARK).alias("h2"),
+    ).localCheckpoint(eager=False)  # h1/h2 referenced by both probe positions
+
+    probes = hashed.select(
+        "doc_id",
+        "split",
+        "shingle",
+        F.explode(
+            F.array(
+                F.pmod(F.col("h1"), F.lit(BLOOM_BITS)),
+                F.pmod(F.col("h1") + F.col("h2"), F.lit(BLOOM_BITS)),
+            )
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "split",
+        "shingle",
+        F.expr(f"pos div {BLOOM_WORD}").alias("word"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD} AS INT))").alias("mask"),
+    )
+    bloom = (
+        probes.filter(F.col("split") == "train")
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    test_probe = (
+        probes.filter(F.col("split") == "test")
+        .join(F.broadcast(bloom), "word", "left")
+        .groupBy("doc_id", "shingle")
+        .agg(
+            F.sum(
+                F.when((F.col("bits").isNotNull()) & (F.col("bits").bitwiseAND(F.col("mask")) != 0), 1).otherwise(0)
+            ).alias("n_set")
+        )
+    )
+    train_shingles = (
+        sh.filter(F.col("split") == "train").select("shingle").distinct()
+    )
+    exact = (
+        sh.filter(F.col("split") == "test")
+        .select("doc_id", "shingle")
+        .join(train_shingles, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_hits"))
+    )
+    per_doc = test_probe.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(F.when(F.col("n_set") == 2, 1).otherwise(0)).cast("bigint").alias("n_bloom_hits"),
+    )
+    return per_doc.join(exact, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        "n_bloom_hits",
+        F.coalesce("n_exact_hits", F.lit(0)).cast("bigint").alias("n_exact_hits"),
+    )
+
+
+BLOOM_MEMBERSHIP_SQL = f"""
+WITH split AS (
+  SELECT doc_id,
+         CASE WHEN {_HASH_SQL} < {DECON_TRAIN_CUT} THEN 'train' ELSE 'test' END AS split
+  FROM documents
+),
+sh AS (
+  SELECT s.doc_id, s.shingle, sp.split
+  FROM ({_SHINGLES_SQL}) s JOIN split sp USING (doc_id)
+),
+hashed AS (
+  SELECT doc_id, split, shingle,
+         {_BLOOM_H1_DUCK} AS h1, {_BLOOM_H2_DUCK} AS h2
+  FROM sh
+),
+probes AS (
+  SELECT doc_id, split, shingle,
+         pos // {BLOOM_WORD} AS word,
+         (CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD} AS INTEGER)) AS mask
+  FROM (
+    SELECT doc_id, split, shingle,
+           unnest([h1 % {BLOOM_BITS}, (h1 + h2) % {BLOOM_BITS}]) AS pos
+    FROM hashed
+  )
+),
+bloom AS (
+  SELECT word, bit_or(mask) AS bits FROM probes WHERE split = 'train' GROUP BY word
+),
+test_probe AS (
+  SELECT p.doc_id, p.shingle,
+         SUM(CASE WHEN b.bits IS NOT NULL AND (b.bits & p.mask) <> 0 THEN 1 ELSE 0 END) AS n_set
+  FROM probes p LEFT JOIN bloom b USING (word)
+  WHERE p.split = 'test'
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_exact_hits
+  FROM (SELECT doc_id, shingle FROM sh WHERE split = 'test') t
+  WHERE t.shingle IN (SELECT shingle FROM sh WHERE split = 'train')
+  GROUP BY 1
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN n_set = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits
+  FROM test_probe GROUP BY 1
+)
+SELECT p.doc_id, p.n_shingles, p.n_bloom_hits,
+       CAST(COALESCE(e.n_exact_hits, 0) AS BIGINT) AS n_exact_hits
+FROM per_doc p LEFT JOIN exact e USING (doc_id)
+"""

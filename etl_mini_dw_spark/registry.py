@@ -814,6 +814,13 @@ _register(
     marts.CUSTOMER_MONTHLY_SNAPSHOT_SQL,
 )
 
+# --- round 3c: Bloom-filter membership (decontamination sketch) -------------
+_register(
+    "ext_bloom_membership_report",
+    sampling.bloom_membership_report,
+    sampling.BLOOM_MEMBERSHIP_SQL,
+)
+
 # --- round 3c: SCD2 version-churn report ------------------------------------
 _register(
     "ext_customer_version_churn",
