@@ -473,3 +473,63 @@ SELECT n_name,
 FROM per_nation, total
 WHERE CAST(nation_rev AS DOUBLE) > CAST(total_rev AS DOUBLE) / 30
 """
+
+
+def revenue_by_category_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue re-attributed to the customer CATEGORY each customer was in
+    at a fixed analysis date — the query point-in-time snapshots exist
+    for: "what would this report have said with the dimension as of
+    MID?" A current-rows join silently re-states history after every
+    attribute change; the as-of join pins it.
+
+    Shape: fact-side lineitem⋈orders shuffle (the one wide join), then a
+    broadcast left join against the dim-sized snapshot on the natural
+    key. Customers not yet existing at the analysis date fall into
+    'N/A' (identical COALESCE both sides). Exact-DECIMAL revenue until
+    the final double cast.
+    """
+    from etl_mini_dw_spark import fixtures_spec as spec
+    from etl_mini_dw_spark.operators import scd2
+
+    lineitem = typed_table(spark, sf_dir, "lineitem")
+    orders = typed_table(spark, sf_dir, "orders")
+    snap = scd2.dim_asof_snapshot(spark, sf_dir, spec.DIMS["customer"], spec.MID)
+    revenue = F.col("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(
+                snap.select(
+                    F.col("customer_nk").alias("cust"),
+                    F.col("customer_category_name").alias("cat"),
+                )
+            ),
+            F.col("o_custkey") == F.col("cust"),
+            "left",
+        )
+        .groupBy(F.coalesce(F.col("cat"), F.lit("N/A")).alias("category"))
+        .agg(
+            F.sum(revenue).cast("decimal(38,4)").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def revenue_by_category_asof_sql(dim_initial_sql: str, mid_ts: str) -> str:
+    return f"""
+WITH snap AS (
+  SELECT * FROM ({dim_initial_sql})
+  WHERE active_from <= TIMESTAMP '{mid_ts}' AND active_to > TIMESTAMP '{mid_ts}'
+)
+SELECT COALESCE(s.customer_category_name, 'N/A') AS category,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+LEFT JOIN snap s ON s.customer_nk = o_custkey
+GROUP BY 1
+"""

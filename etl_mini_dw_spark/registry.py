@@ -814,6 +814,15 @@ _register(
     marts.CUSTOMER_MONTHLY_SNAPSHOT_SQL,
 )
 
+# --- round 3c: as-of revenue re-attribution (the snapshot's payoff query) ---
+_register(
+    "ext_revenue_by_category_asof",
+    analytics.revenue_by_category_asof,
+    analytics.revenue_by_category_asof_sql(
+        warehouse_sql.dim_initial_sql(spec.DIMS["customer"]), spec.MID
+    ),
+)
+
 # --- round 3c: Bloom-filter membership (decontamination sketch) -------------
 _register(
     "ext_bloom_membership_report",
