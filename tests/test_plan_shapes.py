@@ -274,3 +274,56 @@ def test_heavy_hitter_recount_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan[:2500]
     assert "SortMergeJoin" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_order_lifecycle_single_wide_join(spark, sf_dir):
+    """Accumulating snapshot: milestone aggregate keyed by orderkey must
+    be two-phase, and the orders join must reuse that partitioning —
+    never a cartesian or nested loop."""
+    from etl_mini_dw_spark.plans import marts
+
+    plan = _plan(marts.fact_order_lifecycle(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_monthly_snapshot_spine_is_broadcast(spark, sf_dir):
+    """Periodic snapshot: the month spine must broadcast against the
+    customer dim; the cumulative window must partition by custkey,
+    never run globally."""
+    from etl_mini_dw_spark.plans import marts
+
+    plan = _plan(marts.fact_customer_monthly_snapshot(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "hashpartitioning(custkey" in plan, plan[:2500]
+
+
+def test_association_rules_item_counts_broadcast(spark, sf_dir):
+    """Item counts and the total-orders scalar must broadcast back onto
+    the pair counts; top-K must be TakeOrderedAndProject."""
+    from etl_mini_dw_spark.plans import olap
+
+    plan = _plan(olap.part_association_rules(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_probe_join_is_broadcast(spark, sf_dir):
+    """The Bloom table (≤2048 words) must broadcast to the probe side —
+    the probe stream itself must never shuffle for the membership test."""
+    from etl_mini_dw_spark.functions import sampling
+
+    plan = _plan(sampling.bloom_membership_report(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2500]
+
+
+def test_asof_attribution_snapshot_broadcast(spark, sf_dir):
+    """The dim-sized as-of snapshot must broadcast onto the fact join —
+    one shuffle total (lineitem⋈orders), never a sort-merge against the
+    snapshot."""
+    from etl_mini_dw_spark.plans import analytics
+
+    plan = _plan(analytics.revenue_by_category_asof(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
