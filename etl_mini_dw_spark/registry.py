@@ -814,6 +814,11 @@ _register(
     marts.CUSTOMER_MONTHLY_SNAPSHOT_SQL,
 )
 
+# --- round 3c: exact median by distributed selection ------------------------
+_register(
+    "ext_value_exact_median", _stats.value_exact_median, _stats.VALUE_EXACT_MEDIAN_SQL
+)
+
 # --- round 3c: as-of revenue re-attribution (the snapshot's payoff query) ---
 _register(
     "ext_revenue_by_category_asof",
