@@ -327,3 +327,29 @@ def test_asof_attribution_snapshot_broadcast(spark, sf_dir):
     plan = _plan(analytics.revenue_by_category_asof(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """A month-partitioned table must answer a month-filtered query with
+    partition pruning: the filter shows up as a PartitionFilter on the
+    scan, not a post-scan Filter over all files — at 100 TB this is the
+    difference between touching one month and touching the table."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_dw_spark.sources.tables import typed_table
+
+    ev = typed_table(spark, sf_dir, "events").withColumn(
+        "month", F.date_format("ts", "yyyy-MM")
+    )
+    path = str(tmp_path / "events_by_month")
+    ev.write.mode("overwrite").partitionBy("month").parquet(path)
+    q = (
+        spark.read.parquet(path)
+        .filter("month = '2024-01'")
+        .groupBy("event_type")
+        .count()
+    )
+    plan = _plan(q)
+    assert "PartitionFilters" in plan and "month" in plan.split("PartitionFilters")[1][:120], (
+        plan[:2500]
+    )
