@@ -466,3 +466,32 @@ CROSS JOIN n
 ORDER BY lift DESC, part_a, part_b
 LIMIT {RULES_TOP}
 """
+
+
+def props_schema_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema profiling: per event_type, the distinct
+    sorted key-sets appearing in the ``props`` JSON column with their
+    frequencies — the drift report that catches producers adding or
+    dropping fields before a downstream extract breaks.
+
+    Map-only key extraction (``from_json`` to a map, keys sorted for a
+    canonical group key), then one partial-aggregable aggregate keyed by
+    (type, key-set) — cardinality = distinct producer schemas, tiny at
+    any corpus size.
+    """
+    ev = typed_table(spark, sf_dir, "events")
+    keys = F.array_sort(F.map_keys(F.from_json("props", "map<string,string>")))
+    return (
+        ev.select("event_type", keys.alias("prop_keys"))
+        .groupBy("event_type", "prop_keys")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+PROPS_SCHEMA_SQL = """
+SELECT event_type,
+       list_sort(json_keys(props)) AS prop_keys,
+       COUNT(*) AS n_events
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+GROUP BY 1, 2
+"""

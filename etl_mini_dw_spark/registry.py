@@ -814,6 +814,9 @@ _register(
     marts.CUSTOMER_MONTHLY_SNAPSHOT_SQL,
 )
 
+# --- round 3c: semi-structured schema profiling -----------------------------
+_register("ext_props_schema_report", olap.props_schema_report, olap.PROPS_SCHEMA_SQL)
+
 # --- round 3c: exact median by distributed selection ------------------------
 _register(
     "ext_value_exact_median", _stats.value_exact_median, _stats.VALUE_EXACT_MEDIAN_SQL
