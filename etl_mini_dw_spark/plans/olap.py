@@ -495,3 +495,42 @@ SELECT event_type,
 FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
 GROUP BY 1, 2
 """
+
+
+def order_window_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-window functions the first battery leaves out:
+    percent_rank / cume_dist / first_value / nth_value, all riding ONE
+    ``partitionBy(custkey)`` sort like battery I. Ratios round to 6
+    (identical integer-rank inputs both engines, rounding only guards
+    the division); the value picks are exact doubles of exact decimals.
+    """
+    from pyspark.sql import Window
+
+    orders = typed_table(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = seq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    price_dbl = F.col("o_totalprice").cast("double")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(seq), 6).alias("seq_percent_rank"),
+        F.round(F.cume_dist().over(seq), 6).alias("seq_cume_dist"),
+        F.first(price_dbl).over(full).alias("first_order_total"),
+        F.coalesce(F.nth_value(price_dbl, 2).over(full), F.lit(-1.0)).alias(
+            "second_order_total"
+        ),
+    )
+
+
+ORDER_WINDOW_BATTERY2_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(percent_rank() OVER seq, 6) AS seq_percent_rank,
+       round(cume_dist() OVER seq, 6) AS seq_cume_dist,
+       first_value(CAST(o_totalprice AS DOUBLE)) OVER w_full AS first_order_total,
+       COALESCE(nth_value(CAST(o_totalprice AS DOUBLE), 2) OVER w_full, -1.0)
+         AS second_order_total
+FROM orders
+WINDOW seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""

@@ -814,6 +814,11 @@ _register(
     marts.CUSTOMER_MONTHLY_SNAPSHOT_SQL,
 )
 
+# --- round 3c: distribution-window battery ----------------------------------
+_register(
+    "ext_order_window_battery2", olap.order_window_battery2, olap.ORDER_WINDOW_BATTERY2_SQL
+)
+
 # --- round 3c: semi-structured schema profiling -----------------------------
 _register("ext_props_schema_report", olap.props_schema_report, olap.PROPS_SCHEMA_SQL)
 
