@@ -238,7 +238,11 @@ def dim_two_phase(
     wm_row = (
         dim0.filter(F.col(dim.nk) != UNKNOWN_NK).agg(F.max("active_from").alias("wm")).first()
     )
-    wm = wm_row["wm"].strftime("%Y-%m-%d %H:%M:%S")
+    # empty phase 1 (split before the first source version) ⇒ fall back
+    # to the SEED watermark, exactly like the reference's freshly-seeded
+    # tracker (`code/SQL_1…sql:250–255`): the incremental pass then
+    # extracts the full history instead of crashing on a NULL scalar
+    wm = wm_row["wm"].strftime("%Y-%m-%d %H:%M:%S") if wm_row["wm"] is not None else LOW
     staged = staging.delta_extract(spark, sf_dir, dim, wm)
     snapshot = staging.current_snapshot(spark, sf_dir, dim)
     return scd2_increment(dim0, staged, snapshot, dim, now_ts)

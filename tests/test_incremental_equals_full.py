@@ -34,3 +34,27 @@ def test_dim_two_phase_equals_full_except_deletes(spark, sf_dir):
         a = full.filter(~F.col(dim.nk).isin(deleted_nks)).select(*cols)
         b = two.filter(~F.col(dim.nk).isin(deleted_nks)).select(*cols)
         assert _sym_diff_count(a, b) == 0, key
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "split",
+    ["1993-06-01 00:00:00", "1995-01-01 00:00:00", "1997-06-01 00:00:00"],
+)
+def test_dim_two_phase_split_invariant(spark, sf_dir, split):
+    """The incremental-equals-full property must hold at ANY split point,
+    not just the registry's MID — early splits exercise a near-empty
+    phase 1, late splits a near-empty delta."""
+    dim = spec.DIMS["customer"]
+    full = scd2.dim_initial(spark, sf_dir, dim)
+    two = scd2.dim_two_phase(spark, sf_dir, dim, split, spec.NOW_FIXED)
+    deleted_nks = [
+        r[0]
+        for r in two.filter(F.col("change_tag") == "deleted").select(dim.nk).collect()
+    ]
+    cols = [dim.nk, *spec.attr_cols(dim), "is_current", "active_from", "active_to"]
+    a = full.filter(~F.col(dim.nk).isin(deleted_nks)).select(*cols)
+    b = two.filter(~F.col(dim.nk).isin(deleted_nks)).select(*cols)
+    assert _sym_diff_count(a, b) == 0, split
