@@ -345,8 +345,10 @@ def fact_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     state0 = stage_memo(spark, sf_dir, "fact_state0", build_state0)
 
     # data-driven watermark advance (`code/SQL_1…sql:1493–1500`), read back
-    # to the driver like the reference's scalar tracker lookup (P11)
-    wm = state0.agg(F.max("sales_lasteditedwhen")).first()[0].strftime("%Y-%m-%d %H:%M:%S")
+    # to the driver like the reference's scalar tracker lookup (P11);
+    # empty phase 1 ⇒ seed watermark (same fallback as dim_two_phase)
+    wm_val = state0.agg(F.max("sales_lasteditedwhen")).first()[0]
+    wm = wm_val.strftime("%Y-%m-%d %H:%M:%S") if wm_val is not None else spec.LOW
 
     # phase 2 delta, resolved at the *new* edit time (late-dim repair path)
     delta = src_sales(spark, sf_dir, wm)
