@@ -910,3 +910,145 @@ WHERE round(CAST(common AS DOUBLE) / CAST(mn AS DOUBLE), 6) >= {CONTAINMENT_THRE
 ORDER BY containment DESC, doc_a, doc_b
 LIMIT 100
 """
+
+
+# --- prefix-filter set-similarity join (PPJoin-style) -----------------------
+PREFIX_JACCARD_T = 0.6  # similarity threshold
+
+
+def prefix_filter_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join with PREFIX FILTERING (the PPJoin family,
+    Xiao et al. / Chaudhuri et al.): two documents with word-set Jaccard
+    ≥ t MUST share at least one token among the first
+    ``L = n − ⌈t·n⌉ + 1`` tokens of their global-rarity-sorted sets — so
+    candidates are generated from a PREFIX-token equi-join instead of
+    any all-pairs step, and the prefix tokens are by construction the
+    RAREST in each document, keeping posting lists short where band/
+    df-cap methods need an explicit cap.
+
+    Stages: (1) global token df — one vocab-keyed count (the rank table
+    is vocabulary-sized; at 100 TB it's a broadcast dictionary of the
+    rare tail plus a default bucket for the head); (2) per-doc sets
+    sorted by (df, token) with ceil via integer arithmetic identical in
+    both engines; (3) prefix explode + equi-join with the |A| ≥ t·|B|
+    length filter folded into the join; (4) exact Jaccard verify on the
+    distinct candidates only. No step is all-pairs; every shuffle key
+    (token, doc pair) is high-cardinality.
+    """
+    from etl_mini_dw_spark.functions.text import _word_frame
+
+    sets = (
+        _word_frame(spark, sf_dir)
+        .select("doc_id", F.array_distinct("w").alias("toks"))
+        .filter(F.size("toks") > 0)
+        .localCheckpoint(eager=False)
+    )
+    tok = sets.select("doc_id", F.explode("toks").alias("token"))
+    df_tab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        tok.join(F.broadcast(df_tab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(df, token))), s -> s.token)").alias(
+                "sorted_toks"
+            )
+        )
+        .select(
+            "doc_id",
+            "sorted_toks",
+            F.size("sorted_toks").alias("n"),
+            # L = n − ⌈t·n⌉ + 1, with ⌈0.6·n⌉ = (3n + 4) div 5
+            F.expr("size(sorted_toks) - ((3 * size(sorted_toks) + 4) div 5) + 1").alias("L"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    prefixes = ranked.select(
+        "doc_id", "n", F.explode(F.slice("sorted_toks", 1, F.col("L"))).alias("token")
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: |A| ≥ t·|B| ⇔ 5·n_a ≥ 3·n_b (and symmetric)
+            & (F.col("a.n") * 5 >= F.col("b.n") * 3)
+            & (F.col("b.n") * 5 >= F.col("a.n") * 3),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    arrs = ranked.select("doc_id", "sorted_toks", "n")
+    common = F.size(F.array_intersect("arr_a", "arr_b"))
+    jac = F.round(
+        F.col("common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        6,
+    )
+    return (
+        cands.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("sorted_toks").alias("arr_a"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sorted_toks").alias("arr_b"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("common", common)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= PREFIX_JACCARD_T)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+        .limit(100)
+    )
+
+
+PREFIX_FILTER_SQL = f"""
+WITH sets AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS toks
+  FROM documents
+  WHERE len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) > 0
+),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM sets),
+df_tab AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY 1),
+ranked AS (
+  SELECT t.doc_id,
+         list(t.token ORDER BY d.df, t.token) AS sorted_toks,
+         COUNT(*) AS n,
+         COUNT(*) - ((3 * COUNT(*) + 4) // 5) + 1 AS L
+  FROM tok t JOIN df_tab d USING (token)
+  GROUP BY t.doc_id
+),
+prefixes AS (
+  SELECT doc_id, n, unnest(sorted_toks[1:CAST(L AS INT)]) AS token FROM ranked
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefixes a JOIN prefixes b
+    ON a.token = b.token AND a.doc_id < b.doc_id
+   AND a.n * 5 >= b.n * 3 AND b.n * 5 >= a.n * 3
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(ra.sorted_toks, rb.sorted_toks)) AS common,
+         ra.n AS na, rb.n AS nb
+  FROM cands c
+  JOIN ranked ra ON ra.doc_id = c.doc_a
+  JOIN ranked rb ON rb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6) AS jaccard
+FROM scored
+WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
+      >= {PREFIX_JACCARD_T}
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 100
+"""

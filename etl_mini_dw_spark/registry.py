@@ -790,6 +790,11 @@ _register(
 # --- round 3c: heavy hitters (Misra-Gries summary + exact recount) ----------
 _register("ext_heavy_hitter_tokens", text.heavy_hitter_tokens, text.HEAVY_HITTER_SQL)
 
+# --- round 3c: prefix-filter set-similarity join (PPJoin-style) -------------
+_register(
+    "ext_prefix_filter_neardups", dedup.prefix_filter_neardups, dedup.PREFIX_FILTER_SQL
+)
+
 # --- round 3c: containment near-dups (subset duplication) -------------------
 _register(
     "ext_containment_neardups", dedup.containment_neardups, dedup.CONTAINMENT_SQL
