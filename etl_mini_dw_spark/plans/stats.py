@@ -257,3 +257,45 @@ ranked AS (
 SELECT event_type, CAST(n AS BIGINT) AS n, CAST(value AS DOUBLE) AS median
 FROM ranked WHERE rn = (n + 1) // 2
 """
+
+
+def revenue_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic seasonal index: each calendar month's share of revenue
+    relative to a flat month (index 1.0 = average month), across all
+    years — the first-pass seasonality diagnostic before any forecast.
+
+    One partial-aggregable aggregate keyed by month-of-year (12 groups),
+    plus a broadcast 1-row total; exact DECIMAL sums, the index ratio
+    divides the two exact decimals as doubles and rounds to 6 (the
+    wide-decimal→double 1-ulp rule).
+    """
+    orders = typed_table(spark, sf_dir, "orders")
+    per_month = orders.groupBy(F.month("o_orderdate").alias("month_of_year")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("o_totalprice").alias("rev"),
+    )
+    total = per_month.agg(F.sum("rev").alias("total_rev"))
+    return per_month.crossJoin(F.broadcast(total)).select(
+        "month_of_year",
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            (F.lit(12) * F.col("rev").cast("double")) / F.col("total_rev").cast("double"),
+            6,
+        ).alias("seasonal_index"),
+    )
+
+
+REVENUE_SEASONAL_SQL = """
+WITH per AS (
+  SELECT month(o_orderdate) AS month_of_year,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT SUM(rev) AS total_rev FROM per)
+SELECT month_of_year, n_orders, CAST(rev AS DOUBLE) AS revenue,
+       round((12 * CAST(rev AS DOUBLE)) / CAST(total_rev AS DOUBLE), 6)
+         AS seasonal_index
+FROM per CROSS JOIN tot
+"""

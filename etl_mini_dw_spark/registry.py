@@ -827,6 +827,11 @@ _register(
 # --- round 3c: semi-structured schema profiling -----------------------------
 _register("ext_props_schema_report", olap.props_schema_report, olap.PROPS_SCHEMA_SQL)
 
+# --- round 3c: seasonal index -----------------------------------------------
+_register(
+    "ext_revenue_seasonal_index", _stats.revenue_seasonal_index, _stats.REVENUE_SEASONAL_SQL
+)
+
 # --- round 3c: exact median by distributed selection ------------------------
 _register(
     "ext_value_exact_median", _stats.value_exact_median, _stats.VALUE_EXACT_MEDIAN_SQL
