@@ -353,3 +353,27 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "month" in plan.split("PartitionFilters")[1][:120], (
         plan[:2500]
     )
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: joining a month-partitioned fact to a
+    FILTERED dim must inject a dynamicpruningexpression into the fact
+    scan's PartitionFilters — the runtime analog of static pruning, and
+    the mechanism that keeps a dim-filtered 100 TB fact join from
+    scanning every partition."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_dw_spark.sources.tables import typed_table
+
+    ev = typed_table(spark, sf_dir, "events").withColumn(
+        "month", F.date_format("ts", "yyyy-MM")
+    )
+    path = str(tmp_path / "events_dpp")
+    ev.write.mode("overwrite").partitionBy("month").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("2024-01", "jan"), ("2024-02", "feb"), ("2025-06", "jun")],
+        ["month", "label"],
+    ).filter("label = 'jan'")
+    plan = _plan(fact.join(dim, "month").groupBy("label").count())
+    assert "dynamicpruningexpression" in plan, plan[:2500]
