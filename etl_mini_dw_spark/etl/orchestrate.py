@@ -204,3 +204,29 @@ class Warehouse:
 
     def table(self, name: str) -> DataFrame:
         return self.store.read(self.spark, name)
+
+
+def publish_guarded(
+    wh: "Warehouse",
+    df: "DataFrame",
+    name: str,
+    checks: dict[str, "Callable[[DataFrame], DataFrame]"],
+) -> dict:
+    """Write-audit-publish: audit the CANDIDATE frame, publish (atomic
+    swap) only if every check returns zero rows; otherwise leave the
+    currently-published generation untouched and report the violations.
+
+    The pattern every serious warehouse converges on (WAP / blue-green
+    tables): validations run against the not-yet-visible candidate, so
+    readers never observe a state that failed its contract. Locally the
+    candidate is a checkpointed frame + the store's swap protocol; with
+    the Delta backend the same call maps to write-to-branch + atomic
+    commit. Violations are counted in one pass per check (the frames
+    are usually conditional aggregates, cheap by construction).
+    """
+    staged = df.localCheckpoint()
+    violations = {cname: fn(staged).count() for cname, fn in checks.items()}
+    ok = all(v == 0 for v in violations.values())
+    if ok:
+        wh.store.write(staged, name)
+    return {"published": ok, "violations": violations}
