@@ -41,8 +41,15 @@ def _null_attrs(dim: DimSpec) -> list[Column]:
 
 def events_from_versions(shaped: DataFrame, dim: DimSpec) -> DataFrame:
     """Versioned rows → change events: one attribute event per version at
-    its ``valid_from``, plus a delete tombstone where a key's history ends
-    before the open sentinel (max ``valid_to`` < HIGH)."""
+    its ``valid_from``, plus a delete tombstone at every GAP END — any
+    closed ``valid_to`` that is not some version's ``valid_from`` for the
+    same key. On contiguous histories that is exactly the final close
+    (the original end-of-history rule), but it also round-trips
+    delete-then-reinsert histories: without the mid-history tombstone the
+    re-derivation would stretch the pre-gap version across the gap
+    (found by ``tests/test_scd2_events_property.py``). Gap-end timestamps
+    can never collide with a ``valid_from``, so the (event_ts, tomb)
+    window ordering needs no tie-rule change."""
     attrs = attr_cols(dim)
     attr_ev = shaped.select(
         dim.nk,
@@ -50,10 +57,11 @@ def events_from_versions(shaped: DataFrame, dim: DimSpec) -> DataFrame:
         F.col("valid_from").alias("event_ts"),
         F.lit(False).alias("tomb"),
     )
+    starts = shaped.select(dim.nk, F.col("valid_from").alias("event_ts")).distinct()
     tombs = (
-        shaped.groupBy(dim.nk)
-        .agg(F.max("valid_to").alias("event_ts"))
-        .filter(F.col("event_ts") < _ts(HIGH))
+        shaped.filter(F.col("valid_to") < _ts(HIGH))
+        .select(dim.nk, F.col("valid_to").alias("event_ts"))
+        .join(starts, [dim.nk, "event_ts"], "left_anti")
         .select(dim.nk, *_null_attrs(dim), "event_ts", F.lit(True).alias("tomb"))
     )
     return attr_ev.unionByName(tombs)
