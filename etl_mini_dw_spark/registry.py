@@ -800,6 +800,13 @@ _register(
     "ext_containment_neardups", dedup.containment_neardups, dedup.CONTAINMENT_SQL
 )
 
+# --- round 3c: bounded-state streaming dedup (topology #10) -----------------
+_register(
+    "ext_streaming_dedup_within_watermark",
+    ev.streaming_dedup_within_watermark,
+    ev.STREAMING_DEDUP_SQL,  # same global-distinct truth, exact on bounded replay
+)
+
 # --- round 3c: stream-stream LEFT OUTER interval join (topology #8) ---------
 _register(
     "ext_streaming_left_outer_attribution",

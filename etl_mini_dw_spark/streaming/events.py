@@ -846,3 +846,57 @@ SELECT strftime(c_ts, '%Y-%m-%d') AS click_day,
        CAST(COUNT(*) FILTER (p_id IS NULL) AS BIGINT) AS n_orphan_clicks
 FROM j GROUP BY 1
 """
+
+
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    keyed on (user_id, event_type) — the production variant of
+    ``streaming_dedup_distinct_users``, whose unbounded key-state grows
+    with |keys| forever. Here the state store evicts keys once the
+    event-time watermark passes them: at 100 TB/day the state holds only
+    the dedup horizon, not the corpus.
+
+    Replay uses the sentinel landing dir so the watermark actually
+    ADVANCES (two extra micro-batches) and eviction executes; all real
+    rows arrive in batch 1, so within-horizon dedup equals the global
+    DISTINCT and the oracle stays exact — re-admission of late keys, the
+    semantic this variant trades away, is pinned by the UNBOUNDED
+    variant's gate instead.
+    """
+    _ensure_session_confs(spark)
+    landing = _sentinel_landing_dir(spark, sf_dir)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(landing)
+        .transform(events_ts_to_timestamp)
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="stream_dedup_wm_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_dedup_wm_ckpt_")
+
+    def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(_write_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    deduped = spark.read.schema(stream.schema).parquet(out_dir)
+    return (
+        deduped.filter(F.col("user_id") >= 0)  # drop sentinel rows
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
