@@ -533,3 +533,58 @@ JOIN orders ON l_orderkey = o_orderkey
 LEFT JOIN snap s ON s.customer_nk = o_custkey
 GROUP BY 1
 """
+
+
+def revenue_by_role_playing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-playing date dimension: the SAME generated DimDate joined in
+    two roles — order date and ship date — to answer "how does revenue
+    placed on weekday X ship across weekdays Y" (the Kimball role-play
+    pattern; the reference keeps one DimDate for exactly this reason,
+    `code/SQL_1…sql:1057–1062`).
+
+    Both role joins are broadcasts of the dim (date grain, always tiny);
+    the only shuffle is the final 7×7-key aggregate.
+    """
+    from etl_mini_dw_spark.functions.dimdate import build_dim_date
+    from etl_mini_dw_spark import fixtures_spec as spec
+
+    lineitem = typed_table(spark, sf_dir, "lineitem")
+    orders = typed_table(spark, sf_dir, "orders")
+    dd = build_dim_date(spark, spec.DATE_START, spec.DATE_END)
+    order_role = dd.select(
+        F.col("date_value").alias("o_date"),
+        F.col("day_of_week_name").alias("order_day_name"),
+    )
+    ship_role = dd.select(
+        F.col("date_value").alias("s_date"),
+        F.col("day_of_week_name").alias("ship_day_name"),
+    )
+    revenue = F.col("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(order_role), F.to_date("o_orderdate") == F.col("o_date"))
+        .join(F.broadcast(ship_role), F.to_date("l_shipdate") == F.col("s_date"))
+        .groupBy("order_day_name", "ship_day_name")
+        .agg(
+            F.sum(revenue).cast("decimal(38,4)").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def revenue_by_role_playing_dates_sql() -> str:
+    from etl_mini_dw_spark.functions.dimdate import SWEDISH_DAYS
+
+    day_case = " ".join(f"WHEN {k} THEN '{v[0]}'" for k, v in SWEDISH_DAYS.items())
+    return f"""
+SELECT CASE isodow(CAST(o_orderdate AS DATE)) {day_case} END AS order_day_name,
+       CASE isodow(CAST(l_shipdate AS DATE)) {day_case} END AS ship_day_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""

@@ -800,6 +800,13 @@ _register(
     "ext_containment_neardups", dedup.containment_neardups, dedup.CONTAINMENT_SQL
 )
 
+# --- round 3c: role-playing date dimension ----------------------------------
+_register(
+    "ext_revenue_role_playing_dates",
+    analytics.revenue_by_role_playing_dates,
+    analytics.revenue_by_role_playing_dates_sql(),
+)
+
 # --- round 3c: bounded-state streaming dedup (topology #10) -----------------
 _register(
     "ext_streaming_dedup_within_watermark",
