@@ -140,3 +140,43 @@ def test_heavy_hitter_exactness_vs_full_groupby(spark, sf_dir):
     )
     assert hh.subtract(full).count() == 0
     assert full.subtract(hh).count() == 0
+
+
+def test_bloom_filter_merges_across_shards(spark, sf_dir):
+    """The Bloom sketch must be shard-mergeable: building per-shard
+    filters and OR-ing them must equal the one-shot filter — the
+    property that lets a 100 TB corpus build its membership sketch
+    shard-by-shard and union the results."""
+    from etl_mini_dw_spark.functions import sampling
+    from etl_mini_dw_spark.functions.dedup import _shingles_df
+
+    sh = _shingles_df(spark, sf_dir).select("doc_id", "shingle")
+    probes = (
+        sh.select(
+            "shingle",
+            F.expr(sampling._BLOOM_H1_SPARK).alias("h1"),
+            F.expr(sampling._BLOOM_H2_SPARK).alias("h2"),
+            (F.col("doc_id") % 2).alias("shard"),
+        )
+        .select(
+            "shard",
+            F.explode(
+                F.array(
+                    F.pmod(F.col("h1"), F.lit(sampling.BLOOM_BITS)),
+                    F.pmod(F.col("h1") + F.col("h2"), F.lit(sampling.BLOOM_BITS)),
+                )
+            ).alias("pos"),
+        )
+        .select(
+            "shard",
+            F.expr(f"pos div {sampling.BLOOM_WORD}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {sampling.BLOOM_WORD} AS INT))"
+            ).alias("mask"),
+        )
+    )
+    one_shot = probes.groupBy("word").agg(F.expr("bit_or(mask)").alias("bits"))
+    per_shard = probes.groupBy("shard", "word").agg(F.expr("bit_or(mask)").alias("bits"))
+    merged = per_shard.groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
+    assert merged.exceptAll(one_shot).count() == 0
+    assert one_shot.exceptAll(merged).count() == 0
