@@ -975,7 +975,40 @@ assert len(_DRIVER_WINDOW_PRIORITY) == 50, len(_DRIVER_WINDOW_PRIORITY)
 assert set(_DRIVER_WINDOW_PRIORITY) <= set(QUERIES), (
     set(_DRIVER_WINDOW_PRIORITY) - set(QUERIES)
 )
-QUERIES = {
-    **{name: QUERIES[name] for name in _DRIVER_WINDOW_PRIORITY},
-    **{name: fn for name, fn in QUERIES.items() if name not in _DRIVER_WINDOW_PRIORITY},
-}
+def _driver_checked_names(root: str | None = None) -> set[str]:
+    """Query names that have EVER received a driver correctness row.
+
+    The external driver writes CORRECTNESS_r{N}.json (first-50-only) into
+    the repo root each round; reading them here makes the rotation
+    self-maintaining: once this round's file lands, its 50 names count as
+    checked and the NEXT never-checked block floats forward automatically
+    — no manual priority-list edit per round.
+    """
+    import glob
+    import json
+    import os
+
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            seen.update(k for k, v in data.items() if isinstance(v, dict))
+    return seen
+
+
+_checked = _driver_checked_names()
+_rest = [n for n in QUERIES if n not in _DRIVER_WINDOW_PRIORITY]
+# explicit priority block first (this round's curated window), then every
+# query with no driver row yet (registration order), then the rest
+_ordered = (
+    _DRIVER_WINDOW_PRIORITY
+    + [n for n in _rest if n not in _checked]
+    + [n for n in _rest if n in _checked]
+)
+QUERIES = {name: QUERIES[name] for name in _ordered}
