@@ -807,6 +807,24 @@ _register(
     analytics.revenue_by_role_playing_dates_sql(),
 )
 
+# --- round 3c: stream-static AS-OF enrichment (topology #11) ----------------
+_STREAM_ASOF_SQL = f"""
+WITH dim AS ({warehouse_sql.dim_initial_sql(spec.DIMS["customer"])}),
+ev AS (
+  SELECT event_id, user_id,
+         CAST(ts AS TIMESTAMP) - INTERVAL {ev.ASOF_SHIFT_DAYS} DAY AS eff_ts
+  FROM events
+)
+SELECT d.customer_category_name AS category,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM ev e
+JOIN dim d ON d.customer_nk = e.user_id
+          AND e.eff_ts >= d.active_from AND e.eff_ts < d.active_to
+GROUP BY 1
+"""
+_register("ext_streaming_asof_enrichment", ev.streaming_asof_enrichment, _STREAM_ASOF_SQL)
+
 # --- round 3c: bounded-state streaming dedup (topology #10) -----------------
 _register(
     "ext_streaming_dedup_within_watermark",

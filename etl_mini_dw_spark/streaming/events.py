@@ -900,3 +900,73 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+ASOF_SHIFT_DAYS = 10957  # ≈30 years, day-exact on both engines (no Feb-29 clamping)
+
+
+def streaming_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC **as-of** enrichment: each event joins the SCD2
+    customer version valid at its (shifted) event time — the warehouse's
+    core temporal resolve (J3) running IN-FLIGHT, so late events
+    attribute to the attributes they had THEN, not to today's row. The
+    11th topology; ``streaming_enriched_segments`` joins only the
+    current snapshot, this one splits across versions.
+
+    Static side = the full dimension history (dim-sized, broadcast by
+    the planner); the stream side carries no state at all — stream-static
+    joins need no watermark, so the result is batch-exact by
+    construction. Events are shifted back ``ASOF_SHIFT_DAYS`` so the
+    2024-vintage event log lands INSIDE the 1992–2000 dimension history
+    and genuinely exercises version splitting (a pure-2024 timestamp
+    would resolve every event to the open row).
+    """
+    from etl_mini_dw_spark import fixtures_spec as spec
+    from etl_mini_dw_spark.operators import scd2
+
+    _ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    dim = scd2.dim_initial(spark, sf_dir, spec.DIMS["customer"]).select(
+        F.col("customer_nk").alias("nk"),
+        F.col("customer_category_name").alias("category"),
+        "active_from",
+        "active_to",
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .transform(events_ts_to_timestamp)
+        .withColumn("eff_ts", F.expr(f"ts - INTERVAL {ASOF_SHIFT_DAYS} DAYS"))
+        .join(
+            dim,
+            (F.col("user_id") == F.col("nk"))
+            & (F.col("eff_ts") >= F.col("active_from"))
+            & (F.col("eff_ts") < F.col("active_to")),
+        )
+        .select("event_id", "user_id", "category")
+    )
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="stream_asof_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_asof_ckpt_")
+
+    def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(_write_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    enriched = spark.read.schema(stream.schema).parquet(out_dir)
+    return enriched.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
