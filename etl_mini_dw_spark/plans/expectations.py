@@ -131,3 +131,58 @@ r AS (
 )
 SELECT "check", violations, violations = 0 AS pass FROM r
 """
+
+
+# --- functional-dependency profiling ----------------------------------------
+FD_CHECKS = [
+    # (table, determinant cols, dependent col)
+    ("customer", ("c_custkey",), "c_nationkey"),
+    ("orders", ("o_orderkey",), "o_custkey"),
+    ("supplier", ("s_suppkey",), "s_nationkey"),
+    ("lineitem", ("l_orderkey", "l_linenumber"), "l_partkey"),
+]
+
+
+def fd_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiler: for each declared X → Y, count the
+    determinant values mapping to MORE than one dependent value — the
+    schema-inference primitive behind key discovery and denormalization
+    checks. The lineitem (orderkey, linenumber) → partkey row genuinely
+    fails on this testdata (the PK quirk the expectations suite also
+    catches), proving the checker isn't vacuous.
+
+    One partial-aggregable count-distinct per check, keyed by the
+    determinant — cardinality-bounded shuffles, unioned into one report.
+    """
+    out = None
+    for table, det, dep in FD_CHECKS:
+        df = typed_table(spark, sf_dir, table)
+        viol = (
+            df.groupBy(*det)
+            .agg(F.countDistinct(dep).alias("n_dep"))
+            .filter(F.col("n_dep") > 1)
+            .agg(F.count(F.lit(1)).alias("n_violating_keys"))
+            .select(
+                F.lit(table).alias("table_name"),
+                F.lit("+".join(det)).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.coalesce(F.col("n_violating_keys"), F.lit(0))
+                .cast("bigint")
+                .alias("n_violating_keys"),
+            )
+        )
+        out = viol if out is None else out.unionByName(viol)
+    return out
+
+
+FD_VIOLATION_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT '{table}' AS table_name, '{"+".join(det)}' AS determinant,
+       '{dep}' AS dependent,
+       CAST(COALESCE(COUNT(*), 0) AS BIGINT) AS n_violating_keys
+FROM (
+  SELECT {", ".join(det)} FROM {table}
+  GROUP BY {", ".join(det)} HAVING COUNT(DISTINCT {dep}) > 1
+)"""
+    for table, det, dep in FD_CHECKS
+)

@@ -807,6 +807,13 @@ _register(
     analytics.revenue_by_role_playing_dates_sql(),
 )
 
+# --- round 3c: functional-dependency profiler -------------------------------
+from etl_mini_dw_spark.plans import expectations as _expect
+
+_register(
+    "ext_fd_violation_report", _expect.fd_violation_report, _expect.FD_VIOLATION_SQL
+)
+
 # --- round 3c: stream-static AS-OF enrichment (topology #11) ----------------
 _STREAM_ASOF_SQL = f"""
 WITH dim AS ({warehouse_sql.dim_initial_sql(spec.DIMS["customer"])}),
