@@ -186,3 +186,67 @@ FROM (
 )"""
     for table, det, dep in FD_CHECKS
 )
+
+
+# --- inclusion-dependency profiling (FK discovery) --------------------------
+IND_CHECKS = [
+    # (child table, child col, parent table, parent col)
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+]
+
+
+def ind_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency profiler: for each declared child ⊆ parent
+    column pair, count orphaned child values — FK discovery over the raw
+    source schema, the companion of the FD profiler (together they
+    recover the star schema's key structure from data alone).
+
+    Each check is a distinct-projection left-anti join: the child side
+    reduces to its distinct keys FIRST (partial-aggregable), so the anti
+    join compares key sets, never row sets — at 100 TB the anti join's
+    inputs are key-cardinality-sized.
+    """
+    out = None
+    for child_t, child_c, parent_t, parent_c in IND_CHECKS:
+        child = (
+            typed_table(spark, sf_dir, child_t)
+            .select(F.col(child_c).alias("k"))
+            .filter(F.col("k").isNotNull())  # NULL-key semantics differ
+            .distinct()                      # between anti-join and EXCEPT
+        )
+        parent = typed_table(spark, sf_dir, parent_t).select(
+            F.col(parent_c).alias("k")
+        ).distinct()
+        row = (
+            child.join(parent, "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphan_keys"))
+            .select(
+                F.lit(f"{child_t}.{child_c}").alias("child"),
+                F.lit(f"{parent_t}.{parent_c}").alias("parent"),
+                F.coalesce(F.col("n_orphan_keys"), F.lit(0))
+                .cast("bigint")
+                .alias("n_orphan_keys"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+IND_VIOLATION_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT '{ct}.{cc}' AS child, '{pt}.{pc}' AS parent,
+       CAST(COALESCE(COUNT(*), 0) AS BIGINT) AS n_orphan_keys
+FROM (
+  SELECT DISTINCT {cc} AS k FROM {ct} WHERE {cc} IS NOT NULL
+  EXCEPT
+  SELECT DISTINCT {pc} AS k FROM {pt}
+)"""
+    for ct, cc, pt, pc in IND_CHECKS
+)

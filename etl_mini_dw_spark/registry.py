@@ -813,6 +813,9 @@ from etl_mini_dw_spark.plans import expectations as _expect
 _register(
     "ext_fd_violation_report", _expect.fd_violation_report, _expect.FD_VIOLATION_SQL
 )
+_register(
+    "ext_ind_violation_report", _expect.ind_violation_report, _expect.IND_VIOLATION_SQL
+)
 
 # --- round 3c: stream-static AS-OF enrichment (topology #11) ----------------
 _STREAM_ASOF_SQL = f"""
