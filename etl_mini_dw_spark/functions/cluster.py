@@ -168,3 +168,107 @@ SELECT cluster, COUNT(*) AS n_vectors,
        CAST(SUM(dist) AS DOUBLE) / COUNT(*) AS mean_dist
 FROM assign GROUP BY cluster
 """
+
+
+# --- integer-exact power iteration (top principal direction) ----------------
+PI_ITERS = 3
+PI_SCALE = 127  # renormalized direction magnitude bound
+
+# uint8 quantization shared shape with simsearch's int8 report
+_PI_CODE = (
+    "transform({a}, v -> CAST(floor((least(greatest(CAST(v AS DOUBLE), -4.0), 4.0)"
+    " + 4.0) * 255 / 8.0) AS BIGINT))"
+)
+_PI_CODE_SQL = (
+    "list_transform({a}, v -> CAST(floor((least(greatest(CAST(v AS DOUBLE), -4.0), 4.0)"
+    " + 4.0) * 255 / 8.0) AS BIGINT))"
+)
+
+
+def power_iteration_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud by POWER ITERATION —
+    entirely in int64, so the result is bit-identical on any cluster
+    layout (same argument as the integer k-means: float matvecs change
+    under partial-sum reordering; integer sums cannot).
+
+    Each round is the classic two-step distributed matvec y = Xᵀ(X·w):
+    (1) per-vector dot s_i = Σ_d x_i[d]·w[d] — map-only; (2) 64 partial-
+    aggregable LONG sums y[d] = Σ_i s_i·x_i[d] — one 64-long row per
+    executor merged once, never a data-sized shuffle. Integer
+    renormalization between rounds (w ← ⌊y·127 / max|y|⌋) uses the
+    positive-mod floor-division identity ⌊a/m⌋ = (a − pmod(a, m)) / m,
+    portable across engines whose native `%`/`div` disagree on negative
+    operands. Three unrolled rounds in ONE lazy plan (the PageRank
+    pattern); output is the final integer direction per dimension —
+    exact-hash comparable, no float ever leaves a row.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.expr(_PI_CODE.format(a="embedding")).alias("c")
+    ).localCheckpoint(eager=False)
+
+    w_frame = spark.range(1).select(
+        F.expr(f"array_repeat(CAST(1 AS BIGINT), {DIM})").alias("w")
+    )
+    for _ in range(PI_ITERS):
+        s = emb.crossJoin(F.broadcast(w_frame)).select(
+            "c",
+            F.expr(
+                "aggregate(zip_with(c, w, (x, wd) -> (x - 128) * wd),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("s"),
+        )
+        y_aggs = [
+            F.sum(F.col("s") * (F.col("c")[d] - 128)).alias(f"y{d}") for d in range(DIM)
+        ]
+        y_row = s.agg(*y_aggs)
+        y_arr = y_row.select(
+            F.array(*[F.col(f"y{d}") for d in range(DIM)]).alias("y")
+        )
+        m = F.expr("greatest(array_max(transform(y, v -> abs(v))), CAST(1 AS BIGINT))")
+        w_frame = y_arr.select(m.alias("m"), "y").select(
+            F.expr(
+                f"transform(y, v -> CAST((v * {PI_SCALE} - pmod(v * {PI_SCALE}, m))"
+                f" / m AS BIGINT))"
+            ).alias("w")
+        )
+    return w_frame.select(F.posexplode("w").alias("dim_idx", "w")).select(
+        F.col("dim_idx").cast("bigint").alias("dim_idx"), F.col("w").alias("weight")
+    )
+
+
+def power_iteration_sql() -> str:
+    """Unrolled 3-round oracle with identical integer arithmetic."""
+    code = _PI_CODE_SQL.format(a="embedding")
+    sql = f"WITH emb AS (SELECT {code} AS c FROM embeddings),\n"
+    sql += f"w0 AS (SELECT list_transform(range({DIM}), i -> CAST(1 AS BIGINT)) AS w),\n"
+    prev = "w0"
+    for it in range(PI_ITERS):
+        sql += f"""s{it} AS (
+  SELECT c, list_sum(list_transform(range({DIM}),
+           i -> (c[CAST(i AS INT) + 1] - 128) * w[CAST(i AS INT) + 1])) AS s
+  FROM emb, {prev}
+),
+yrow{it} AS (
+  SELECT i AS d,
+         CAST(SUM(s * (c[CAST(i AS INT) + 1] - 128)) AS BIGINT) AS y
+  FROM s{it}, (SELECT unnest(range({DIM})) AS i)
+  GROUP BY i
+),
+yarr{it} AS (
+  SELECT list(y ORDER BY d) AS y FROM yrow{it}
+),
+w{it + 1} AS (
+  SELECT list_transform(y, v -> CAST((v * {PI_SCALE}
+           - (((v * {PI_SCALE}) % m) + m) % m) / m AS BIGINT)) AS w
+  FROM (SELECT y, greatest(list_max(list_transform(y, v -> abs(v))),
+                           CAST(1 AS BIGINT)) AS m
+        FROM yarr{it})
+),
+"""
+        prev = f"w{it + 1}"
+    sql = sql.rstrip().rstrip(",")
+    sql += f"""
+SELECT CAST(i AS BIGINT) AS dim_idx, w[CAST(i AS INT) + 1] AS weight
+FROM {prev}, (SELECT unnest(range({DIM})) AS i)
+"""
+    return sql

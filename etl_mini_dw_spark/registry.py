@@ -807,6 +807,13 @@ _register(
     analytics.revenue_by_role_playing_dates_sql(),
 )
 
+# --- round 3c: integer-exact power iteration (top principal direction) ------
+_register(
+    "ext_power_iteration_direction",
+    cluster.power_iteration_direction,
+    cluster.power_iteration_sql(),
+)
+
 # --- round 3c: functional-dependency profiler -------------------------------
 from etl_mini_dw_spark.plans import expectations as _expect
 
