@@ -299,3 +299,73 @@ SELECT month_of_year, n_orders, CAST(rev AS DOUBLE) AS revenue,
          AS seasonal_index
 FROM per CROSS JOIN tot
 """
+
+
+def customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: customers ranked by lifetime revenue,
+    bucketed into integer deciles, with each decile's cumulative share
+    of total revenue — the concentration curve behind every "top X% of
+    customers drive Y% of revenue" decision.
+
+    Deciles use integer rank arithmetic ((rank−1)·10 div n + 1), not
+    ``ntile`` — same buckets on both engines by construction. The rank
+    window sorts the dim-sized customer aggregate; shares divide exact
+    decimals as doubles, rounded to 6.
+    """
+    orders = typed_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    n_row = per_cust.agg(F.count(F.lit(1)).alias("n"), F.sum("rev").alias("total_rev"))
+    ranked = per_cust.crossJoin(F.broadcast(n_row)).select(
+        "custkey",
+        "rev",
+        "total_rev",
+        F.expr("((row_number() OVER (ORDER BY rev DESC, custkey)) - 1) * 10").alias(
+            "r10"
+        ),
+        "n",
+    )
+    deciles = (
+        ranked.select(
+            (F.expr("r10 div n") + 1).cast("int").alias("decile"),
+            "rev",
+            "total_rev",
+        )
+        .groupBy("decile", "total_rev")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"), F.sum("rev").alias("d_rev"))
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return deciles.select(
+        "decile",
+        "n_customers",
+        F.col("d_rev").cast("double").alias("revenue"),
+        F.round(
+            F.sum("d_rev").over(w_cum).cast("double") / F.col("total_rev").cast("double"),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+CUSTOMER_PARETO_SQL = """
+WITH per AS (
+  SELECT o_custkey AS custkey, SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT COUNT(*) AS n, SUM(rev) AS total_rev FROM per),
+ranked AS (
+  SELECT rev, total_rev,
+         ((row_number() OVER (ORDER BY rev DESC, custkey)) - 1) * 10 AS r10, n
+  FROM per CROSS JOIN tot
+),
+deciles AS (
+  SELECT CAST(r10 // n + 1 AS INTEGER) AS decile, total_rev,
+         CAST(COUNT(*) AS BIGINT) AS n_customers, SUM(rev) AS d_rev
+  FROM ranked GROUP BY 1, 2
+)
+SELECT decile, n_customers, CAST(d_rev AS DOUBLE) AS revenue,
+       round(CAST(SUM(d_rev) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(total_rev AS DOUBLE), 6) AS cum_share
+FROM deciles
+"""

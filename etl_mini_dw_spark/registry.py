@@ -807,6 +807,9 @@ _register(
     analytics.revenue_by_role_playing_dates_sql(),
 )
 
+# --- round 3c: Pareto / ABC concentration -----------------------------------
+_register("ext_customer_pareto", _stats.customer_pareto, _stats.CUSTOMER_PARETO_SQL)
+
 # --- round 3c: integer-exact power iteration (top principal direction) ------
 _register(
     "ext_power_iteration_direction",
