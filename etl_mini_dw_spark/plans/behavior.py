@@ -509,3 +509,65 @@ SELECT b.custkey, b.recency_days, b.frequency,
          || CAST({_rfm_bin_sql("monetary", "m")} AS VARCHAR) AS segment
 FROM base b CROSS JOIN bounds
 """
+
+
+def reorder_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence per market segment: the distribution of
+    days between a customer's consecutive orders — the behavioral input
+    to replenishment and churn-risk models.
+
+    One custkey-partitioned lag window over the orders (the natural key,
+    no skew), integer day gaps, then a segment-keyed aggregate with the
+    exact-selection-friendly stats: n, mean (round 6), min, max. The
+    customer dim joins broadcast for the segment label.
+    """
+    from etl_mini_dw_spark.sources.tables import typed_table as _tt
+
+    orders = _tt(spark, sf_dir, "orders")
+    customer = _tt(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return (
+        gaps.join(
+            F.broadcast(
+                customer.select(
+                    F.col("c_custkey").alias("o_custkey"),
+                    F.col("c_mktsegment").alias("mktsegment"),
+                )
+            ),
+            "o_custkey",
+        )
+        .groupBy("mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.round(F.sum("gap_days") / F.count(F.lit(1)), 6).alias("mean_gap_days"),
+            F.min("gap_days").cast("int").alias("min_gap_days"),
+            F.max("gap_days").cast("int").alias("max_gap_days"),
+        )
+    )
+
+
+REORDER_INTERVAL_SQL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderdate, o_orderkey) AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+)
+SELECT c_mktsegment AS mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       round(CAST(SUM(gap_days) AS DOUBLE) / COUNT(*), 6) AS mean_gap_days,
+       CAST(MIN(gap_days) AS INTEGER) AS min_gap_days,
+       CAST(MAX(gap_days) AS INTEGER) AS max_gap_days
+FROM gaps JOIN customer ON c_custkey = o_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY 1
+"""

@@ -810,6 +810,15 @@ _register(
 # --- round 3c: Pareto / ABC concentration -----------------------------------
 _register("ext_customer_pareto", _stats.customer_pareto, _stats.CUSTOMER_PARETO_SQL)
 
+# --- round 3c: repeat-purchase cadence ---------------------------------------
+from etl_mini_dw_spark.plans import behavior as _behavior_early
+
+_register(
+    "ext_reorder_interval_stats",
+    _behavior_early.reorder_interval_stats,
+    _behavior_early.REORDER_INTERVAL_SQL,
+)
+
 # --- round 3c: integer-exact power iteration (top principal direction) ------
 _register(
     "ext_power_iteration_direction",
