@@ -369,3 +369,93 @@ SELECT decile, n_customers, CAST(d_rev AS DOUBLE) AS revenue,
              / CAST(total_rev AS DOUBLE), 6) AS cum_share
 FROM deciles
 """
+
+
+# --- correlation matrix from exact sufficient statistics --------------------
+CORR_VARS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem measures, computed
+    from EXACT-DECIMAL sufficient statistics (n, Σx, Σx², Σxy) — the
+    fourth instance of the sufficient-statistics pattern (anomaly z,
+    trend slope, winsorize) and the portable alternative to the built-in
+    float ``corr`` (whose partial aggregation is reduction-order-
+    dependent). One pass, 15 partial-aggregable aggregates, map-side
+    combine; the 6 pair rows are unpacked from the single result row.
+    Final ratios divide exact decimals as doubles, rounded to 6; the
+    sqrt is gated on positive variance on both engines.
+    """
+    li = typed_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for v in CORR_VARS:
+        aggs.append(F.sum(v).alias(f"s_{v}"))
+        aggs.append(F.sum(F.col(v) * F.col(v)).alias(f"q_{v}"))
+    pairs = [
+        (a, b) for i, a in enumerate(CORR_VARS) for b in CORR_VARS[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"p_{a}_{b}"))
+    row = li.agg(*aggs)
+    structs = []
+    for a, b in pairs:
+        structs.append(
+            F.struct(
+                F.lit(a).alias("var_a"),
+                F.lit(b).alias("var_b"),
+                F.col(f"s_{a}").cast("double").alias("sx"),
+                F.col(f"s_{b}").cast("double").alias("sy"),
+                F.col(f"q_{a}").cast("double").alias("qx"),
+                F.col(f"q_{b}").cast("double").alias("qy"),
+                F.col(f"p_{a}_{b}").cast("double").alias("pxy"),
+            )
+        )
+    unpacked = row.select("n", F.explode(F.array(*structs)).alias("d"))
+    n = F.col("n").cast("double")
+    cov = n * F.col("d.pxy") - F.col("d.sx") * F.col("d.sy")
+    vx = n * F.col("d.qx") - F.col("d.sx") * F.col("d.sx")
+    vy = n * F.col("d.qy") - F.col("d.sy") * F.col("d.sy")
+    corr = F.when((vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6))
+    return unpacked.select(
+        F.col("d.var_a").alias("var_a"),
+        F.col("d.var_b").alias("var_b"),
+        F.col("n").cast("bigint").alias("n"),
+        corr.alias("pearson_r"),
+    )
+
+
+def lineitem_corr_matrix_sql() -> str:
+    # DuckDB decimal products: cast ONE operand to DECIMAL(19,2)+ so the
+    # multiply leaves the int64 fast path BEFORE it overflows (CLAUDE.md)
+    def dec(v: str) -> str:
+        scale = {"l_quantity": "DECIMAL(12,2)", "l_extendedprice": "DECIMAL(14,2)",
+                 "l_discount": "DECIMAL(4,2)", "l_tax": "DECIMAL(4,2)"}[v]
+        return f"CAST({v} AS {scale})"
+
+    def wide(v: str) -> str:
+        return f"CAST({v} AS DECIMAL(19,2))"
+
+    sums = ["COUNT(*) AS n"]
+    for v in CORR_VARS:
+        sums.append(f"SUM({dec(v)}) AS s_{v}")
+        sums.append(f"SUM({wide(v)} * {dec(v)}) AS q_{v}")
+    pairs = [(a, b) for i, a in enumerate(CORR_VARS) for b in CORR_VARS[i + 1 :]]
+    for a, b in pairs:
+        sums.append(f"SUM({wide(a)} * {dec(b)}) AS p_{a}_{b}")
+    pair_rows = "\nUNION ALL\n".join(
+        f"""SELECT '{a}' AS var_a, '{b}' AS var_b, CAST(n AS BIGINT) AS n,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(q_{a} AS DOUBLE)
+                 - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE) > 0
+             AND CAST(n AS DOUBLE) * CAST(q_{b} AS DOUBLE)
+                 - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE) > 0
+            THEN round((CAST(n AS DOUBLE) * CAST(p_{a}_{b} AS DOUBLE)
+                        - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+                       / sqrt((CAST(n AS DOUBLE) * CAST(q_{a} AS DOUBLE)
+                               - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(q_{b} AS DOUBLE)
+                                 - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 6)
+       END AS pearson_r
+FROM agg"""
+        for a, b in pairs
+    )
+    return f"WITH agg AS (SELECT {', '.join(sums)} FROM lineitem)\n{pair_rows}"

@@ -810,6 +810,13 @@ _register(
 # --- round 3c: Pareto / ABC concentration -----------------------------------
 _register("ext_customer_pareto", _stats.customer_pareto, _stats.CUSTOMER_PARETO_SQL)
 
+# --- round 3c: correlation matrix from exact sufficient statistics ----------
+_register(
+    "ext_lineitem_corr_matrix",
+    _stats.lineitem_corr_matrix,
+    _stats.lineitem_corr_matrix_sql(),
+)
+
 # --- round 3c: repeat-purchase cadence ---------------------------------------
 from etl_mini_dw_spark.plans import behavior as _behavior_early
 
