@@ -459,3 +459,57 @@ FROM agg"""
         for a, b in pairs
     )
     return f"WITH agg AS (SELECT {', '.join(sums)} FROM lineitem)\n{pair_rows}"
+
+
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between ``lang`` and ``source`` over
+    the documents table — the categorical-association profiler (is
+    language balanced across sources, or does a source skew?).
+
+    Zero-observed cells are handled WITHOUT generating them: since
+    Σ_all-cells E = n, the statistic folds to
+    χ² = Σ_present [(o−E)²/E − E] + n. All inputs are exact integer
+    counts; the expected values are rational in doubles (identical
+    inputs ⇒ identical IEEE results), summed over ≤ |langs|·|sources|
+    cells and rounded to 6. No libm beyond division — portable where a
+    log-based mutual information would 1-ulp drift.
+    """
+    from etl_mini_dw_spark.sources.tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents").select("lang", "source")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    ml = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("rl"))
+    ms = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cs"))
+    n_row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("lang").alias("nl"),
+        F.countDistinct("source").alias("ns"),
+    )
+    e = (F.col("rl") * F.col("cs")).cast("double") / F.col("n").cast("double")
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e - e
+    return (
+        cells.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(n_row))
+        .agg(
+            F.round(F.sum(term) + F.first("n"), 6).alias("chi2"),
+            ((F.first("nl") - 1) * (F.first("ns") - 1)).cast("bigint").alias("dof"),
+            F.first("n").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+CHI2_LANG_SOURCE_SQL = """
+WITH cells AS (SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+ml AS (SELECT lang, COUNT(*) AS rl FROM documents GROUP BY 1),
+ms AS (SELECT source, COUNT(*) AS cs FROM documents GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT lang) AS nl,
+               COUNT(DISTINCT source) AS ns FROM documents)
+SELECT round(SUM((CAST(o AS DOUBLE) - CAST(rl * cs AS DOUBLE) / n)
+                 * (CAST(o AS DOUBLE) - CAST(rl * cs AS DOUBLE) / n)
+                 / (CAST(rl * cs AS DOUBLE) / n)
+                 - CAST(rl * cs AS DOUBLE) / n) + ANY_VALUE(n), 6) AS chi2,
+       CAST((ANY_VALUE(nl) - 1) * (ANY_VALUE(ns) - 1) AS BIGINT) AS dof,
+       CAST(ANY_VALUE(n) AS BIGINT) AS n_docs
+FROM cells JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN tot
+"""

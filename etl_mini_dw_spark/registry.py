@@ -817,6 +817,9 @@ _register(
     _stats.lineitem_corr_matrix_sql(),
 )
 
+# --- round 3c: categorical association (chi-square) -------------------------
+_register("ext_chi2_lang_source", _stats.chi2_lang_source, _stats.CHI2_LANG_SOURCE_SQL)
+
 # --- round 3c: repeat-purchase cadence ---------------------------------------
 from etl_mini_dw_spark.plans import behavior as _behavior_early
 
