@@ -820,6 +820,118 @@ _register(
 # --- round 3c: categorical association (chi-square) -------------------------
 _register("ext_chi2_lang_source", _stats.chi2_lang_source, _stats.CHI2_LANG_SOURCE_SQL)
 
+
+# --- round 3c: one-frame warehouse health summary (#200) --------------------
+def _health_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Stage-5 battery as ONE dashboard frame: (check, violations)
+    for every structural invariant — the operational "is the warehouse
+    green" query. Dim states and the resolved fact come from the shared
+    stage memos, so the 15 checks pay the builds once per session.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_mini_dw_spark.sources.tables import stage_memo
+
+    rows = []
+
+    def _count(name: str, frame: DataFrame) -> None:
+        rows.append(
+            frame.agg(F.count(F.lit(1)).alias("violations")).select(
+                F.lit(name).alias("check"),
+                F.col("violations").cast("bigint").alias("violations"),
+            )
+        )
+
+    for key, d in spec.DIMS.items():
+        dim_df = stage_memo(
+            spark,
+            sf_dir,
+            f"api_dim_{key}",
+            lambda d=d: scd2.dim_two_phase(
+                spark, sf_dir, d, spec.MID, spec.NOW_FIXED
+            ).localCheckpoint(eager=False),
+        )
+        _count(f"{key}.dup_current", validation.duplicate_current_per_nk(dim_df, d.nk))
+        _count(f"{key}.dup_versions", validation.duplicate_version_windows(dim_df, d.nk))
+        _count(f"{key}.overlaps", validation.overlapping_windows(dim_df, d.nk, d.sk))
+    fact_df = _fact_initial_memo(spark, sf_dir)
+    _count("fact.nk_dups", validation.duplicate_fact_nk(fact_df))
+    for key, d in spec.DIMS.items():
+        fk = {
+            "customer": "sales_customerid",
+            "salesperson": "sales_salespersonid",
+            "product": "sales_productid",
+        }[key]
+        _count(
+            f"fact.orphans_{key}",
+            validation.fact_orphans(
+                fact_df, scd2.dim_initial(spark, sf_dir, d), fk, d.sk
+            ),
+        )
+    _count(
+        "fact.orphans_date",
+        validation.fact_orphans(
+            fact_df,
+            dimdate.build_dim_date(spark, spec.DATE_START, spec.DATE_END),
+            "sales_order_datekey",
+            "date_key",
+        ),
+    )
+    _count(
+        "dimdate.dup_dates", validation.duplicate_dates(dimdate.build_dim_date(spark))
+    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _health_summary_sql() -> str:
+    parts = []
+
+    def _add(name: str, sql: str) -> None:
+        parts.append(
+            f"SELECT '{name}' AS check, CAST(COUNT(*) AS BIGINT) AS violations"
+            f" FROM ({sql})"
+        )
+
+    for key, d in spec.DIMS.items():
+        two = warehouse_sql.dim_two_phase_sql(d, spec.MID, spec.NOW_FIXED)
+        _add(f"{key}.dup_current", validation_sql.dup_current_sql(two, d.nk))
+        _add(f"{key}.dup_versions", validation_sql.dup_versions_sql(two, d.nk))
+        _add(f"{key}.overlaps", validation_sql.overlaps_sql(two, d.nk, d.sk))
+    fact_sql = warehouse_sql.fact_initial_sql()
+    _add("fact.nk_dups", validation_sql.fact_nk_dups_sql(fact_sql))
+    for key, d in spec.DIMS.items():
+        fk = {
+            "customer": "sales_customerid",
+            "salesperson": "sales_salespersonid",
+            "product": "sales_productid",
+        }[key]
+        _add(
+            f"fact.orphans_{key}",
+            validation_sql.fact_orphans_sql(
+                fact_sql, warehouse_sql.dim_initial_sql(d), fk, d.sk
+            ),
+        )
+    _add(
+        "fact.orphans_date",
+        validation_sql.fact_orphans_sql(
+            fact_sql,
+            dimdate.dim_date_oracle_sql(spec.DATE_START, spec.DATE_END),
+            "sales_order_datekey",
+            "date_key",
+        ),
+    )
+    _add(
+        "dimdate.dup_dates",
+        validation_sql.dimdate_dup_dates_sql(dimdate.dim_date_oracle_sql()),
+    )
+    return "\nUNION ALL\n".join(parts)
+
+
+_register("ext_warehouse_health_summary", _health_summary, _health_summary_sql())
+
 # --- round 3c: repeat-purchase cadence ---------------------------------------
 from etl_mini_dw_spark.plans import behavior as _behavior_early
 
