@@ -513,3 +513,117 @@ SELECT round(SUM((CAST(o AS DOUBLE) - CAST(rl * cs AS DOUBLE) / n)
        CAST(ANY_VALUE(n) AS BIGINT) AS n_docs
 FROM cells JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN tot
 """
+
+
+def supplier_hhi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration (Herfindahl–Hirschman) index of supplier
+    revenue share within each part type — flags types where one supplier
+    dominates. HHI = Σ share², shares from exact-DECIMAL revenue; the
+    squared ratios are doubles of exact decimals rounded at the END
+    (single aggregate per type, ≤ |suppliers| terms).
+
+    Two partial-aggregable shuffles: (type, supplier) then type; the
+    per-type totals broadcast back.
+    """
+    li = typed_table(spark, sf_dir, "lineitem")
+    part = typed_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount")
+    )
+    per = (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_type").alias("part_type"), F.col("l_suppkey").alias("supp"))
+        .agg(F.sum(revenue).alias("rev"))
+    )
+    totals = per.groupBy("part_type").agg(
+        F.sum("rev").alias("total_rev"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    share2 = (
+        F.col("rev").cast("double") / F.col("total_rev").cast("double")
+    ) * (F.col("rev").cast("double") / F.col("total_rev").cast("double"))
+    return (
+        per.join(F.broadcast(totals), "part_type")
+        .groupBy("part_type")
+        .agg(
+            F.first("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.round(F.sum(share2), 6).alias("hhi"),
+        )
+    )
+
+
+SUPPLIER_HHI_SQL = """
+WITH per AS (
+  SELECT p_type AS part_type, l_suppkey AS supp,
+         SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT part_type, SUM(rev) AS total_rev, COUNT(*) AS n_suppliers
+  FROM per GROUP BY 1
+)
+SELECT p.part_type, CAST(ANY_VALUE(t.n_suppliers) AS BIGINT) AS n_suppliers,
+       round(SUM((CAST(p.rev AS DOUBLE) / CAST(t.total_rev AS DOUBLE))
+                 * (CAST(p.rev AS DOUBLE) / CAST(t.total_rev AS DOUBLE))), 6) AS hhi
+FROM per p JOIN totals t USING (part_type)
+GROUP BY 1
+"""
+
+
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series per event
+    type — the is-today-predicted-by-yesterday signal that separates
+    bursty from steady streams. Daily counts are exact integers; the
+    (day, day+1) pairs come from a self-join on the calendar key (no
+    window over the whole series needed), and Pearson r is computed from
+    integer sufficient statistics, rounded to 6.
+    """
+    ev = typed_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("c"))
+    nxt = daily.select(
+        "event_type",
+        F.date_sub("day", 1).alias("day"),
+        F.col("c").alias("c_next"),
+    )
+    pairs = daily.join(nxt, ["event_type", "day"])
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("c").cast("double"), F.sum("c_next").cast("double")
+    sxx = F.sum(F.col("c") * F.col("c")).cast("double")
+    syy = F.sum(F.col("c_next") * F.col("c_next")).cast("double")
+    sxy = F.sum(F.col("c") * F.col("c_next")).cast("double")
+    cov = n * sxy - sx * sy
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.when((vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6)).alias(
+            "autocorr_lag1"
+        ),
+    )
+
+
+EVENTS_AUTOCORR_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events
+),
+daily AS (SELECT event_type, day, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+pairs AS (
+  SELECT d.event_type, d.c, x.c AS c_next
+  FROM daily d JOIN daily x
+    ON x.event_type = d.event_type AND x.day = d.day + 1
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CASE WHEN COUNT(*) * SUM(CAST(c AS DOUBLE) * c) - SUM(CAST(c AS DOUBLE)) * SUM(CAST(c AS DOUBLE)) > 0
+             AND COUNT(*) * SUM(CAST(c_next AS DOUBLE) * c_next) - SUM(CAST(c_next AS DOUBLE)) * SUM(CAST(c_next AS DOUBLE)) > 0
+            THEN round((COUNT(*) * SUM(CAST(c AS DOUBLE) * c_next)
+                        - SUM(CAST(c AS DOUBLE)) * SUM(CAST(c_next AS DOUBLE)))
+                       / sqrt((COUNT(*) * SUM(CAST(c AS DOUBLE) * c)
+                               - SUM(CAST(c AS DOUBLE)) * SUM(CAST(c AS DOUBLE)))
+                              * (COUNT(*) * SUM(CAST(c_next AS DOUBLE) * c_next)
+                                 - SUM(CAST(c_next AS DOUBLE)) * SUM(CAST(c_next AS DOUBLE)))), 6)
+       END AS autocorr_lag1
+FROM pairs GROUP BY 1
+"""

@@ -820,6 +820,12 @@ _register(
 # --- round 3c: categorical association (chi-square) -------------------------
 _register("ext_chi2_lang_source", _stats.chi2_lang_source, _stats.CHI2_LANG_SOURCE_SQL)
 
+# --- round 3c: concentration + time-series association ----------------------
+_register("ext_supplier_hhi_by_type", _stats.supplier_hhi_by_type, _stats.SUPPLIER_HHI_SQL)
+_register(
+    "ext_events_autocorr_lag1", _stats.events_autocorr_lag1, _stats.EVENTS_AUTOCORR_SQL
+)
+
 
 # --- round 3c: one-frame warehouse health summary (#200) --------------------
 def _health_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
