@@ -1071,3 +1071,80 @@ WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
 ORDER BY jaccard DESC, doc_a, doc_b
 LIMIT 100
 """
+
+
+def neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: verified near-dup PAIR counts per
+    (source, source) combination — the corpus-observability view that
+    tells you whether duplication is intra-source boilerplate or one
+    source mirroring another (which changes the dedup KEEP policy).
+
+    Reuses the memoized LSH candidates + exact-Jaccard verify (no limit
+    — the matrix wants ALL verified pairs); source labels broadcast on,
+    pair key ordered lexicographically so (a,b) and (b,a) land in one
+    cell. One extra tiny aggregate on top of the existing pipeline.
+    """
+    arrs = _shingle_arrays(spark, sf_dir)
+    cands = lsh_candidate_pairs(spark, sf_dir)
+    common = F.size(F.array_intersect("arr_a", "arr_b"))
+    verified = (
+        cands.join(
+            arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a")),
+            "doc_a",
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b")),
+            "doc_b",
+        )
+        .withColumn("common", common)
+        .filter(
+            F.round(
+                F.col("common").cast("double")
+                / (F.size("arr_a") + F.size("arr_b") - F.col("common")).cast("double"),
+                6,
+            )
+            >= JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    labeled = (
+        verified.join(
+            F.broadcast(src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return labeled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+
+
+NEARDUP_SOURCE_MATRIX_SQL = f"""
+WITH arrs AS ({_SHINGLE_ARRAYS_SQL}),
+cands AS ({LSH_PAIRS_SQL}),
+verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cands c
+  JOIN arrs aa ON aa.doc_id = c.doc_a
+  JOIN arrs ab ON ab.doc_id = c.doc_b
+  WHERE round(CAST(len(list_intersect(aa.sh_arr, ab.sh_arr)) AS DOUBLE)
+              / CAST(len(aa.sh_arr) + len(ab.sh_arr)
+                     - len(list_intersect(aa.sh_arr, ab.sh_arr)) AS DOUBLE), 6)
+        >= {JACCARD_THRESHOLD}
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM verified v
+JOIN documents da ON da.doc_id = v.doc_a
+JOIN documents db ON db.doc_id = v.doc_b
+GROUP BY 1, 2
+"""

@@ -800,6 +800,13 @@ _register(
     "ext_containment_neardups", dedup.containment_neardups, dedup.CONTAINMENT_SQL
 )
 
+# --- round 3c: cross-source duplication matrix -------------------------------
+_register(
+    "ext_neardup_source_matrix",
+    dedup.neardup_source_matrix,
+    dedup.NEARDUP_SOURCE_MATRIX_SQL,
+)
+
 # --- round 3c: role-playing date dimension ----------------------------------
 _register(
     "ext_revenue_role_playing_dates",
