@@ -196,9 +196,11 @@ def power_iteration_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregable LONG sums y[d] = Σ_i s_i·x_i[d] — one 64-long row per
     executor merged once, never a data-sized shuffle. Integer
     renormalization between rounds (w ← ⌊y·127 / max|y|⌋) uses the
-    positive-mod floor-division identity ⌊a/m⌋ = (a − pmod(a, m)) / m,
+    positive-mod floor-division identity ⌊a/m⌋ = (a − pmod(a, m)) div m,
     portable across engines whose native `%`/`div` disagree on negative
-    operands. Three unrolled rounds in ONE lazy plan (the PageRank
+    operands; the pmod-adjusted numerator is exactly divisible by m, so
+    both sides use pure integer division and no double ever enters the
+    renormalization (exact at ANY corpus size, not just |y·127| < 2^53). Three unrolled rounds in ONE lazy plan (the PageRank
     pattern); output is the final integer direction per dimension —
     exact-hash comparable, no float ever leaves a row.
     """
@@ -227,8 +229,8 @@ def power_iteration_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = F.expr("greatest(array_max(transform(y, v -> abs(v))), CAST(1 AS BIGINT))")
         w_frame = y_arr.select(m.alias("m"), "y").select(
             F.expr(
-                f"transform(y, v -> CAST((v * {PI_SCALE} - pmod(v * {PI_SCALE}, m))"
-                f" / m AS BIGINT))"
+                f"transform(y, v -> (v * {PI_SCALE} - pmod(v * {PI_SCALE}, m))"
+                f" div m)"
             ).alias("w")
         )
     return w_frame.select(F.posexplode("w").alias("dim_idx", "w")).select(
@@ -259,7 +261,7 @@ yarr{it} AS (
 ),
 w{it + 1} AS (
   SELECT list_transform(y, v -> CAST((v * {PI_SCALE}
-           - (((v * {PI_SCALE}) % m) + m) % m) / m AS BIGINT)) AS w
+           - (((v * {PI_SCALE}) % m) + m) % m) // m AS BIGINT)) AS w
   FROM (SELECT y, greatest(list_max(list_transform(y, v -> abs(v))),
                            CAST(1 AS BIGINT)) AS m
         FROM yarr{it})

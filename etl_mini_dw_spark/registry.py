@@ -1081,90 +1081,64 @@ _register(
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
-# ``queries()`` entries (registration order). Rounds 1–2 proved the §2
-# core + validation battery green twice over, while everything
-# registered later has only the local parity replica. Rotate: promote
-# every not-yet-driver-checked query (plus this round's additions and
-# the re-planned top-k) into the first 50 slots; the twice-proven core
-# follows behind, unchanged. tests/test_oracle_parity.py still runs ALL
-# entries, so nothing loses its value gate by moving.
-_DRIVER_WINDOW_PRIORITY = [
-    # classic battery II (r2, never driver-checked)
-    "bilateral_nation_trade",
-    "regional_market_share",
-    "product_line_profit",
-    "top_supplier_by_quarter",
-    "small_quantity_order_revenue",
-    "disjunctive_promo_revenue",
-    "sole_returning_supplier",
-    "idle_high_balance_customers",
-    # classic battery I second half (r2)
-    "min_price_supplier_per_part",
-    "top_returned_customers",
-    "promo_revenue_ratio",
-    "large_volume_customers",
-    "nation_revenue_share",
-    # round-3 additions (Q6/Q12/Q20)
-    "forecast_revenue_change",
-    "line_status_priority_counts",
-    "bulk_shipping_suppliers",
-    # the one SURVEY §2 op with no driver row after 2 rounds
-    "reconcile_fact_vs_source",
-    # grouping lattice + window battery
-    "ext_order_window_battery",
-    "ext_orders_cube",
-    "ext_revenue_grouping_sets",
-    # clustering / ANN scale paths
-    "ext_kmeans_ivf_assign",
-    "ext_embedding_cluster_components",
-    "ext_simhash64_neardups",
-    "ext_neardup_components",
-    "ext_ivf_multiprobe_topk",
-    # round-2 streaming topologies + stateful
-    "ext_streaming_dedup_users",
-    "ext_streaming_enriched_segments",
-    "ext_streaming_click_attribution",
-    "ext_streaming_stateful_user_totals",
-    # sampling / governance
-    "ext_stratified_sample",
-    "ext_train_test_split",
-    "ext_decontaminate",
-    "ext_pii_redaction",
-    # temporal joins + skew + bucketing
-    "ext_events_asof_order",
-    "ext_events_preceding_hour",
-    "ext_salted_user_value_totals",
-    "ext_bucketed_revenue_by_priority",
-    # text corpus analytics (r2)
-    "ext_tfidf_top_terms",
-    "ext_top_bigrams",
-    "ext_repetition_signals",
-    "ext_doc_length_histogram",
-    # multimodal plumbing
-    "ext_multimodal_metadata",
-    "ext_multimodal_features",
-    "ext_multimodal_frame_sample",
-    # re-planned this round (TakeOrderedAndProject): needs a fresh row
-    "ext_events_topk_users",
-    # events OLAP extensions never checked
-    "ext_events_session_window",
-    "ext_corpus_quality_filter",
-    "ext_events_value_quantiles",
-    "ext_events_pivot_type_by_day",
-    "ext_sales_rollup",
+# ``queries()`` entries (registration order). The rotation is fully
+# self-maintaining: `_DRIVER_WINDOW_SEED` below is a *value ranking* of
+# queries worth checking early, NOT a pinned window — at import time it
+# is filtered down to names with no row in any CORRECTNESS_r*.json, so
+# once a round's file lands those names drop out and the next
+# never-checked block floats forward automatically, no per-round edit.
+# The window each round is therefore: (seed ∩ unchecked) first, then
+# every other unchecked query in registration order, then the checked
+# backlog. tests/test_oracle_parity.py still runs ALL entries, so
+# nothing loses its value gate by moving.
+_DRIVER_WINDOW_SEED = [
+    # five dedup families with no driver row (judge-ranked highest value)
+    "ext_prefix_filter_neardups",
+    "ext_containment_neardups",
+    "ext_edit_distance_neardups",
+    "ext_neardup_keep_canonical",
+    "ext_incremental_newbatch_dedup",
+    "ext_neardup_source_matrix",
+    # ANN compression path
+    "ext_pq_codes",
+    "ext_ann_pq_topk",
+    "ext_ann_int8_topk",
+    "ext_ann_recall_report",
+    # sketch paths
+    "ext_heavy_hitter_tokens",
+    "ext_bloom_membership_report",
+    # fact extensions
+    "fact_order_lifecycle",
+    "fact_customer_monthly_snapshot",
+    # event-sourced SCD2 pair
+    "scd2_customer_late_splice",
+    "scd2_customer_asof_snapshot",
+    # data-quality profilers
+    "ext_expectations_report",
+    "ext_fd_violation_report",
+    "ext_ind_violation_report",
+    # the five streaming topologies without driver rows
+    "ext_streaming_left_outer_attribution",
+    "ext_streaming_asof_enrichment",
+    "ext_streaming_dedup_within_watermark",
+    "ext_streaming_session_windows",
+    "ext_streaming_merge_totals",
+    # corpus-construction trio
+    "ext_doc_chunks",
+    "ext_sequence_packing",
+    "ext_mixture_sampling",
+    # iterative algorithms
+    "ext_pagerank_parts",
+    "ext_power_iteration_direction",
 ]
-assert len(_DRIVER_WINDOW_PRIORITY) == 50, len(_DRIVER_WINDOW_PRIORITY)
-assert set(_DRIVER_WINDOW_PRIORITY) <= set(QUERIES), (
-    set(_DRIVER_WINDOW_PRIORITY) - set(QUERIES)
-)
 def _driver_checked_names(root: str | None = None) -> set[str]:
     """Query names that have EVER received a driver correctness row.
 
     The external driver writes CORRECTNESS_r{N}.json (first-50-only) into
     the repo root each round; reading them here makes the rotation
     self-maintaining: once this round's file lands, its 50 names count as
-    checked and the NEXT never-checked block floats forward automatically
-    — no manual priority-list edit per round.
+    checked, the seed list filters itself down, and the next
+    never-checked block floats forward automatically — no manual edit.
     """
     import glob
     import json
@@ -1184,13 +1158,15 @@ def _driver_checked_names(root: str | None = None) -> set[str]:
     return seen
 
 
-_checked = _driver_checked_names()
-_rest = [n for n in QUERIES if n not in _DRIVER_WINDOW_PRIORITY]
-# explicit priority block first (this round's curated window), then every
-# query with no driver row yet (registration order), then the rest
-_ordered = (
-    _DRIVER_WINDOW_PRIORITY
-    + [n for n in _rest if n not in _checked]
-    + [n for n in _rest if n in _checked]
+assert set(_DRIVER_WINDOW_SEED) <= set(QUERIES), (
+    set(_DRIVER_WINDOW_SEED) - set(QUERIES)
 )
+_checked = _driver_checked_names()
+# value-ranked seed minus anything already driver-checked ...
+_seed = [n for n in _DRIVER_WINDOW_SEED if n not in _checked]
+# ... then the rest of the unchecked backlog in registration order ...
+_unchecked = [n for n in QUERIES if n not in _checked and n not in _seed]
+# ... then everything with a green driver row already
+_done = [n for n in QUERIES if n in _checked]
+_ordered = _seed + _unchecked + _done
 QUERIES = {name: QUERIES[name] for name in _ordered}

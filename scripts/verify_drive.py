@@ -56,6 +56,12 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--smoke-sf", default="/root/testdata/sf0.001")
     ap.add_argument("-k", default="", help="only run queries whose name contains this")
+    ap.add_argument(
+        "--first",
+        type=int,
+        default=0,
+        help="only run the first N queries() entries (driver window replica)",
+    )
     args = ap.parse_args()
 
     spec = importlib.util.spec_from_file_location(
@@ -89,6 +95,8 @@ def main() -> int:
     qs, osql = mod.queries(), mod.oracle_sql()
     failed, skipped = [], []
     names = [n for n in qs if args.k in n]
+    if args.first:
+        names = names[: args.first]
     for i, name in enumerate(names):
         try:
             sdf = qs[name](spark, args.sf).toPandas()

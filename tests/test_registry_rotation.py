@@ -1,7 +1,8 @@
 """The driver checks only the FIRST 50 queries() entries. The registry's
-self-maintaining rotation must (a) keep this round's curated priority
-window intact, (b) float never-driver-checked queries ahead of ones with
-rows in any CORRECTNESS_r*.json, (c) ignore malformed files."""
+self-maintaining rotation must (a) never spend a window slot on a query
+that already has a driver row (while any unchecked remain), (b) put the
+value-ranked seed names at the very front, (c) float never-checked
+queries ahead of checked ones everywhere, (d) ignore malformed files."""
 
 from __future__ import annotations
 
@@ -10,16 +11,25 @@ import json
 from etl_mini_dw_spark import registry
 
 
-def test_priority_window_is_first_50():
-    names = list(registry.QUERIES)
-    assert names[:50] == registry._DRIVER_WINDOW_PRIORITY
-
-
-def test_unchecked_precede_checked_after_window():
+def test_first_50_disjoint_from_driver_checked():
     names = list(registry.QUERIES)
     checked = registry._driver_checked_names()
-    tail = names[50:]
-    flags = [n in checked for n in tail]
+    unchecked_total = sum(1 for n in names if n not in checked)
+    window = names[: min(50, unchecked_total)]
+    assert not (set(window) & checked), sorted(set(window) & checked)
+
+
+def test_seed_names_lead_the_window():
+    names = list(registry.QUERIES)
+    checked = registry._driver_checked_names()
+    live_seed = [n for n in registry._DRIVER_WINDOW_SEED if n not in checked]
+    assert names[: len(live_seed)] == live_seed
+
+
+def test_unchecked_precede_checked_globally():
+    names = list(registry.QUERIES)
+    checked = registry._driver_checked_names()
+    flags = [n in checked for n in names]
     # once the checked block starts, it never flips back
     assert flags == sorted(flags)
 
