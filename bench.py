@@ -47,6 +47,38 @@ HEADLINE = [
 ]
 
 
+def _memo_warmers():
+    """Shared staged frames (stage_memo), forced up-front and billed to
+    their own `memo:` lines. Without this, the first family member to
+    run pays the whole staged build and per-query bench lines flip with
+    registration order round-over-round (VERDICT r03 "what's wrong" #2:
+    ext_simhash_sketches 1.18 s → 3.55 s was memo attribution, not a
+    plan change). Returns [(label, fn(spark, sf_dir) -> [DataFrame])]."""
+    from etl_mini_dw_spark import fixtures_spec as spec
+    from etl_mini_dw_spark.api import dim_state
+    from etl_mini_dw_spark.functions import dedup, pq, text
+    from etl_mini_dw_spark.registry import _fact_initial_memo
+
+    return [
+        ("dedup_shingles", lambda s, d: [dedup._shingle_arrays(s, d)]),
+        ("dedup_hash28", lambda s, d: [dedup._shingle_hash_arrays(s, d)]),
+        ("dedup_minhash", lambda s, d: [dedup._minhash_arrays(s, d)]),
+        ("dedup_digests16", lambda s, d: [dedup._digest16_arrays(s, d)]),
+        ("text_tokens", lambda s, d: [text._token_frame(s, d)]),
+        ("text_words", lambda s, d: [text._word_frame(s, d)]),
+        ("pq_quantized", lambda s, d: [pq._quantized(s, d)]),
+        (
+            "pq_codebooks",
+            lambda s, d: [pq._codebook(s, d, m) for m in range(pq.PQ_M)],
+        ),
+        ("fact_initial_resolved", lambda s, d: [_fact_initial_memo(s, d)]),
+        (
+            "dim_states",
+            lambda s, d: [dim_state(s, d, k) for k in spec.DIMS],
+        ),
+    ]
+
+
 def main() -> None:
     from etl_mini_dw_spark.registry import QUERIES
     from etl_mini_dw_spark.session import get_spark
@@ -63,11 +95,23 @@ def main() -> None:
         QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
-    timings: dict[str, float] = {name: _run(name) for name in names}
+    timings: dict[str, float] = {}
+    # phase 1: force every shared staged frame; a lazy localCheckpoint
+    # materializes full rows on its first action, so count() suffices
+    for label, fn in _memo_warmers():
+        t0 = time.perf_counter()
+        for frame in fn(spark, SF_DIR):
+            frame.count()
+        timings[f"memo:{label}"] = round(time.perf_counter() - t0, 3)
+    # phase 2: queries run against warm memos → per-query lines measure
+    # the query's own plan, independent of registration order
+    timings.update({name: _run(name) for name in names})
     # external machine load inflates wall times 2-3× (documented in
     # CLAUDE.md); a second pass over the slow-looking lines, keeping the
     # MIN, strips most of the noise for a bounded extra cost
-    for name in [n for n, t in timings.items() if t > 5.0]:
+    for name in [
+        n for n, t in timings.items() if t > 5.0 and not n.startswith("memo:")
+    ]:
         timings[name] = min(timings[name], _run(name))
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -31,6 +31,24 @@ from etl_mini_dw_spark.sources import staging
 from etl_mini_dw_spark.sources.tables import TABLES, stage_memo, typed_table
 
 
+def dim_state(spark: SparkSession, sf_dir: str, key: str) -> DataFrame:
+    """One shared two-phase dim state per (session, sf-dir, dim).
+
+    Consumers: view registration here, the warehouse-health summary
+    (registry), and bench.py's memo warm-up phase (which bills the build
+    to its own `memo:` line so per-query bench timings stay
+    order-independent)."""
+    dim = spec.DIMS[key]
+    return stage_memo(
+        spark,
+        sf_dir,
+        f"api_dim_{key}",
+        lambda: scd2.dim_two_phase(
+            spark, sf_dir, dim, spec.MID, spec.NOW_FIXED
+        ).localCheckpoint(eager=False),
+    )
+
+
 def register_warehouse_views(spark: SparkSession, sf_dir: str) -> list[str]:
     """Register the full warehouse layer stack; returns the view names."""
     names: list[str] = []
@@ -49,14 +67,7 @@ def register_warehouse_views(spark: SparkSession, sf_dir: str) -> list[str]:
         # plan-build time, so the dim state is staged once per (session,
         # sf-dir) — repeated registration, and every view that reads a
         # dim, share one build instead of paying three dim loads each
-        dim_df = stage_memo(
-            spark,
-            sf_dir,
-            f"api_dim_{key}",
-            lambda d=dim: scd2.dim_two_phase(
-                spark, sf_dir, d, spec.MID, spec.NOW_FIXED
-            ).localCheckpoint(eager=False),
-        )
+        dim_df = dim_state(spark, sf_dir, key)
         _reg(f"dim_{key}", dim_df)
         _reg(f"mart_{key}_current", marts.mart_dim_current(dim_df, dim))
     return names

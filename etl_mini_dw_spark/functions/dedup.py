@@ -348,6 +348,24 @@ LIMIT 100
 """
 
 
+def _digest16_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs): full md5 hex digest per distinct shingle, staged.
+
+    Checkpointed because projection collapse would inline the md5
+    transform into EVERY one of simhash16's 16 fold expressions below
+    (no subexpression elimination) — 16 md5s per shingle instead of 1.
+    Named so bench.py can warm it as its own `memo:` line.
+    """
+    return _memo(
+        spark,
+        sf_dir,
+        "digests16",
+        lambda: _shingle_arrays(spark, sf_dir)
+        .select("doc_id", F.expr("transform(sh_arr, e -> md5(e))").alias("hs"))
+        .localCheckpoint(eager=False),
+    )
+
+
 def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash: per-hex-position majority over shingle digests.
 
@@ -356,17 +374,7 @@ def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional sums fold over the digest array per document. No explode,
     no shuffle, no wide aggregate.
     """
-    # the digest array is checkpointed: projection collapse would inline
-    # the md5 transform into EVERY one of the 16 fold expressions below
-    # (no subexpression elimination) — 16 md5s per shingle instead of 1
-    arrs = _memo(
-        spark,
-        sf_dir,
-        "digests16",
-        lambda: _shingle_arrays(spark, sf_dir)
-        .select("doc_id", F.expr("transform(sh_arr, e -> md5(e))").alias("hs"))
-        .localCheckpoint(eager=False),
-    )
+    arrs = _digest16_arrays(spark, sf_dir)
     cols = [F.col("doc_id"), F.size("hs").alias("n")]
     for p in range(16):
         cols.append(

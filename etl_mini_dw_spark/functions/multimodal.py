@@ -233,6 +233,98 @@ def extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+CODEC_DIGEST_SCHEMA = (
+    "media_source string, n_docs bigint, n_roundtrip_ok bigint,"
+    " n_dims_ok bigint, sum_row0_pixels bigint"
+)
+
+
+def codec_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked digest of the PNG codec seam (closes the r3
+    `no_oracle` gap for the mapInPandas decode path as far as SQL can
+    reach). Per source: document count, how many payloads survive
+    decode→re-encode BYTE-IDENTICALLY (proves the chunk walk, CRC,
+    inflate and filter-0 scanline paths are exact inverses of the
+    encoder), how many decode to the declared 16×16×1 geometry, and the
+    summed pixel values of scanline row 0.
+
+    Row 0 of every rendered payload is the md5 digest of the document
+    text (see ``render_text_png``) — the one slice of decoded pixel
+    CONTENT a SQL engine can recompute independently (DuckDB 1.0's md5
+    only accepts VARCHAR, so rows 1+, which chain md5 over raw digest
+    bytes, stay pytest-covered via tests/test_png_codec.py). A decode
+    bug in the signature walk, zlib framing, or unfiltering shifts
+    row-0 bytes and hash-mismatches the driver compare.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+
+    def _digest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_source": [],
+                "n_docs": [],
+                "n_roundtrip_ok": [],
+                "n_dims_ok": [],
+                "sum_row0_pixels": [],
+            }
+            for src, grp in pdf.groupby("source"):
+                n = len(grp)
+                rt_ok = dims_ok = row0 = 0
+                for text in grp["text"]:
+                    payload = render_text_png(text)
+                    info = decode_png(payload)
+                    if (
+                        encode_png_gray(
+                            info["pixels"], info["width"], info["height"]
+                        )
+                        == payload
+                    ):
+                        rt_ok += 1
+                    if (info["width"], info["height"], info["channels"]) == (
+                        PNG_RENDER_SIZE,
+                        PNG_RENDER_SIZE,
+                        1,
+                    ):
+                        dims_ok += 1
+                    row0 += sum(info["pixels"][: info["width"]])
+                out["media_source"].append(src)
+                out["n_docs"].append(n)
+                out["n_roundtrip_ok"].append(rt_ok)
+                out["n_dims_ok"].append(dims_ok)
+                out["sum_row0_pixels"].append(row0)
+            yield pd.DataFrame(out)
+
+    return (
+        docs.mapInPandas(_digest, CODEC_DIGEST_SCHEMA)
+        .groupBy("media_source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_roundtrip_ok").alias("n_roundtrip_ok"),
+            F.sum("n_dims_ok").alias("n_dims_ok"),
+            F.sum("sum_row0_pixels").alias("sum_row0_pixels"),
+        )
+    )
+
+
+# the oracle recomputes row 0 (the md5-of-text digest) byte-for-byte from
+# hex chars and ASSERTS the codec invariants by construction: every doc
+# must roundtrip and decode to 16×16×1, so both counters equal COUNT(*)
+CODEC_DIGEST_SQL = """
+SELECT source AS media_source,
+       COUNT(*) AS n_docs,
+       COUNT(*) AS n_roundtrip_ok,
+       COUNT(*) AS n_dims_ok,
+       CAST(SUM(list_sum(list_transform(range(1, 17),
+            i -> 16 * (strpos('0123456789abcdef',
+                              substr(h, 2 * CAST(i AS INT) - 1, 1)) - 1)
+               + (strpos('0123456789abcdef',
+                         substr(h, 2 * CAST(i AS INT), 1)) - 1)
+       ))) AS BIGINT) AS sum_row0_pixels
+FROM (SELECT source, md5(text) AS h FROM documents)
+GROUP BY source
+"""
+
+
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes bigint, frame_hash bigint"
 N_FRAMES = 4
 

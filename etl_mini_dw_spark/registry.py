@@ -354,6 +354,11 @@ _register("ext_multimodal_metadata", multimodal.payload_metadata, multimodal.PAY
 # mapInPandas codec paths: not SQL-expressible → rows-only checks
 _register("ext_multimodal_features", multimodal.extract_features, None)
 _register("ext_multimodal_frame_sample", multimodal.sample_frames, None)
+# ... but the codec itself IS value-checkable as far as SQL can recompute
+# the rendered pixels: roundtrip identity + geometry + scanline-row-0 sums
+_register(
+    "ext_multimodal_codec_digest", multimodal.codec_digest, multimodal.CODEC_DIGEST_SQL
+)
 
 _register("revenue_by_region", analytics.revenue_by_region, analytics.REVENUE_BY_REGION_SQL)
 _register("top_unshipped_orders", analytics.top_unshipped_orders, analytics.TOP_UNSHIPPED_SQL)
@@ -843,7 +848,7 @@ def _health_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from etl_mini_dw_spark.sources.tables import stage_memo
+    from etl_mini_dw_spark.api import dim_state
 
     rows = []
 
@@ -856,14 +861,7 @@ def _health_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     for key, d in spec.DIMS.items():
-        dim_df = stage_memo(
-            spark,
-            sf_dir,
-            f"api_dim_{key}",
-            lambda d=d: scd2.dim_two_phase(
-                spark, sf_dir, d, spec.MID, spec.NOW_FIXED
-            ).localCheckpoint(eager=False),
-        )
+        dim_df = dim_state(spark, sf_dir, key)
         _count(f"{key}.dup_current", validation.duplicate_current_per_nk(dim_df, d.nk))
         _count(f"{key}.dup_versions", validation.duplicate_version_windows(dim_df, d.nk))
         _count(f"{key}.overlaps", validation.overlapping_windows(dim_df, d.nk, d.sk))
@@ -1130,6 +1128,8 @@ _DRIVER_WINDOW_SEED = [
     # iterative algorithms
     "ext_pagerank_parts",
     "ext_power_iteration_direction",
+    # converts the r3 no_oracle codec row into a value-checked one
+    "ext_multimodal_codec_digest",
 ]
 def _driver_checked_names(root: str | None = None) -> set[str]:
     """Query names that have EVER received a driver correctness row.
