@@ -128,13 +128,10 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k neighbors per query by asymmetric PQ distance (ADC).
-
-    Queries are the same ``vec_id < N_QUERIES`` set as the brute-force
-    baseline, so recall against `ext_ann_bruteforce_topk` is directly
-    inspectable. adc_dist is the exact integer Σ_m ‖q_m − c[code_m]‖².
-    """
+def _adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, cand_id, adc_dist): every candidate's asymmetric PQ
+    distance to every query — shared by the one-stage top-k and the
+    refined (shortlist → exact re-rank) retrieval below."""
     emb = _quantized(spark, sf_dir)
     codes = pq_codes(spark, sf_dir)
     # long-form codes: (vec_id, m, code)
@@ -158,17 +155,76 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_DIST.format(a="qsv", b="cv")).alias("d"),
         )
         qtab = t if qtab is None else qtab.unionByName(t)
-    scored = (
+    return (
         codes_long.join(F.broadcast(qtab), ["m", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("cand_id"))
         .agg(F.sum("d").cast("bigint").alias("adc_dist"))
     )
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k neighbors per query by asymmetric PQ distance (ADC).
+
+    Queries are the same ``vec_id < N_QUERIES`` set as the brute-force
+    baseline, so recall against `ext_ann_bruteforce_topk` is directly
+    inspectable. adc_dist is the exact integer Σ_m ‖q_m − c[code_m]‖².
+    """
+    scored = _adc_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "cand_id", "adc_dist", "rank")
+    )
+
+
+SHORTLIST = 50
+_DIM = PQ_M * PQ_SUB
+_DIST_FULL = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+)
+
+
+def ann_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: PQ-ADC shortlist → EXACT integer re-rank.
+
+    The production ANN serving shape (compressed-index shortlist, then a
+    refinement pass over the few surviving full vectors): stage 1 ranks
+    every candidate by ADC and keeps SHORTLIST=50 per query; stage 2
+    fetches only those candidates' full quantized vectors and re-ranks
+    by exact Σ‖q−v‖² over all 64 dims, returning TOP_K.
+
+    Scale shape: the shortlist (N_QUERIES×50 rows) is broadcast against
+    the corpus for the fetch — the corpus-sized side is touched once,
+    map-side, with no shuffle; the exact math runs on |shortlist| rows
+    only. All arithmetic stays in the repo's ×1000 integer quantization,
+    so the result is layout-invariant and the oracle replays it exactly.
+    """
+    emb = _quantized(spark, sf_dir)
+    scored = _adc_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    short = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SHORTLIST)
+        .select("query_id", "cand_id")
+    )
+    qvecs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    cand = emb.join(
+        F.broadcast(short), emb["vec_id"] == short["cand_id"]
+    ).select("query_id", "cand_id", "qv")
+    exact = cand.join(F.broadcast(qvecs), "query_id").select(
+        "query_id",
+        "cand_id",
+        F.expr(_DIST_FULL.format(a="qv", b="q_qv")).cast("bigint").alias("exact_dist"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy("exact_dist", "cand_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "exact_dist", "rank")
     )
 
 
@@ -263,5 +319,52 @@ SELECT query_id, cand_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY adc_dist, cand_id) AS rank
   FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
+def ann_pq_refined_topk_sql() -> str:
+    subs = ",\n".join(_sql_sub_views(m) for m in range(PQ_M))
+    codes_long = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {m} AS m, code FROM code{m}" for m in range(PQ_M)
+    )
+    qtabs = "\nUNION ALL\n".join(
+        f"""SELECT v.vec_id AS query_id, {m} AS m, c.code,
+       {_sql_dist("v.sv", "c.cv")} AS d
+FROM e{m} v, c{m}_{PQ_ITERS} c WHERE v.vec_id < {N_QUERIES}"""
+        for m in range(PQ_M)
+    )
+    dist_full = (
+        f"CAST(list_sum(list_transform(range(1, {_DIM + 1}),"
+        f" i -> (ev.qv[i] - eq.qv[i]) * (ev.qv[i] - eq.qv[i]))) AS BIGINT)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {_SQL_QUANT} AS qv FROM embeddings),
+{subs},
+codes_long AS ({codes_long}),
+qtab AS ({qtabs}),
+scored AS (
+  SELECT q.query_id, cl.vec_id AS cand_id, CAST(SUM(q.d) AS BIGINT) AS adc_dist
+  FROM codes_long cl JOIN qtab q ON cl.m = q.m AND cl.code = q.code
+  WHERE cl.vec_id <> q.query_id
+  GROUP BY 1, 2
+),
+shortlist AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, cand_id) AS rn
+    FROM scored)
+  WHERE rn <= {SHORTLIST}
+),
+exact AS (
+  SELECT s.query_id, s.cand_id, {dist_full} AS exact_dist
+  FROM shortlist s
+  JOIN e ev ON ev.vec_id = s.cand_id
+  JOIN e eq ON eq.vec_id = s.query_id
+)
+SELECT query_id, cand_id, exact_dist, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY exact_dist, cand_id) AS rank
+  FROM exact)
 WHERE rank <= {TOP_K}
 """

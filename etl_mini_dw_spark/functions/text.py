@@ -605,3 +605,111 @@ FROM tok, tot
 GROUP BY token, n
 HAVING COUNT(*) * {HH_K} > n
 """
+
+
+# --- Gopher quality-rule battery (Rae et al. 2021, Appendix A1.1) -----------
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+
+
+def gopher_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher document-quality rules as a per-source report.
+
+    Five rules, each exactly as in Rae et al. 2021 §A1.1 (the dup-ngram
+    rules of §A1.2 live in ``repetition_signals``):
+    1. word count in [50, 100000]
+    2. mean word length in [3, 10]
+    3. symbol-to-word ratio ('#' chars + '...' runs) ≤ 0.1
+    4. ≥ 2 distinct stop words present (list adapted to this corpus's
+       en vocabulary: the/a/and/of/to)
+    5. ≥ 80% of tokens contain an alphabetic character
+
+    Every ratio threshold is evaluated as an INTEGER cross-multiplication
+    (e.g. mean∈[3,10] ⇔ 3n ≤ Σlen ≤ 10n), so the report is exact and
+    engine-portable — no float ever enters a rule. One scan, one token
+    extraction into a checkpointed array (the
+    no-expensive-expr-re-evaluation rule: five rules reference it), one
+    tiny per-source aggregate; map-side combine makes the shuffle 20
+    rows at any corpus size.
+    """
+    docs = fanout_scan(spark, load_table(spark, sf_dir, "documents"))
+    toks = F.transform(_tokens(), lambda t: F.lower(t))
+    staged = docs.select(
+        "source",
+        toks.alias("tk"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+        ).alias("n_hash"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"\.\.\."), 0)
+        ).alias("n_ellipsis"),
+    ).localCheckpoint(eager=False)
+    n = F.size("tk")
+    sum_len = F.expr("aggregate(tk, 0L, (acc, t) -> acc + length(t))")
+    n_alpha = F.size(F.expr("filter(tk, t -> t rlike '[a-z]')"))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct("tk"), stop_arr))
+    r_wc = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    r_mwl = (sum_len >= 3 * n) & (sum_len <= 10 * n)
+    r_sym = (F.col("n_hash") + F.col("n_ellipsis")) * 10 <= n
+    r_stop = n_stop >= 2
+    r_alpha = n_alpha * 5 >= n * 4
+
+    def _fails(cond, name):
+        return F.sum(F.when(~cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        _fails(r_wc, "fail_word_count"),
+        _fails(r_mwl, "fail_mean_word_len"),
+        _fails(r_sym, "fail_symbol_ratio"),
+        _fails(r_stop, "fail_stopwords"),
+        _fails(r_alpha, "fail_alpha_frac"),
+        F.sum(
+            F.when(r_wc & r_mwl & r_sym & r_stop & r_alpha, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_keep"),
+    )
+
+
+GOPHER_RULES_SQL = f"""
+WITH staged AS (
+  SELECT source,
+         list_transform(regexp_extract_all(text, '{TOKEN_RE}'),
+                        t -> lower(t)) AS tk,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         len(regexp_extract_all(text, '\\.\\.\\.')) AS n_ellipsis
+  FROM documents
+),
+flags AS (
+  SELECT source,
+         len(tk) AS n,
+         COALESCE(list_sum(list_transform(tk, t -> length(t))), 0) AS sum_len,
+         len(list_filter(tk, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+         len(list_intersect(list_distinct(tk),
+                            ['the', 'a', 'and', 'of', 'to'])) AS n_stop,
+         n_hash, n_ellipsis
+  FROM staged
+),
+evaled AS (
+  SELECT source,
+         (n BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS r_wc,
+         (sum_len >= 3 * n AND sum_len <= 10 * n) AS r_mwl,
+         ((n_hash + n_ellipsis) * 10 <= n) AS r_sym,
+         (n_stop >= 2) AS r_stop,
+         (n_alpha * 5 >= n * 4) AS r_alpha
+  FROM flags
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+       CAST(SUM(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
+       CAST(SUM(CASE WHEN NOT r_sym THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol_ratio,
+       CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
+       CAST(SUM(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha_frac,
+       CAST(SUM(CASE WHEN r_wc AND r_mwl AND r_sym AND r_stop AND r_alpha
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM evaled
+GROUP BY source
+"""

@@ -677,6 +677,9 @@ from etl_mini_dw_spark.functions import pq
 
 _register("ext_pq_codes", pq.pq_codes, pq.pq_codes_sql())
 _register("ext_ann_pq_topk", pq.ann_pq_topk, pq.ann_pq_topk_sql())
+_register(
+    "ext_ann_pq_refined_topk", pq.ann_pq_refined_topk, pq.ann_pq_refined_topk_sql()
+)
 
 # --- round 3b: entity resolution + declarative expectations suite -----------
 from etl_mini_dw_spark.plans import entity, expectations
@@ -794,6 +797,7 @@ _register(
 
 # --- round 3c: heavy hitters (Misra-Gries summary + exact recount) ----------
 _register("ext_heavy_hitter_tokens", text.heavy_hitter_tokens, text.HEAVY_HITTER_SQL)
+_register("ext_gopher_rule_filter", text.gopher_rule_filter, text.GOPHER_RULES_SQL)
 
 # --- round 3c: prefix-filter set-similarity join (PPJoin-style) -------------
 _register(
