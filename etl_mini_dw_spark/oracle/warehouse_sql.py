@@ -239,19 +239,39 @@ def _double_measures(prefix: str = "") -> str:
     return ", ".join(f"CAST({prefix}{m} AS DOUBLE) AS {m}" for m in _MEASURES)
 
 
-def fact_initial_sql() -> str:
+# the Spark frames' exact measure dtypes (operators/fact.py) — used when a
+# consumer needs the oracle to render DECIMAL strings identically to Spark
+# (the diff-digest oracle) instead of the compare-surface DOUBLE cast
+_MEASURE_TYPES = {
+    "sales_quantity": "DECIMAL(12,2)",
+    "sales_unitprice": "DECIMAL(14,4)",
+    "sales_taxrate": "DECIMAL(10,4)",
+    "sales_value": "DECIMAL(18,4)",
+    "sales_value_aftertax": "DECIMAL(18,6)",
+}
+
+
+def _decimal_measures(prefix: str = "") -> str:
+    return ", ".join(
+        f"CAST({prefix}{m} AS {t}) AS {m}" for m, t in _MEASURE_TYPES.items()
+    )
+
+
+def fact_initial_sql(decimal_measures: bool = False) -> str:
+    measures = _decimal_measures() if decimal_measures else _double_measures()
     return f"""
     WITH {_raw_hist_ctes()},
     {_src_ctes("0", None, f"TIMESTAMP '{LOW}'")},
     {_dim_ctes()},
     {_resolved_cte("resolved0", "src0")}
     SELECT sales_id, sales_nk, sales_customerid, sales_salespersonid, sales_productid,
-           sales_order_datekey, {_double_measures()}, sales_lasteditedwhen
+           sales_order_datekey, {measures}, sales_lasteditedwhen
     FROM resolved0
     """
 
 
-def fact_two_phase_sql() -> str:
+def fact_two_phase_sql(decimal_measures: bool = False) -> str:
+    measures = _decimal_measures() if decimal_measures else _double_measures()
     upd_measures = " OR ".join(f"st.{m} IS DISTINCT FROM r.{m}" for m in _MEASURES)
     was_unknown = """
          st.sales_customerid = (SELECT customer_id FROM dimc WHERE customer_nk = -1)
@@ -297,7 +317,7 @@ def fact_two_phase_sql() -> str:
       WHERE NOT EXISTS (SELECT 1 FROM state0 st WHERE st.sales_nk = r.sales_nk)
     )
     SELECT sales_id, sales_nk, sales_customerid, sales_salespersonid, sales_productid,
-           sales_order_datekey, {_double_measures()}, sales_lasteditedwhen, change_tag
+           sales_order_datekey, {measures}, sales_lasteditedwhen, change_tag
     FROM (SELECT * FROM base UNION ALL SELECT * FROM inserted)
     """
 

@@ -571,3 +571,80 @@ FROM gaps JOIN customer ON c_custkey = o_custkey
 WHERE gap_days IS NOT NULL
 GROUP BY 1
 """
+
+
+# --- session path mining (session-bounded event-type trigrams) --------------
+PATH_TOP = 20
+
+
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigram paths that occur WITHIN a session.
+
+    Extends `event_transitions` (1st-order Markov edges) to 3-step
+    journeys with the crucial boundary condition a transition matrix
+    misses: an n-gram never spans a session break (same 30-min gap rule
+    as `sessionization`). Two lags over ONE (user, session) window — the
+    session id and both lags ride the same user-keyed sort, so the whole
+    query is one shuffle + a tiny path rollup; top-20 via
+    TakeOrderedAndProject with full tie-breakers (count desc, path asc).
+    """
+    from etl_mini_dw_spark.streaming.events import SESSION_GAP_MIN
+
+    ev = typed_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
+    with_sid = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(w_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w_sess = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    tri = with_sid.select(
+        F.lag("event_type", 2).over(w_sess).alias("t1"),
+        F.lag("event_type", 1).over(w_sess).alias("t2"),
+        F.col("event_type").alias("t3"),
+    ).filter(F.col("t1").isNotNull())
+    return (
+        tri.select(F.concat_ws(" > ", "t1", "t2", "t3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "path")
+        .limit(PATH_TOP)
+    )
+
+
+def session_path_trigrams_sql() -> str:
+    from etl_mini_dw_spark.streaming.events import SESSION_GAP_MIN
+
+    return f"""
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+sid AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM (
+    SELECT *,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MIN * 60}
+                THEN 1 ELSE 0 END AS new_session
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  )
+),
+tri AS (
+  SELECT lag(event_type, 2) OVER ws AS t1,
+         lag(event_type, 1) OVER ws AS t2,
+         event_type AS t3
+  FROM sid
+  WINDOW ws AS (PARTITION BY user_id, session_seq ORDER BY ts, event_id)
+)
+SELECT t1 || ' > ' || t2 || ' > ' || t3 AS path,
+       CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM tri WHERE t1 IS NOT NULL
+GROUP BY 1
+ORDER BY n_paths DESC, path
+LIMIT {PATH_TOP}
+"""

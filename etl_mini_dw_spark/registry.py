@@ -390,6 +390,12 @@ def _reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("reconcile_fact_vs_source", _reconcile, warehouse_sql.reconcile_sql())
+
+# Merkle-bucket reconciliation: full build vs incremental build as 64
+# order-invariant bucket digests (the 100 TB shape of exceptAll-equality)
+from etl_mini_dw_spark.plans import diff as _diff
+
+_register("ext_fact_diff_digest", _diff.fact_diff_digest, _diff.fact_diff_digest_sql())
 _register(
     "ext_streaming_stateful_user_totals",
     stateful.streaming_user_totals,
@@ -636,6 +642,11 @@ _register(
 _register("ext_cohort_retention", behavior.cohort_retention, behavior.COHORT_RETENTION_SQL)
 _register("ext_growth_accounting", behavior.growth_accounting, behavior.GROWTH_ACCOUNTING_SQL)
 _register("ext_event_transitions", behavior.event_transitions, behavior.EVENT_TRANSITIONS_SQL)
+_register(
+    "ext_session_path_trigrams",
+    behavior.session_path_trigrams,
+    behavior.session_path_trigrams_sql(),
+)
 
 # --- round 3: snapshot-diff CDC (reverse change-data-capture) ---------------
 from etl_mini_dw_spark.fixtures_spec import DIMS as _CDC_DIMS
@@ -664,6 +675,11 @@ _register("ext_lm_surprisal_score", lm.lm_surprisal_score, lm.LM_SURPRISAL_SQL)
 from etl_mini_dw_spark.plans import graph
 
 _register("ext_pagerank_parts", graph.pagerank_parts, graph.pagerank_parts_sql())
+_register(
+    "ext_triangle_count_parts",
+    graph.triangle_count_parts,
+    graph.triangle_count_parts_sql(),
+)
 
 # --- round 3b: mergeable HLL sketch rollup (rows-only: estimate is
 # engine-specific by design; tolerance + merge-consistency contracts are
