@@ -56,7 +56,7 @@ def _memo_warmers():
     plan change). Returns [(label, fn(spark, sf_dir) -> [DataFrame])]."""
     from etl_mini_dw_spark import fixtures_spec as spec
     from etl_mini_dw_spark.api import dim_state
-    from etl_mini_dw_spark.functions import dedup, pq, text
+    from etl_mini_dw_spark.functions import cluster, dedup, pq, text
     from etl_mini_dw_spark.registry import _fact_initial_memo
 
     return [
@@ -72,6 +72,7 @@ def _memo_warmers():
             lambda s, d: [pq._codebook(s, d, m) for m in range(pq.PQ_M)],
         ),
         ("fact_initial_resolved", lambda s, d: [_fact_initial_memo(s, d)]),
+        ("kmeans_assign", lambda s, d: [cluster._assign_memo(s, d)]),
         (
             "dim_states",
             lambda s, d: [dim_state(s, d, k) for k in spec.DIMS],

@@ -152,7 +152,7 @@ def kmeans_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     no longer fits the data. Pure rollup over the assignment frame — the
     integer distances make the inertia bit-exact on any partitioning.
     """
-    a = kmeans_assign(spark, sf_dir)
+    a = _assign_memo(spark, sf_dir)
     return a.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum("dist").alias("inertia"),
@@ -167,6 +167,131 @@ SELECT cluster, COUNT(*) AS n_vectors,
        CAST(SUM(dist) AS BIGINT) AS inertia,
        CAST(SUM(dist) AS DOUBLE) / COUNT(*) AS mean_dist
 FROM assign GROUP BY cluster
+"""
+
+
+# --- SemDeDup: semantic prune over the trained coarse quantizer -------------
+# The synthetic embeddings are near-isotropic (max pairwise cosine ≈ 0.45
+# at every sf — no planted semantic dups), so the fixture threshold sits at
+# the similarity tail to exercise a nonzero prune; real deployments run
+# 0.95+ on real encoder output. The PLAN is threshold-independent.
+SEMDEDUP_COSINE = 0.39
+
+
+def _assign_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-memoized k-means assignment — three consumers (IVF assign,
+    cluster quality, SemDeDup) share one training run per (session, sf)."""
+    from etl_mini_dw_spark.sources.tables import stage_memo
+
+    return stage_memo(
+        spark,
+        sf_dir,
+        "kmeans_assign",
+        lambda: kmeans_assign(spark, sf_dir).localCheckpoint(eager=False),
+    )
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic prune report per trained cluster.
+
+    The published pipeline (Abbas et al. 2023, "SemDeDup"): k-means the
+    embedding space, then inside each cluster drop all-but-one of any
+    group of semantically near-identical vectors. Candidate pairs here
+    are generated inside (trained cluster ∧ sign-LSH bucket) blocks —
+    never all-pairs: the Σ b² bound is the same argument as the LSH /
+    simhash banding in `functions/dedup.py`. In production the codebook
+    size grows with the corpus (K ∝ √N) so per-block population stays
+    bounded; K=8 here is the fixture codebook shared with the IVF index.
+
+    Prune rule is keep-min-id: a vector is pruned iff some LOWER-id
+    vector in its block is within the cosine threshold — deterministic
+    on any partitioning (no rand(), no float accumulation ordering).
+    Output: (cluster, n_vectors, n_pruned, keep_rate).
+    """
+    from etl_mini_dw_spark.functions.simsearch import (
+        _DOT,
+        _NORM,
+        _bucket_expr_spark,
+    )
+
+    assign = _assign_memo(spark, sf_dir).select("vec_id", "cluster")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "embedding",
+            _bucket_expr_spark().alias("bucket"),
+            # norm hoisted to ONE fold per vector per side — inlining it
+            # in `cos` re-runs the 64-element fold per candidate PAIR
+            F.expr(_NORM.format(a="embedding")).alias("nrm"),
+        )
+        .join(assign, "vec_id")
+    )
+    a = emb.select(
+        "cluster",
+        "bucket",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        "cluster",
+        "bucket",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")), 6)
+    pruned = (
+        a.join(b, ["cluster", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= SEMDEDUP_COSINE)
+        .select("cluster", "vec_b")
+        .distinct()
+    )
+    per_cluster = pruned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_pruned"))
+    sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return sizes.join(per_cluster, "cluster", "left").select(
+        "cluster",
+        "n_vectors",
+        F.coalesce("n_pruned", F.lit(0)).cast("bigint").alias("n_pruned"),
+        F.round(
+            (F.col("n_vectors") - F.coalesce("n_pruned", F.lit(0))).cast("double")
+            / F.col("n_vectors"),
+            6,
+        ).alias("keep_rate"),
+    )
+
+
+def semdedup_prune_sql() -> str:
+    from etl_mini_dw_spark.functions.simsearch import (
+        _DOT_SQL,
+        _NORM_SQL,
+        _bucket_expr_sql,
+    )
+
+    return f"""
+WITH assign AS ({kmeans_assign_sql()}),
+sd AS (
+  SELECT m.vec_id, m.embedding, a.cluster, {_bucket_expr_sql()} AS bucket,
+         {_NORM_SQL.format(a="m.embedding")} AS nrm
+  FROM embeddings m JOIN assign a USING (vec_id)
+),
+pruned AS (
+  SELECT DISTINCT a.cluster, b.vec_id AS vec_b
+  FROM sd a JOIN sd b
+    ON a.cluster = b.cluster AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round({_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+              / (a.nrm * b.nrm), 6) >= {SEMDEDUP_COSINE}
+),
+sizes AS (SELECT cluster, COUNT(*) AS n_vectors FROM assign GROUP BY cluster),
+p AS (SELECT cluster, COUNT(*) AS n_pruned FROM pruned GROUP BY cluster)
+SELECT s.cluster, s.n_vectors,
+       CAST(COALESCE(p.n_pruned, 0) AS BIGINT) AS n_pruned,
+       round(CAST(s.n_vectors - COALESCE(p.n_pruned, 0) AS DOUBLE) / s.n_vectors, 6)
+         AS keep_rate
+FROM sizes s LEFT JOIN p USING (cluster)
 """
 
 

@@ -442,3 +442,122 @@ SELECT p.doc_id, p.n_shingles, p.n_bloom_hits,
        CAST(COALESCE(e.n_exact_hits, 0) AS BIGINT) AS n_exact_hits
 FROM per_doc p LEFT JOIN exact e USING (doc_id)
 """
+
+
+# --- contamination SPAN coverage (gaps-and-islands over matched n-grams) ----
+SPAN_N = 5  # token n-gram width; 3-grams are all-noise on a ~30-word vocab
+
+
+def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contaminated-SPAN report for the train split.
+
+    `decontaminate` answers WHICH train docs leak benchmark content;
+    this answers HOW MUCH of each: every train token 5-gram that also
+    occurs in any test-split document marks positions [p, p+4], and
+    overlapping/adjacent marks merge into maximal spans (the classic
+    gaps-and-islands window — equal-width spans merge iff the start gap
+    ≤ SPAN_N, so one `lag` comparison replaces a running max-end). The
+    Dolma/open-pretraining contamination reports are exactly this shape:
+    (doc, n_spans, covered_tokens, contaminated_frac).
+
+    Scale: the benchmark gram set (test suites, not the corpus) is the
+    small side and is broadcast — the train-side explode never shuffles
+    on gram; the per-doc window is doc-length-bounded. The gram arrays
+    are lazily checkpointed ahead of the explode (the Generate-collapse
+    trap, see `dedup._shingle_arrays`).
+    """
+    from pyspark.sql import Window
+
+    split = F.when(_hash_col() < DECON_TRAIN_CUT, F.lit("train")).otherwise(F.lit("test"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks"), split.alias("split")
+    )
+    grams_arr = (
+        docs.filter(F.size("toks") >= SPAN_N)
+        .select(
+            "doc_id",
+            "split",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            F.expr(
+                f"transform(sequence(0, size(toks) - {SPAN_N}),"
+                f" p -> struct(CAST(p AS BIGINT) AS p,"
+                f" concat_ws(' ', slice(toks, p + 1, {SPAN_N})) AS gram))"
+            ).alias("grams"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    g = grams_arr.select(
+        "doc_id", "split", "n_tokens", F.explode("grams").alias("g")
+    ).select("doc_id", "split", "n_tokens", F.col("g.p").alias("p"), F.col("g.gram").alias("gram"))
+    bench = g.filter(F.col("split") == "test").select("gram").distinct()
+    hits = (
+        g.filter(F.col("split") == "train")
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id", "n_tokens", "p")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    brk = F.when(F.col("p") - F.lag("p").over(w) > SPAN_N, F.lit(1)).otherwise(F.lit(0))
+    isl = hits.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_island = isl.groupBy("doc_id", "n_tokens", "island").agg(
+        (F.max("p") - F.min("p") + F.lit(SPAN_N)).alias("covered")
+    )
+    return per_island.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("covered").cast("bigint").alias("covered_tokens"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        "covered_tokens",
+        F.round(F.col("covered_tokens").cast("double") / F.col("n_tokens"), 6).alias(
+            "contaminated_frac"
+        ),
+    )
+
+
+CONTAMINATION_SPANS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CASE WHEN {_HASH_SQL} < {DECON_TRAIN_CUT} THEN 'train' ELSE 'test' END AS split
+  FROM documents
+),
+g0 AS (
+  SELECT doc_id, split, CAST(len(toks) AS BIGINT) AS n_tokens,
+         unnest(list_transform(range(0, len(toks) - {SPAN_N} + 1),
+           i -> struct_pack(p := CAST(i AS BIGINT),
+                            gram := array_to_string(
+                              toks[CAST(i AS INT) + 1 : CAST(i AS INT) + {SPAN_N}],
+                              ' ')))) AS s
+  FROM d WHERE len(toks) >= {SPAN_N}
+),
+g AS (SELECT doc_id, split, n_tokens, s.p AS p, s.gram AS gram FROM g0),
+hits AS (
+  SELECT doc_id, n_tokens, p FROM g
+  WHERE split = 'train'
+    AND gram IN (SELECT DISTINCT gram FROM g WHERE split = 'test')
+),
+isl AS (
+  SELECT doc_id, n_tokens, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > {SPAN_N}
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, n_tokens, p,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING)
+           AS island
+  FROM isl
+),
+per_island AS (
+  SELECT doc_id, n_tokens, island, MAX(p) - MIN(p) + {SPAN_N} AS covered
+  FROM isl2 GROUP BY doc_id, n_tokens, island
+)
+SELECT doc_id, n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(covered) AS BIGINT) AS covered_tokens,
+       round(CAST(SUM(covered) AS DOUBLE) / n_tokens, 6) AS contaminated_frac
+FROM per_island GROUP BY doc_id, n_tokens
+"""

@@ -464,7 +464,7 @@ _register("ext_orders_cube", olap.orders_cube, olap.ORDERS_CUBE_SQL)
 _register(
     "ext_revenue_grouping_sets", olap.revenue_grouping_sets, olap.REVENUE_GROUPING_SETS_SQL
 )
-_register("ext_kmeans_ivf_assign", cluster.kmeans_assign, cluster.kmeans_assign_sql())
+_register("ext_kmeans_ivf_assign", cluster._assign_memo, cluster.kmeans_assign_sql())
 _register(
     "ext_embedding_cluster_components",
     simsearch.embedding_cluster_components,
@@ -1095,6 +1095,14 @@ _register(
 # --- round 3c: embedding column QA ------------------------------------------
 _register(
     "ext_embedding_dim_stats", simsearch.embedding_dim_stats, simsearch.EMBEDDING_DIM_STATS_SQL
+)
+
+# --- round 4: semantic prune + contamination span coverage -------------------
+_register("ext_semdedup_prune", cluster.semdedup_prune, cluster.semdedup_prune_sql())
+_register(
+    "ext_contamination_spans",
+    sampling.contamination_spans,
+    sampling.CONTAMINATION_SPANS_SQL,
 )
 
 # --- driver-visibility ordering ---------------------------------------------
