@@ -1,0 +1,160 @@
+"""Distributed BPE vocabulary training (byte-pair-encoding merges).
+
+The tokenizer-training stage of an LLM data pipeline (Sennrich et al.
+2016): start from the corpus WORD HISTOGRAM, then repeatedly (1) count
+adjacent-symbol pairs weighted by word frequency, (2) take the argmax
+pair, (3) merge it everywhere. Production trainers (subword-nmt,
+HuggingFace tokenizers) do exactly this — the corpus-scale part is ONLY
+the word histogram; the merge loop runs over the vocabulary table.
+
+That split is the 100 TB story: one shuffle aggregates TBs of text down
+to a |vocab|-row histogram (partial-aggregable count), and every merge
+round after it touches |vocab| rows — two tiny aggregates per round,
+unrolled lazily like the k-means / PageRank loops (localCheckpoint per
+round cuts lineage). Nothing data-sized moves after the first stage.
+
+Portability trick — the merge step WITHOUT a UDF: symbols are joined
+with DOUBLE spaces and the string gets double-space sentinels at both
+ends ('  s  p  a  r  k  '). A merge of (a, b) is then one plain
+``replace(sym, ' a  b ', ' ab ')``: the pattern consumes one space of
+each double separator, leaving the other intact, so ADJACENT merge
+sites keep their boundary and a single left-to-right non-overlapping
+replace() — identical semantics in Spark and DuckDB — performs exactly
+the greedy BPE merge ('a a a' + (a,a) → [aa, a]). With single-space
+separators the shared delimiter is consumed and 'a b a b' merges only
+once; RE2 (DuckDB) has no lookbehind, so the double-space encoding is
+the portable fix.
+
+Ties at max pair frequency break to the lexicographically LARGEST
+(a, b) — ``max(struct(freq, a, b))`` in Spark, ``ORDER BY pf DESC,
+a DESC, b DESC LIMIT 1`` in DuckDB — deterministic on any layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_mini_dw_spark.functions.text import WORD_RE, _word_frame
+
+R_MERGES = 6
+
+_SYMS = "filter(split(sym, '  '), x -> x <> '')"
+
+
+def _word_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq): the only corpus-scale stage — one count shuffle."""
+    return (
+        _word_frame(spark, sf_dir)
+        .select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """(a, b, pf): adjacent-symbol pair frequencies over the vocab table."""
+    return (
+        vocab.select("freq", F.expr(_SYMS).alias("syms"))
+        .filter(F.size("syms") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(syms) - 2),"
+                    " i -> struct(syms[i] AS a, syms[i + 1] AS b))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("pf"))
+    )
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(merge_round, sym_a, sym_b, pair_freq, merged): the learned merge
+    table after R_MERGES rounds — the artifact a tokenizer ships."""
+    hist = _word_hist(spark, sf_dir)
+    vocab = hist.select(
+        F.concat(F.lit("  "), F.regexp_replace("word", "(.)", "$1  ")).alias("sym"),
+        "freq",
+    ).localCheckpoint(eager=False)
+    merges = []
+    for r in range(1, R_MERGES + 1):
+        best = (
+            _pair_counts(vocab)
+            .agg(F.max(F.struct("pf", "a", "b")).alias("m"))
+            .select(F.col("m.pf").alias("pf"), F.col("m.a").alias("a"), F.col("m.b").alias("b"))
+        ).localCheckpoint(eager=False)
+        merges.append(
+            best.select(
+                F.lit(r).cast("int").alias("merge_round"),
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                F.col("pf").alias("pair_freq"),
+                F.concat("a", "b").alias("merged"),
+            )
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .select(
+                F.expr(
+                    "replace(sym, concat(' ', a, '  ', b, ' '),"
+                    " concat(' ', a, b, ' '))"
+                ).alias("sym"),
+                "freq",
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+_SQL_WORD_HIST = f"""
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS word
+    FROM documents)
+  GROUP BY word
+"""
+
+
+def _sql_pairs(vocab_from: str) -> str:
+    return f"""
+  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pf FROM (
+    SELECT s.a AS a, s.b AS b, freq FROM (
+      SELECT freq, unnest(list_transform(range(0, len(syms) - 1),
+               i -> struct_pack(a := syms[CAST(i AS INT) + 1],
+                                b := syms[CAST(i AS INT) + 2]))) AS s
+      FROM (SELECT list_filter(string_split(sym, '  '), x -> x <> '') AS syms,
+                   freq FROM {vocab_from})
+      WHERE len(syms) >= 2))
+  GROUP BY a, b
+"""
+
+
+def bpe_train_merges_sql() -> str:
+    """Unrolled R_MERGES-round oracle with identical merge semantics."""
+    sql = f"""
+WITH wh AS ({_SQL_WORD_HIST}),
+s0 AS (SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS sym, freq FROM wh),
+"""
+    prev = "s0"
+    for r in range(1, R_MERGES + 1):
+        sql += f"""p{r} AS ({_sql_pairs(prev)}),
+b{r} AS (SELECT a, b, pf FROM p{r} ORDER BY pf DESC, a DESC, b DESC LIMIT 1),
+s{r} AS (
+  SELECT replace(sym, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS sym,
+         freq
+  FROM {prev}, b{r}
+),
+"""
+        prev = f"s{r}"
+    sql = sql.rstrip().rstrip(",")
+    sql += "\n" + "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_round, a AS sym_a, b AS sym_b,"
+        f" pf AS pair_freq, a || b AS merged FROM b{r}"
+        for r in range(1, R_MERGES + 1)
+    )
+    return sql

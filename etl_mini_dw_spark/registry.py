@@ -1105,6 +1105,10 @@ _register(
     sampling.CONTAMINATION_SPANS_SQL,
 )
 
+from etl_mini_dw_spark.functions import bpe
+
+_register("ext_bpe_train_merges", bpe.bpe_train_merges, bpe.bpe_train_merges_sql())
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). The rotation is fully

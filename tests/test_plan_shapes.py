@@ -377,3 +377,25 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     ).filter("label = 'jan'")
     plan = _plan(fact.join(dim, "month").groupBy("label").count())
     assert "dynamicpruningexpression" in plan, plan[:2500]
+
+
+def test_contamination_bench_gram_set_broadcast(spark, sf_dir):
+    """The benchmark gram set must broadcast — the train side never
+    shuffles on gram (SCALE.md contamination-spans row)."""
+    from etl_mini_dw_spark.functions import sampling
+
+    plan = _plan(sampling.contamination_spans(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_pairs_are_block_equi_join(spark, sf_dir):
+    """SemDeDup candidates come from a (cluster, bucket) equi-join —
+    never a cartesian pair expansion over the corpus."""
+    from etl_mini_dw_spark.functions import cluster
+
+    plan = _plan(cluster.semdedup_prune(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the only BroadcastNestedLoop allowed anywhere is a 1-row scalar
+    # hoist; the pair join itself must be hash-keyed
+    assert "hashpartitioning" in plan or "BroadcastHashJoin" in plan
