@@ -158,3 +158,87 @@ s{r} AS (
         for r in range(1, R_MERGES + 1)
     )
     return sql
+
+
+def bpe_apply_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(merge_round, corpus_subword_tokens, compression_ratio): corpus
+    token count after applying the first r learned merges, r = 0..R.
+
+    The APPLY side of tokenizer training at scale: segmentation is
+    dictionary-encoded — merges are applied to the |vocab|-row histogram
+    and corpus totals are Σ freq × |symbols(word)|, so the corpus itself
+    is never re-touched (the same reason production tokenizers segment
+    against a word cache). compression_ratio is subword tokens per
+    whitespace word, rounded to 6 dp on both engines.
+    """
+    hist = _word_hist(spark, sf_dir)
+    n_words = hist.agg(F.sum("freq").alias("nw"))
+    vocab = hist.select(
+        F.concat(F.lit("  "), F.regexp_replace("word", "(.)", "$1  ")).alias("sym"),
+        "freq",
+    ).localCheckpoint(eager=False)
+
+    def report(v: DataFrame, r: int) -> DataFrame:
+        toks = v.agg(
+            F.sum(F.expr(f"freq * size({_SYMS})")).alias("corpus_subword_tokens")
+        )
+        return toks.crossJoin(F.broadcast(n_words)).select(
+            F.lit(r).cast("int").alias("merge_round"),
+            "corpus_subword_tokens",
+            F.round(
+                F.col("corpus_subword_tokens").cast("double") / F.col("nw"), 6
+            ).alias("compression_ratio"),
+        )
+
+    out = report(vocab, 0)
+    for r in range(1, R_MERGES + 1):
+        best = (
+            _pair_counts(vocab)
+            .agg(F.max(F.struct("pf", "a", "b")).alias("m"))
+            .select(F.col("m.a").alias("a"), F.col("m.b").alias("b"))
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .select(
+                F.expr(
+                    "replace(sym, concat(' ', a, '  ', b, ' '),"
+                    " concat(' ', a, b, ' '))"
+                ).alias("sym"),
+                "freq",
+            )
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionAll(report(vocab, r))
+    return out
+
+
+def bpe_apply_report_sql() -> str:
+    sql = f"""
+WITH wh AS ({_SQL_WORD_HIST}),
+nw AS (SELECT CAST(SUM(freq) AS BIGINT) AS nw FROM wh),
+s0 AS (SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS sym, freq FROM wh),
+"""
+    prev = "s0"
+    for r in range(1, R_MERGES + 1):
+        sql += f"""p{r} AS ({_sql_pairs(prev)}),
+b{r} AS (SELECT a, b FROM p{r} ORDER BY pf DESC, a DESC, b DESC LIMIT 1),
+s{r} AS (
+  SELECT replace(sym, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS sym,
+         freq
+  FROM {prev}, b{r}
+),
+"""
+        prev = f"s{r}"
+    sql = sql.rstrip().rstrip(",")
+    counts = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_round,"
+        f" CAST(SUM(freq * len(list_filter(string_split(sym, '  '),"
+        f" x -> x <> ''))) AS BIGINT) AS corpus_subword_tokens FROM s{r}"
+        for r in range(0, R_MERGES + 1)
+    )
+    sql += f"""
+SELECT merge_round, corpus_subword_tokens,
+       round(CAST(corpus_subword_tokens AS DOUBLE) / nw.nw, 6) AS compression_ratio
+FROM ({counts}) c, nw
+"""
+    return sql

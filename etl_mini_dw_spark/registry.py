@@ -1108,6 +1108,7 @@ _register(
 from etl_mini_dw_spark.functions import bpe
 
 _register("ext_bpe_train_merges", bpe.bpe_train_merges, bpe.bpe_train_merges_sql())
+_register("ext_bpe_apply_report", bpe.bpe_apply_report, bpe.bpe_apply_report_sql())
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
