@@ -71,16 +71,15 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(merge_round, sym_a, sym_b, pair_freq, merged): the learned merge
-    table after R_MERGES rounds — the artifact a tokenizer ships."""
-    hist = _word_hist(spark, sf_dir)
+def train_merges_from_hist(hist: DataFrame, rounds: int = R_MERGES) -> DataFrame:
+    """Merge table from ANY (word, freq) frame — the training loop proper
+    (separated so property tests can drive it with synthetic histograms)."""
     vocab = hist.select(
         F.concat(F.lit("  "), F.regexp_replace("word", "(.)", "$1  ")).alias("sym"),
         "freq",
     ).localCheckpoint(eager=False)
     merges = []
-    for r in range(1, R_MERGES + 1):
+    for r in range(1, rounds + 1):
         best = (
             _pair_counts(vocab)
             .agg(F.max(F.struct("pf", "a", "b")).alias("m"))
@@ -110,6 +109,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionAll(m)
     return out
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(merge_round, sym_a, sym_b, pair_freq, merged): the learned merge
+    table after R_MERGES rounds — the artifact a tokenizer ships."""
+    return train_merges_from_hist(_word_hist(spark, sf_dir))
 
 
 _SQL_WORD_HIST = f"""

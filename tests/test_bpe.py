@@ -63,3 +63,61 @@ def test_bpe_pair_freqs_nonincreasing(spark, sf_dir):
     assert all(freqs[i] >= freqs[i + 1] for i in range(len(freqs) - 1)), freqs
     for r in rows:
         assert r.merged == r.sym_a + r.sym_b
+
+
+# --- property test: Spark training == pure-Python reference BPE -------------
+def _ref_bpe(word_freqs: dict[str, int], rounds: int):
+    """Reference greedy BPE (Sennrich alg. 1) with the repo's tie-break
+    (max freq, then lexicographically largest pair)."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(rounds):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + f
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
+        (a, b), pf = best
+        merges.append((a, b, pf))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_reference_implementation(spark):
+    """Drive the Spark training loop with synthetic histograms and compare
+    against the pure-Python reference on every round — the merge-table
+    values, not just shapes. Cases chosen to hit adjacent merge sites,
+    ties, and multi-round symbol growth."""
+    cases = [
+        ({"aaaa": 3, "aab": 2, "baa": 1}, 4),      # adjacent sites + chains
+        ({"abab": 5, "ab": 2, "ba": 2}, 3),        # alternating pattern
+        ({"xxxx": 1, "xxx": 1, "xx": 1}, 3),       # all-same-letter
+        ({"spark": 4, "spar": 2, "park": 3, "ark": 1}, 4),
+        ({"ab": 1, "cd": 1}, 2),                   # exact tie → largest pair
+    ]
+    # rounds stay within the available merges: the static loop (like the
+    # k-means/PageRank unrolls) does not poll for pair exhaustion
+    for wf, rounds in cases:
+        hist = spark.createDataFrame(list(wf.items()), ["word", "freq"])
+        got = [
+            (r.sym_a, r.sym_b, r.pair_freq)
+            for r in bpe.train_merges_from_hist(hist, rounds=rounds)
+            .orderBy("merge_round")
+            .collect()
+        ]
+        want = _ref_bpe(wf, rounds)
+        assert got == want, (wf, got, want)
