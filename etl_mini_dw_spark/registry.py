@@ -1110,6 +1110,12 @@ from etl_mini_dw_spark.functions import bpe
 _register("ext_bpe_train_merges", bpe.bpe_train_merges, bpe.bpe_train_merges_sql())
 _register("ext_bpe_apply_report", bpe.bpe_apply_report, bpe.bpe_apply_report_sql())
 
+from etl_mini_dw_spark.plans import sketches as _sketches
+
+_register(
+    "ext_cms_token_counts", _sketches.cms_token_counts, _sketches.cms_token_counts_sql()
+)
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). The rotation is fully

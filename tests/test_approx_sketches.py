@@ -93,3 +93,82 @@ def test_streaming_hll_equals_batch_sketch(spark, sf_dir):
         .collect()
     }
     assert streamed == batch
+
+
+# --- Count-Min sketch (the exact-oracle-able integer sketch) ----------------
+def test_cms_never_underestimates_any_token(spark, sf_dir):
+    """The CMS guarantee — estimate ≥ exact — must hold for EVERY token,
+    not just the reported probes: re-derive estimates for the full vocab
+    and assert no underestimate exists."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_dw_spark.plans import sketches as sk
+
+    sketch = sk.cms_sketch(spark, sf_dir)
+    exact = (
+        sk._token_md5(spark, sf_dir)
+        .groupBy("token", "h")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    probes = exact.select(
+        "token",
+        "exact_count",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct({r} AS r, {sk._cms_bucket_spark(r)} AS bucket)"
+                    for r in range(sk.CMS_D)
+                )
+                + ")"
+            )
+        ).alias("cell"),
+    ).select(
+        "token", "exact_count",
+        F.col("cell.r").cast("int").alias("r"), F.col("cell.bucket").alias("bucket"),
+    )
+    est = (
+        probes.join(sketch, ["r", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("c").alias("est"))
+    )
+    bad = est.filter(F.col("est") < F.col("exact_count")).count()
+    assert bad == 0
+
+
+def test_cms_merge_of_shards_equals_global(spark, sf_dir):
+    """Cell-wise sum of per-source sketches must equal the one-shot
+    global sketch — the mergeability that makes stored CMS rollups
+    trustworthy (same contract as the HLL merge test, but exact)."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_dw_spark.functions.text import _token_frame
+    from etl_mini_dw_spark.plans import sketches as sk
+
+    per_source_cells = (
+        _token_frame(spark, sf_dir)
+        .select("source", F.explode("toks").alias("token"))
+        .select("source", F.md5("token").alias("h"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "array("
+                    + ", ".join(
+                        f"struct({r} AS r, {sk._cms_bucket_spark(r)} AS bucket)"
+                        for r in range(sk.CMS_D)
+                    )
+                    + ")"
+                )
+            ).alias("cell"),
+        )
+    )
+    sharded = (
+        per_source_cells.groupBy("source", "cell.r", "cell.bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(F.col("r").cast("int").alias("r"), "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    global_sketch = sk.cms_sketch(spark, sf_dir)
+    assert sharded.exceptAll(global_sketch).count() == 0
+    assert global_sketch.exceptAll(sharded).count() == 0
