@@ -46,6 +46,52 @@ HEADLINE = [
     "scd2_customer_asof_snapshot",
 ]
 
+# Isolated min-of-3 floors at sf0.1, machine load < 2 (BENCH_NOTES.md —
+# the only numbers trustworthy under this machine's 2-3× external-load
+# variance). Two uses: (a) any line > 2× its floor gets re-timed up to
+# min-of-3 inside the bench run, (b) the compact stdout line reports
+# time/floor ratios so the recorded JSON itself distinguishes ambient
+# load from a plan regression (VERDICT r04 task #4).
+FLOORS = {
+    "flagship_revenue_by_month_segment": 1.50,
+    "q1_pricing_summary": 0.73,
+    "dim_date_build": 0.32,
+    "scd2_customer_two_phase": 2.5,
+    "fact_sales_initial": 3.59,
+    "fact_sales_two_phase": 4.73,
+    "fact_order_lifecycle": 1.73,
+    "fact_customer_monthly_snapshot": 3.8,
+    "scd2_customer_asof_snapshot": 1.3,
+    "ext_part_golden_records": 6.5,
+    "ext_edit_distance_neardups": 6.6,
+    "ext_pagerank_parts": 5.3,
+    "ext_power_iteration_direction": 5.7,
+    "ext_streaming_left_outer_attribution": 10.1,
+    "ext_prefix_filter_neardups": 3.1,
+    "ext_table_profile": 2.72,
+    "ext_heavy_hitter_tokens": 0.90,
+    "ext_containment_neardups": 2.3,
+    "ext_bloom_membership_report": 1.9,
+    "ext_customer_rfm_segments": 2.2,
+    "ext_part_association_rules": 1.5,
+    "ext_value_exact_median": 0.94,
+    "ext_embedding_dim_stats": 2.3,
+    "ext_revenue_by_category_asof": 1.7,
+    "ext_customer_version_churn": 0.75,
+    "ext_part_entity_matches": 2.9,
+    "ext_lm_surprisal_score": 1.0,
+    "ext_ann_pq_topk": 1.8,
+    "ext_pq_codes": 0.46,
+    "ext_ann_recall_report": 2.1,
+    "ext_corpus_pipeline_summary": 2.6,
+    "ext_sql_mart_category_counts": 2.2,
+    "ext_semdedup_prune": 0.83,
+    "ext_contamination_spans": 1.07,
+    "ext_bpe_train_merges": 1.90,
+    "ext_bpe_apply_report": 2.33,
+    "ext_cms_token_counts": 0.79,
+}
+
 
 def _memo_warmers():
     """Shared staged frames (stage_memo), forced up-front and billed to
@@ -108,12 +154,22 @@ def main() -> None:
     # the query's own plan, independent of registration order
     timings.update({name: _run(name) for name in names})
     # external machine load inflates wall times 2-3× (documented in
-    # CLAUDE.md); a second pass over the slow-looking lines, keeping the
-    # MIN, strips most of the noise for a bounded extra cost
+    # CLAUDE.md); re-time slow-looking lines keeping the MIN: one retry
+    # for anything past the generic 5 s line, escalating to min-of-3
+    # while the line still reads > 2× its documented isolated floor
+    def _suspicious(name: str, t: float) -> bool:
+        floor = FLOORS.get(name)
+        if floor is not None:
+            return t > 2.0 * floor and t > 1.0
+        return t > 5.0
+
     for name in [
-        n for n, t in timings.items() if t > 5.0 and not n.startswith("memo:")
+        n for n, t in timings.items()
+        if not n.startswith("memo:") and _suspicious(n, t)
     ]:
         timings[name] = min(timings[name], _run(name))
+        if _suspicious(name, timings[name]):
+            timings[name] = min(timings[name], _run(name))
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
@@ -124,6 +180,9 @@ def main() -> None:
     # per-query dict (60+ entries) outgrew it in round 2 → parsed: null.
     # Contract: ONE compact line (headline + 10 slowest), full detail in
     # BENCH_LOCAL.json next to this script.
+    floor_ratio_all = {
+        n: round(timings[n] / FLOORS[n], 2) for n in timings if n in FLOORS
+    }
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -133,13 +192,29 @@ def main() -> None:
         "n_queries": len(timings),
         "machine_load_avg_1m": round(load1, 2),
         "machine_load_avg_5m": round(load5, 2),
+        "floor_ratio": floor_ratio_all,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
         json.dump(full, f, indent=2, sort_keys=True)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     compact_queries = {n: timings[n] for n in HEADLINE if n in timings}
     compact_queries.update(slowest)
-    print(json.dumps({**full, "queries": compact_queries, "detail": "BENCH_LOCAL.json"}))
+    # time/floor per headline: ~1.0 ⇒ at the documented isolated floor;
+    # uniformly high ⇒ ambient load (check machine_load_avg_*), a single
+    # high ratio ⇒ investigate that plan
+    floor_ratio = {
+        n: floor_ratio_all[n] for n in HEADLINE if n in floor_ratio_all
+    }
+    print(
+        json.dumps(
+            {
+                **full,
+                "queries": compact_queries,
+                "floor_ratio": floor_ratio,
+                "detail": "BENCH_LOCAL.json",
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

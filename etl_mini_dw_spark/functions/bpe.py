@@ -53,7 +53,16 @@ def _word_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
-    """(a, b, pf): adjacent-symbol pair frequencies over the vocab table."""
+    """(a, b, pf): adjacent-symbol pair frequencies over the vocab table.
+
+    Note: the explode pipelines a transform() over ``syms`` (itself a
+    filter(split(...))) — the Generate-collapse pattern CLAUDE.md
+    forbids on corpus-scale frames because the child projection is
+    re-evaluated per OUTPUT row. It is deliberately tolerated HERE ONLY
+    because the input is the |vocab|-row histogram (thousands of rows,
+    O(word-length) expressions), never the corpus; do not copy this
+    shape into a corpus-scale path — checkpoint the array first.
+    """
     return (
         vocab.select("freq", F.expr(_SYMS).alias("syms"))
         .filter(F.size("syms") >= 2)
@@ -73,7 +82,17 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
 
 def train_merges_from_hist(hist: DataFrame, rounds: int = R_MERGES) -> DataFrame:
     """Merge table from ANY (word, freq) frame — the training loop proper
-    (separated so property tests can drive it with synthetic histograms)."""
+    (separated so property tests can drive it with synthetic histograms).
+
+    Exhaustion-safe: when ``rounds`` exceeds the merges available (every
+    word already a single symbol → the pair frame is empty), Spark's
+    ``agg(max(struct))`` yields one all-NULL row where DuckDB's
+    ``ORDER BY … LIMIT 1`` yields zero rows. The NULL merge row is
+    filtered out of the output and the vocab update is CASE-guarded so a
+    NULL pattern can't null the whole vocab — both engines then emit
+    exactly the rounds that exist. (The registered R_MERGES=6 queries
+    never exhaust on real corpora; this guard is for arbitrary
+    histograms driven through this public entry point.)"""
     vocab = hist.select(
         F.concat(F.lit("  "), F.regexp_replace("word", "(.)", "$1  ")).alias("sym"),
         "freq",
@@ -98,8 +117,9 @@ def train_merges_from_hist(hist: DataFrame, rounds: int = R_MERGES) -> DataFrame
             vocab.crossJoin(F.broadcast(best))
             .select(
                 F.expr(
-                    "replace(sym, concat(' ', a, '  ', b, ' '),"
-                    " concat(' ', a, b, ' '))"
+                    "CASE WHEN a IS NULL THEN sym ELSE"
+                    " replace(sym, concat(' ', a, '  ', b, ' '),"
+                    " concat(' ', a, b, ' ')) END"
                 ).alias("sym"),
                 "freq",
             )
@@ -108,7 +128,7 @@ def train_merges_from_hist(hist: DataFrame, rounds: int = R_MERGES) -> DataFrame
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)
-    return out
+    return out.filter(F.col("sym_a").isNotNull())
 
 
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -206,6 +206,13 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Prune rule is keep-min-id: a vector is pruned iff some LOWER-id
     vector in its block is within the cosine threshold — deterministic
     on any partitioning (no rand(), no float accumulation ordering).
+    This is a ONE-PASS approximation of the paper's keep-one-per-group
+    semantics and can over-prune chains: with A~B, B~C, A!~C it prunes
+    both B and C even though B (pruned) was C's only close neighbor,
+    where per-group keep-one would retain C. The deviation is
+    intentional — a single anti-join pass instead of an iterative
+    connected-components fixpoint — and the oracle encodes the same
+    rule, so parity pins exactly these semantics.
     Output: (cluster, n_vectors, n_pruned, keep_rate).
     """
     from etl_mini_dw_spark.functions.simsearch import (

@@ -359,3 +359,61 @@ def sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return p.mapInPandas(_frames, FRAME_SCHEMA)
+
+
+# powers of 131 mod 1_000_003, exponents 0..31 — lets the oracle replay
+# the rolling frame hash as one Σ b_j·131^(k-1-j) mod p (k ≤ 32 terms of
+# ≤ 127·10^6 each keeps the sum far inside int64, so a single trailing
+# mod is exact and no sequential fold is needed SQL-side)
+_HASH_MOD = 1_000_003
+_POW131 = [pow(131, e, _HASH_MOD) for e in range(32)]
+
+
+def frame_sample_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked digest of the frame-sampling seam (closes the last
+    rows-only driver pathway, VERDICT r04 task #5 — same trick as
+    ``codec_digest``): aggregate the REAL ``sample_frames`` mapInPandas
+    output per frame_idx into counts, byte totals, and summed rolling
+    hashes that DuckDB recomputes independently from the document text.
+
+    The oracle can reach ALL of it here because payloads are the UTF-8
+    text bytes and the corpus is pure ASCII (asserted in FIXTURES.md):
+    byte j of the payload == codepoint of char j, so the slice geometry
+    (step = n//4, chunks clipped at (i+1)·step) and the base-131 rolling
+    hash over each chunk's first 32 bytes replay exactly from
+    ``substr``/``ascii``. A fan-out bug (wrong row expansion), slice
+    arithmetic bug, or hash-window bug all hash-mismatch the compare.
+    """
+    frames = sample_frames(spark, sf_dir)
+    return frames.groupBy("frame_idx").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_bytes").alias("sum_frame_bytes"),
+        F.sum("frame_hash").alias("sum_frame_hash"),
+    )
+
+
+_POW131_SQL = "[" + ", ".join(str(v) for v in _POW131) + "]"
+
+FRAME_DIGEST_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, len(text) // {N_FRAMES} AS step FROM documents
+),
+f AS (
+  SELECT doc_id,
+         CAST(i AS INT) AS frame_idx,
+         step AS frame_bytes,
+         substr(text, CAST(i AS INT) * step + 1, least(step, 32)) AS sl
+  FROM d, (SELECT unnest(range(0, {N_FRAMES})) AS i)
+)
+SELECT frame_idx,
+       COUNT(*) AS n_frames,
+       CAST(SUM(frame_bytes) AS BIGINT) AS sum_frame_bytes,
+       CAST(SUM(
+         list_sum(list_transform(range(1, len(sl) + 1),
+           j -> ascii(substr(sl, CAST(j AS INT), 1))
+                * ({_POW131_SQL})[len(sl) - CAST(j AS INT) + 1]))
+         % {_HASH_MOD}
+       ) AS BIGINT) AS sum_frame_hash
+FROM f
+GROUP BY frame_idx
+"""

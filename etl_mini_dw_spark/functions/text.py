@@ -451,6 +451,11 @@ def token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     with corpus size; at 100 TB the full postings would go to a bucketed
     table keyed by token instead of an in-row array. Token array is
     checkpointed ahead of the explode (Generate re-evaluation rule).
+
+    The posting head is projected as a comma-joined STRING, not a raw
+    array: compared output must never contain ArrayType/MapType columns
+    (the driver's pandas canonicalizer cannot sort list cells — the one
+    r4 driver failure; see tests/test_output_contract.py).
     """
     docs = _token_frame(spark, sf_dir)
     per = (
@@ -458,12 +463,13 @@ def token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    head = F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTINGS_HEAD)
     agg = per.groupBy("token").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("total_tf"),
-        F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTINGS_HEAD).alias(
-            "postings_head"
-        ),
+        F.array_join(
+            F.transform(head, lambda x: x.cast("string")), ","
+        ).alias("postings_head"),
     )
     return agg.orderBy(F.col("df").desc(), "token").limit(TOP_POSTINGS)
 
@@ -476,7 +482,8 @@ WITH tok AS (
 per AS (SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
 agg AS (
   SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
-         (list_sort(list(doc_id)))[1:{POSTINGS_HEAD}] AS postings_head
+         array_to_string((list_sort(list(doc_id)))[1:{POSTINGS_HEAD}], ',')
+           AS postings_head
   FROM per GROUP BY 1
 )
 SELECT token, df, total_tf, postings_head

@@ -480,7 +480,12 @@ def props_schema_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     any corpus size.
     """
     ev = typed_table(spark, sf_dir, "events")
-    keys = F.array_sort(F.map_keys(F.from_json("props", "map<string,string>")))
+    # comma-joined STRING, not array<string>: compared output must stay
+    # free of container types (driver canonicalizer contract,
+    # tests/test_output_contract.py — the r4 token_postings failure class)
+    keys = F.array_join(
+        F.array_sort(F.map_keys(F.from_json("props", "map<string,string>"))), ","
+    )
     return (
         ev.select("event_type", keys.alias("prop_keys"))
         .groupBy("event_type", "prop_keys")
@@ -490,7 +495,7 @@ def props_schema_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROPS_SCHEMA_SQL = """
 SELECT event_type,
-       list_sort(json_keys(props)) AS prop_keys,
+       array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
        COUNT(*) AS n_events
 FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
 GROUP BY 1, 2

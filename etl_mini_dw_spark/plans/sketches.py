@@ -81,6 +81,10 @@ def _cms_bucket_spark(r: int) -> str:
 
 
 def _cms_bucket_sql(r: int, h: str = "h") -> str:
+    # the '0x…'-string → BIGINT cast needs DuckDB >= 0.10 (fine on the
+    # pinned 1.0.0); on older DuckDB fall back to from_hex()/positional
+    # digit arithmetic — same class of portability trap as CLAUDE.md's
+    # strpos/locate and xor notes
     return f"(('0x' || substr({h}, {_CMS_OFFSETS[r]}, 7))::BIGINT) % {CMS_W}"
 
 

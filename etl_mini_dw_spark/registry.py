@@ -359,6 +359,14 @@ _register("ext_multimodal_frame_sample", multimodal.sample_frames, None)
 _register(
     "ext_multimodal_codec_digest", multimodal.codec_digest, multimodal.CODEC_DIGEST_SQL
 )
+# frame-sampling digest: the fan-out geometry AND the per-frame rolling
+# hashes replay in SQL (ASCII corpus ⇒ payload byte == codepoint), so the
+# frame_sample pathway gets a fully value-checked sibling too (r5)
+_register(
+    "ext_multimodal_frame_digest",
+    multimodal.frame_sample_digest,
+    multimodal.FRAME_DIGEST_SQL,
+)
 
 _register("revenue_by_region", analytics.revenue_by_region, analytics.REVENUE_BY_REGION_SQL)
 _register("top_unshipped_orders", analytics.top_unshipped_orders, analytics.TOP_UNSHIPPED_SQL)
@@ -1129,55 +1137,63 @@ _register(
 # backlog. tests/test_oracle_parity.py still runs ALL entries, so
 # nothing loses its value gate by moving.
 _DRIVER_WINDOW_SEED = [
-    # five dedup families with no driver row (judge-ranked highest value)
-    "ext_prefix_filter_neardups",
-    "ext_containment_neardups",
-    "ext_edit_distance_neardups",
-    "ext_neardup_keep_canonical",
-    "ext_incremental_newbatch_dedup",
-    "ext_neardup_source_matrix",
-    # ANN compression path
-    "ext_pq_codes",
-    "ext_ann_pq_topk",
-    "ext_ann_int8_topk",
-    "ext_ann_recall_report",
-    # sketch paths
-    "ext_heavy_hitter_tokens",
-    "ext_bloom_membership_report",
-    # fact extensions
-    "fact_order_lifecycle",
-    "fact_customer_monthly_snapshot",
-    # event-sourced SCD2 pair
-    "scd2_customer_late_splice",
-    "scd2_customer_asof_snapshot",
-    # data-quality profilers
-    "ext_expectations_report",
-    "ext_fd_violation_report",
-    "ext_ind_violation_report",
-    # the five streaming topologies without driver rows
-    "ext_streaming_left_outer_attribution",
-    "ext_streaming_asof_enrichment",
-    "ext_streaming_dedup_within_watermark",
-    "ext_streaming_session_windows",
-    "ext_streaming_merge_totals",
-    # corpus-construction trio
-    "ext_doc_chunks",
-    "ext_sequence_packing",
-    "ext_mixture_sampling",
-    # iterative algorithms
-    "ext_pagerank_parts",
-    "ext_power_iteration_direction",
-    # converts the r3 no_oracle codec row into a value-checked one
-    "ext_multimodal_codec_digest",
+    # r4's one driver failure, fixed (array column stringified) — must
+    # get its green row first (r4 judge top_next)
+    "ext_token_postings",
+    # the 11 round-4 operators registered after the r4 window landed
+    "ext_bpe_train_merges",
+    "ext_bpe_apply_report",
+    "ext_cms_token_counts",
+    "ext_semdedup_prune",
+    "ext_contamination_spans",
+    "ext_ann_pq_refined_topk",
+    "ext_gopher_rule_filter",
+    "ext_triangle_count_parts",
+    "ext_session_path_trigrams",
+    # high-value carry-overs (r4 judge-ranked)
+    "ext_part_golden_records",
+    "ext_part_entity_matches",
+    "ext_warehouse_health_summary",
+    "ext_attribution_models",
+    "ext_customer_rfm_segments",
+    "ext_order_window_battery2",
+    "ext_lm_surprisal_score",
+    "ext_hll_user_rollup",
+    "ext_embedding_dim_stats",
+    "ext_budget_curation",
+    "ext_quality_deciles",
+    # the r5 frame-sample digest (task #5): its green row this round
+    # closes the last rows-only-by-design pathway's value gap
+    "ext_multimodal_frame_digest",
+]
+
+# Deliberately LAST among the unchecked block: with 53 unchecked names
+# and a 50-row window, three must wait for round 6 — pick the three whose
+# coverage most overlaps already-green rows (lang_id, the mart count
+# battery, and region revenue shares are driver-green since r1–r4).
+_DRIVER_WINDOW_DEFER = [
+    "ext_langid_confusion",
+    "ext_sql_mart_category_counts",
+    "ext_nation_share_of_region",
 ]
 def _driver_checked_names(root: str | None = None) -> set[str]:
-    """Query names that have EVER received a driver correctness row.
+    """Query names that have a SUCCESSFUL driver correctness row.
 
     The external driver writes CORRECTNESS_r{N}.json (first-50-only) into
     the repo root each round; reading them here makes the rotation
-    self-maintaining: once this round's file lands, its 50 names count as
-    checked, the seed list filters itself down, and the next
+    self-maintaining: once this round's file lands, its successful names
+    count as checked, the seed list filters itself down, and the next
     never-checked block floats forward automatically — no manual edit.
+
+    "Successful" means the row's value hash matched (``hash_match`` true)
+    or the query is rows-only by design (``err == "no_oracle"``, the
+    driver's weaker check for queries without an oracle_sql entry). A row
+    whose comparison ERRORED or value-mismatched does NOT count — that
+    query re-floats to the front of the next window so the fix actually
+    gets a green row (r4 lesson: ``ext_token_postings`` errored in the
+    driver canonicalizer and would otherwise have been filed as done
+    forever). Legacy rows that predate hash reporting but carry
+    ``rows_match`` and no err are kept as checked.
     """
     import glob
     import json
@@ -1192,20 +1208,41 @@ def _driver_checked_names(root: str | None = None) -> set[str]:
                 data = json.load(f)
         except (OSError, ValueError):
             continue
-        if isinstance(data, dict):
-            seen.update(k for k, v in data.items() if isinstance(v, dict))
+        if not isinstance(data, dict):
+            continue
+        for k, v in data.items():
+            if not isinstance(v, dict):
+                continue
+            if v.get("hash_match") is True or v.get("err") == "no_oracle":
+                seen.add(k)
+            elif v.get("err") is None and v.get("rows_match") is not None:
+                # legacy / reduced-signal row: no comparison error recorded
+                if v.get("rows_match") is True and v.get("hash_match") is None:
+                    seen.add(k)
     return seen
 
 
 assert set(_DRIVER_WINDOW_SEED) <= set(QUERIES), (
     set(_DRIVER_WINDOW_SEED) - set(QUERIES)
 )
+assert set(_DRIVER_WINDOW_DEFER) <= set(QUERIES), (
+    set(_DRIVER_WINDOW_DEFER) - set(QUERIES)
+)
+assert not set(_DRIVER_WINDOW_DEFER) & set(_DRIVER_WINDOW_SEED)
 _checked = _driver_checked_names()
 # value-ranked seed minus anything already driver-checked ...
 _seed = [n for n in _DRIVER_WINDOW_SEED if n not in _checked]
-# ... then the rest of the unchecked backlog in registration order ...
-_unchecked = [n for n in QUERIES if n not in _checked and n not in _seed]
+# ... then the rest of the unchecked backlog in registration order,
+# with explicitly deferred names pushed to the back of that block ...
+_unchecked = [
+    n
+    for n in QUERIES
+    if n not in _checked and n not in _seed and n not in _DRIVER_WINDOW_DEFER
+]
+_deferred = [
+    n for n in _DRIVER_WINDOW_DEFER if n not in _checked and n not in _seed
+]
 # ... then everything with a green driver row already
 _done = [n for n in QUERIES if n in _checked]
-_ordered = _seed + _unchecked + _done
+_ordered = _seed + _unchecked + _deferred + _done
 QUERIES = {name: QUERIES[name] for name in _ordered}

@@ -109,8 +109,6 @@ def test_bpe_matches_reference_implementation(spark):
         ({"spark": 4, "spar": 2, "park": 3, "ark": 1}, 4),
         ({"ab": 1, "cd": 1}, 2),                   # exact tie → largest pair
     ]
-    # rounds stay within the available merges: the static loop (like the
-    # k-means/PageRank unrolls) does not poll for pair exhaustion
     for wf, rounds in cases:
         hist = spark.createDataFrame(list(wf.items()), ["word", "freq"])
         got = [
@@ -121,3 +119,20 @@ def test_bpe_matches_reference_implementation(spark):
         ]
         want = _ref_bpe(wf, rounds)
         assert got == want, (wf, got, want)
+
+
+def test_train_merges_exhaustion_guard(spark):
+    """Rounds beyond the available merges must emit NOTHING extra (and
+    must not null the vocab): 'ab'×1 has exactly one merge, so rounds=4
+    still yields the reference's single merge — matching the DuckDB
+    oracle's LIMIT-1-over-empty zero-row behavior rather than Spark's
+    all-NULL max(struct) row."""
+    wf = {"ab": 3, "a": 1, "b": 1}
+    hist = spark.createDataFrame(list(wf.items()), ["word", "freq"])
+    got = [
+        (r.sym_a, r.sym_b, r.pair_freq)
+        for r in bpe.train_merges_from_hist(hist, rounds=4)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == _ref_bpe(wf, 4) == [("a", "b", 3)]

@@ -35,9 +35,63 @@ def test_unchecked_precede_checked_globally():
 
 
 def test_checked_names_reader(tmp_path):
+    """Only SUCCESSFUL rows count as checked (r4 lesson: an errored row
+    must re-float into the next window, not be filed as done forever)."""
     (tmp_path / "CORRECTNESS_r09.json").write_text(
-        json.dumps({"q_a": {"rows_match": True}, "q_b": {"rows_match": False}})
+        json.dumps(
+            {
+                # green: hash matched
+                "q_green": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                    "err": None,
+                },
+                # rows-only by design (no oracle_sql entry) — checked
+                "q_rows_only": {
+                    "rows_match": None,
+                    "hash_match": None,
+                    "spark_rows": 5,
+                    "err": "no_oracle",
+                },
+                # ERRORED in the driver harness — must NOT count
+                "q_err": {
+                    "rows_match": None,
+                    "hash_match": None,
+                    "err": "TypeError: unhashable type: 'list'",
+                },
+                # value mismatch — must NOT count (needs a re-check)
+                "q_mismatch": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": False,
+                    "err": None,
+                },
+                # legacy reduced row: rows matched, no hash field at all
+                "q_legacy": {"rows_match": True},
+            }
+        )
     )
     (tmp_path / "CORRECTNESS_r10.json").write_text("not json {")
     got = registry._driver_checked_names(str(tmp_path))
-    assert got == {"q_a", "q_b"}
+    assert got == {"q_green", "q_rows_only", "q_legacy"}
+
+
+def test_err_row_refloats_in_real_files():
+    """ext_token_postings errored in CORRECTNESS_r04 — with the fixed
+    reader it must sort into the live window, not the done block."""
+    checked = registry._driver_checked_names()
+    assert "ext_token_postings" not in checked
+    names = list(registry.QUERIES)
+    unchecked_total = sum(1 for n in names if n not in checked)
+    window = names[: min(50, unchecked_total)]
+    assert "ext_token_postings" in window
+
+
+def test_deferred_names_trail_the_unchecked_block():
+    checked = registry._driver_checked_names()
+    names = list(registry.QUERIES)
+    unchecked = [n for n in names if n not in checked]
+    live_defer = [n for n in registry._DRIVER_WINDOW_DEFER if n not in checked]
+    if live_defer:
+        assert unchecked[-len(live_defer) :] == live_defer
