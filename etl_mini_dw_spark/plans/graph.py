@@ -155,8 +155,23 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
+    g = cooccurrence_edges(li)
+    return (
+        triangle_corner_counts(g)
+        .orderBy(F.col("n_triangles").desc(), "p_partkey")
+        .limit(20)
+    )
+
+
+def cooccurrence_edges(
+    li: DataFrame, min_orders: int = MIN_COOCCUR_ORDERS
+) -> DataFrame:
+    """(pa, pb) undirected edge set (pa < pb) from a distinct
+    (l_orderkey, l_partkey) incidence frame — parts co-occurring in
+    ≥ ``min_orders`` orders. Shared by the pagerank/triangle graph base
+    and by skew tests that drive it with adversarial incidence data."""
     a, b = li.alias("a"), li.alias("b")
-    g = (
+    return (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -166,9 +181,19 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= MIN_COOCCUR_ORDERS)
+        .filter(F.col("n") >= min_orders)
         .select("pa", "pb")
     )
+
+
+def orient_edges(g: DataFrame) -> DataFrame:
+    """Degree-orient an undirected (pa, pb) edge set: every edge points
+    from its lower-(deg, id) endpoint to the higher one via the composite
+    key deg·2³² + node. The load-bounding step: a vertex with oriented
+    out-degree d has d neighbors of degree ≥ d, so d² ≤ Σ deg = 2|E| and
+    **max out-degree ≤ √(2|E|)** — a hub of degree H gets ALL its edges
+    oriented inward (out-degree ~0) and can never own an H² wedge task.
+    Pinned on adversarial input by tests/test_skew.py."""
     incidence = g.select(F.col("pa").alias("node")).unionAll(
         g.select(F.col("pb").alias("node"))
     )
@@ -183,12 +208,18 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("degb") * DEG_KEY_BASE + F.col("pb")).alias("kb"),
         )
     )
-    oriented = keyed.select(
+    return keyed.select(
         F.when(F.col("ka") < F.col("kb"), F.col("pa")).otherwise(F.col("pb")).alias("src"),
         F.when(F.col("ka") < F.col("kb"), F.col("pb")).otherwise(F.col("pa")).alias("dst"),
         F.least("ka", "kb").alias("ksrc"),
         F.greatest("ka", "kb").alias("kdst"),
-    ).localCheckpoint(eager=False)  # read 3× below (two wedge sides + closure)
+    ).localCheckpoint(eager=False)  # read 3× (two wedge sides + closure)
+
+
+def triangle_corner_counts(g: DataFrame) -> DataFrame:
+    """(p_partkey, n_triangles) for every vertex of an undirected
+    (pa, pb) edge set, each triangle credited to all three corners."""
+    oriented = orient_edges(g)
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(
         e2,
@@ -207,11 +238,8 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tris.select(F.col("v").alias("p_partkey")))
         .unionAll(tris.select(F.col("w").alias("p_partkey")))
     )
-    return (
-        corners.groupBy("p_partkey")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
-        .orderBy(F.col("n_triangles").desc(), "p_partkey")
-        .limit(20)
+    return corners.groupBy("p_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
 
 
