@@ -1156,3 +1156,151 @@ JOIN documents da ON da.doc_id = v.doc_a
 JOIN documents db ON db.doc_id = v.doc_b
 GROUP BY 1, 2
 """
+
+
+# --- corpus-internal duplicated n-gram span coverage (r5) --------------------
+# Exact-substring duplication profiling (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): instead of whole-doc or
+# near-dup decisions, measure WHAT FRACTION of each document's tokens
+# sits inside a token window that occurs more than once anywhere in the
+# corpus — the signal behind substring-level dedup of boilerplate,
+# licenses, and templated spans that whole-doc dedup cannot see.
+DUPG_N = 8  # window width; 8-grams are non-noise on the ~30-word vocab
+
+
+def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_dup_docs, n_half_dup_docs, dup_tokens,
+    total_tokens, dup_token_frac): per-source rollup of duplicated-span
+    coverage. A position is duplicated iff some ``DUPG_N``-gram covering
+    it occurs ≥ 2 times corpus-wide (within-doc repeats count — repeated
+    boilerplate inside one doc is equally dedupable); overlapping marks
+    merge via the same one-lag gaps-and-islands as contamination spans.
+
+    Scale: this is the suffix-array alternative that actually
+    distributes — (1) gram counts are ONE partial-aggregable shuffle,
+    (2) the hit join is keyed on the gram (linear in corpus positions,
+    never all-pairs; at 100 TB the join key becomes a 64-bit gram hash
+    so shuffled bytes stay bounded — exact strings here keep the oracle
+    collision-free), (3) island merging is a doc-partitioned window,
+    bounded by doc length. The gram arrays are lazily checkpointed
+    ahead of the explode (Generate-collapse trap, CLAUDE.md).
+
+    Reference scope: extension beyond etl-mini-dw (no text ops there);
+    the published operator re-expressed Spark-first.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("toks")
+    )
+    base = docs.select(
+        "doc_id", "source", F.size("toks").cast("bigint").alias("n_tokens"), "toks"
+    )
+    grams_arr = (
+        base.filter(F.size("toks") >= DUPG_N)
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, size(toks) - {DUPG_N}),"
+                f" p -> struct(CAST(p AS BIGINT) AS p,"
+                f" concat_ws(' ', slice(toks, p + 1, {DUPG_N})) AS gram))"
+            ).alias("grams"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    g = grams_arr.select("doc_id", F.explode("grams").alias("s")).select(
+        "doc_id", F.col("s.p").alias("p"), F.col("s.gram").alias("gram")
+    )
+    dup_grams = (
+        g.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") >= 2).select("gram")
+    )
+    hits = g.join(dup_grams, "gram").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    brk = F.when(F.col("p") - F.lag("p").over(w) > DUPG_N, F.lit(1)).otherwise(F.lit(0))
+    isl = hits.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_doc = (
+        isl.groupBy("doc_id", "island")
+        .agg((F.max("p") - F.min("p") + F.lit(DUPG_N)).alias("covered"))
+        .groupBy("doc_id")
+        .agg(F.sum("covered").cast("bigint").alias("dup_tokens"))
+    )
+    joined = base.select("doc_id", "source", "n_tokens").join(
+        per_doc, "doc_id", "left"
+    ).select(
+        "source",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("dup_tokens") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+        F.sum(
+            F.when(F.col("dup_tokens") * 2 >= F.col("n_tokens"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_half_dup_docs"),
+        F.sum("dup_tokens").cast("bigint").alias("dup_tokens"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("dup_tokens").cast("double") / F.sum("n_tokens"), 6
+        ).alias("dup_token_frac"),
+    )
+
+
+DUP_NGRAM_COVERAGE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+),
+base AS (
+  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM d
+),
+g0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(toks) - {DUPG_N} + 1),
+           i -> struct_pack(p := CAST(i AS BIGINT),
+                            gram := array_to_string(
+                              toks[CAST(i AS INT) + 1 : CAST(i AS INT) + {DUPG_N}],
+                              ' ')))) AS s
+  FROM base WHERE len(toks) >= {DUPG_N}
+),
+g AS (SELECT doc_id, s.p AS p, s.gram AS gram FROM g0),
+dupg AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, p FROM g WHERE gram IN (SELECT gram FROM dupg)),
+isl AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > {DUPG_N}
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, p,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING)
+           AS island
+  FROM isl
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS dup_tokens FROM (
+    SELECT doc_id, island, MAX(p) - MIN(p) + {DUPG_N} AS covered
+    FROM isl2 GROUP BY doc_id, island)
+  GROUP BY doc_id
+),
+joined AS (
+  SELECT b.source, b.n_tokens, COALESCE(pd.dup_tokens, 0) AS dup_tokens
+  FROM base b LEFT JOIN per_doc pd USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN dup_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(CASE WHEN dup_tokens * 2 >= n_tokens THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_half_dup_docs,
+       CAST(SUM(dup_tokens) AS BIGINT) AS dup_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(dup_tokens) AS DOUBLE) / CAST(SUM(n_tokens) AS BIGINT), 6)
+         AS dup_token_frac
+FROM joined GROUP BY source
+"""

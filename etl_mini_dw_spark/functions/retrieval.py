@@ -1,0 +1,164 @@
+"""Lexical top-k retrieval (BM25) over the document corpus (extension).
+
+The retrieval side of a training-data pipeline that `simsearch.py`
+covers for embeddings: score candidate documents against a query by
+Okapi BM25 over shared tokens — the operator behind hard-negative
+mining, near-benchmark lookup, and "find the corpus docs most like
+this one" audits. Query set here: every 100th document, its query being
+the distinct tokens among its first ``QUERY_TERMS`` tokens.
+
+Determinism (the lm.py trade, engine-exact): libm ``ln`` differs by
+1 ulp across engines and a float score SUM is reduction-order-
+dependent, so BM25 is evaluated in INTEGER arithmetic end-to-end:
+
+- idf is the LINEAR variant ``N/df`` on a 10^6 fixed-point grid,
+  ``idf_scaled = (N·10^6) div df`` — the same trade `text.py`'s tf-idf
+  makes. (The first cut used lm.py's ⌊log2⌋ bucketing, but on this
+  corpus's ~30-word shared vocabulary every df lands in the top log2
+  bucket and ALL scores collapse to 0 — linear idf keeps the full
+  df resolution with no float ops. A real web corpus has the df spread
+  where log2 bucketing suffices; both are documented engine-exact
+  choices at the same seam.)
+- the tf-saturation term with k1 = 1.2 = 12/10, b = 0.75 = 3/4 and
+  avgdl = T/N is cleared of ALL fractions by multiplying through by
+  10·N (T = total corpus tokens, N = docs):
+
+      idf · tf·(k1+1) / (tf + k1·(1−b+b·len/avgdl))
+    = idf · 22·tf·T / (10·tf·T + 3·T + 9·len·N)
+
+  with idf_scaled as the numerator's idf, each term floored by ONE
+  integer division — the per-term value and the summed score are
+  bit-identical on any engine and any partitioning. int64 headroom:
+  idf_scaled ≤ N·10^6 and the numerator ≈ N·10^6·22·tf·T stays under
+  2^63 through bench scale; at cluster scale it promotes to
+  DECIMAL(38,0) exactly like the pagerank rank sums (SCALE.md).
+
+100 TB shape: this is an inverted-index join — the postings frame
+(token, doc, tf, len) is ONE partial-aggregable shuffle of the corpus;
+queries ⋈ df is dim-sized and broadcast into the postings join, so
+candidate volume is Σ df over query terms, never corpus × queries.
+The production upgrades (WAND/rare-term-first pruning, df cutoffs for
+stop tokens) drop into the same plan at the broadcast seam.
+
+Reference scope: extension beyond etl-mini-dw (no text ops in the
+reference); published operator (Robertson & Zaragoza 2009) re-expressed
+Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_mini_dw_spark.functions.text import TOKEN_RE, _token_frame
+
+BM25_TOP_K = 10
+QUERY_STRIDE = 100  # every 100th doc_id poses a query
+QUERY_TERMS = 12  # first 12 tokens of the query doc, distinct
+BM25_SCALE = 1_000_000  # fixed-point grid for per-term scores
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_doc, rank, doc_id, n_shared_terms, score_scaled): top-10 BM25
+    matches per query doc (self excluded), integer-exact scoring."""
+    toks = _token_frame(spark, sf_dir).select("doc_id", "toks")
+    postings = (
+        toks.select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("len"),
+            F.explode("toks").alias("token"),
+        )
+        .groupBy("doc_id", "len", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size("toks")).cast("bigint").alias("t_tokens"),
+    )
+    df = postings.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    qterms = (
+        toks.filter(F.col("doc_id") % QUERY_STRIDE == 0)
+        .select(
+            F.col("doc_id").alias("q_doc"),
+            F.explode(F.slice("toks", 1, QUERY_TERMS)).alias("token"),
+        )
+        .distinct()
+        .join(df, "token")
+    )
+    # scalar hoist (the P12 pattern) then per-term integer BM25
+    scored = (
+        postings.join(F.broadcast(qterms), "token")
+        .filter(F.col("doc_id") != F.col("q_doc"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "q_doc",
+            "doc_id",
+            F.expr(
+                f"(((n_docs * CAST({BM25_SCALE} AS BIGINT)) div df)"
+                " * 22 * tf * t_tokens)"
+                " div (10 * tf * t_tokens + 3 * t_tokens + 9 * len * n_docs)"
+            ).alias("term_scaled"),
+        )
+    )
+    agg = scored.groupBy("q_doc", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_terms"),
+        F.sum("term_scaled").cast("bigint").alias("score_scaled"),
+    )
+    w = Window.partitionBy("q_doc").orderBy(
+        F.col("score_scaled").desc(), F.col("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("q_doc", "rank", "doc_id", "n_shared_terms", "score_scaled")
+    )
+
+
+BM25_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '{TOKEN_RE}'), t -> lower(t)) AS toks
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS len, token,
+         CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, toks, unnest(toks) AS token FROM toks)
+  GROUP BY doc_id, len, token
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(toks)) AS BIGINT) AS t_tokens
+  FROM toks
+),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY token),
+qterms AS (
+  SELECT DISTINCT q_doc, token FROM (
+    SELECT doc_id AS q_doc, unnest(toks[1:{QUERY_TERMS}]) AS token
+    FROM toks WHERE doc_id % {QUERY_STRIDE} = 0)
+),
+qdf AS (SELECT q.q_doc, q.token, df.df FROM qterms q JOIN df USING (token)),
+scored AS (
+  SELECT q.q_doc, p.doc_id,
+         (((s.n_docs * CAST({BM25_SCALE} AS BIGINT)) // q.df)
+          * 22 * p.tf * s.t_tokens)
+         // (10 * p.tf * s.t_tokens + 3 * s.t_tokens + 9 * p.len * s.n_docs)
+           AS term_scaled
+  FROM postings p JOIN qdf q USING (token), stats s
+  WHERE p.doc_id <> q.q_doc
+),
+agg AS (
+  SELECT q_doc, doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+         CAST(SUM(term_scaled) AS BIGINT) AS score_scaled
+  FROM scored GROUP BY q_doc, doc_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_doc
+                                    ORDER BY score_scaled DESC, doc_id)
+                 AS INTEGER) AS rank
+  FROM agg
+)
+SELECT q_doc, rank, doc_id, n_shared_terms, score_scaled
+FROM ranked WHERE rank <= {BM25_TOP_K}
+"""

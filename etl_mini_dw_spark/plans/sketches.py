@@ -200,3 +200,155 @@ SELECT p.token, p.exact_count, CAST(MIN(s.c) AS BIGINT) AS cms_estimate,
 FROM probes p JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
 GROUP BY p.token, p.exact_count
 """
+
+
+# --- portable HLL register sketch (exact-replayable distinct sketch) ---------
+# The Spark-native DataSketches rollup above is the production path but
+# its estimate is engine-specific (rows-only driver check). This is its
+# VALUE-CHECKED counterpart: classic Flajolet-Fuertes-Gandouet-Meunier
+# HyperLogLog built from md5 bits with plain integer/string ops, so the
+# register table AND the estimate replay bit-identically in DuckDB —
+# the same exact-replayable-sketch discipline as the Count-Min grid.
+#
+# Layout per element: h = md5(value); bucket = first 2 hex digits
+# (p=8, m=256); w = next 13 hex digits (52 bits, exactly representable
+# in BIGINT and in a double, so both engines agree); rho(w) = leading
+# zeros of the 52-bit field + 1 = 53 - length(bin(w)) (w>0), else 53.
+# The harmonic denominator Σ 2^(-R_j) is kept EXACT by scaling with
+# 2^53: Σ 2^(53-R_j) ≤ 256·2^53 = 2^61 fits BIGINT, so the only
+# floating-point steps are one literal·1/S division and (in the sparse
+# regime) one ln() — both pinned by round(, 4) on each engine.
+HLLP_P = 8
+HLLP_M = 1 << HLLP_P  # 256 registers
+HLLP_WBITS = 52  # 13 hex digits of the md5 tail
+_HLLP_ALPHA = 0.7213 / (1 + 1.079 / HLLP_M)
+# α·m²·2^53 as ONE double literal (repr round-trips exactly), so the
+# raw estimate is a single IEEE division — identical on both engines
+_HLLP_NUM = repr(_HLLP_ALPHA * (HLLP_M * HLLP_M) * float(1 << 53))
+
+
+def hll_register_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_exact, n_zero_registers, harmonic_scaled,
+    hll_estimate, rel_error): distinct users per event_type estimated by
+    a portable 256-register HLL, side-by-side with the exact count.
+
+    Scale shape is identical to the stored-rollup path: the register
+    build is ONE partial-aggregable max shuffle producing ≤ m rows per
+    group (register tables merge cell-wise like the CMS grid and the
+    DataSketches rollups), the 256-bucket spine join is broadcast-sized,
+    and the exact count — present here only to expose the sketch error —
+    is the thing a 100 TB deployment drops. Small-range (linear
+    counting) correction applies below 2.5·m exactly as published;
+    estimates and errors are rounded on BOTH engines (wide-double
+    portability rule, CLAUDE.md)."""
+    ev = typed_table(spark, sf_dir, "events").select("event_type", "user_id")
+    hashed = ev.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+    )
+    w = f"CAST(conv(substr(h, 3, 13), 16, 10) AS BIGINT)"
+    rho = (
+        f"CAST(CASE WHEN {w} = 0 THEN {HLLP_WBITS + 1} "
+        f"ELSE {HLLP_WBITS + 1} - length(bin({w})) END AS INT)"
+    )
+    regs = (
+        hashed.select(
+            "event_type",
+            F.expr(f"CAST(conv(substr(h, 1, 2), 16, 10) AS BIGINT)").alias(
+                "bucket"
+            ),
+            F.expr(rho).alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(HLLP_M - 1))).alias("bucket"),
+        )
+    )
+    dense = spine.join(regs, ["event_type", "bucket"], "left").select(
+        "event_type", "bucket", F.coalesce("r", F.lit(0)).alias("r")
+    )
+    agg = dense.groupBy("event_type").agg(
+        F.sum(F.expr("CAST(power(2, 53 - r) AS BIGINT)"))
+        .cast("bigint")
+        .alias("harmonic_scaled"),
+        F.sum(F.when(F.col("r") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_registers"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    est = (
+        f"CASE WHEN ({_HLLP_NUM} / harmonic_scaled) <= {2.5 * HLLP_M} "
+        f"AND n_zero_registers > 0 "
+        f"THEN round({float(HLLP_M)} * ln({float(HLLP_M)} / n_zero_registers), 4) "
+        f"ELSE round({_HLLP_NUM} / harmonic_scaled, 4) END"
+    )
+    return (
+        agg.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "n_zero_registers",
+            "harmonic_scaled",
+            F.expr(est).alias("hll_estimate"),
+        )
+        .select(
+            "*",
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("n_exact"))
+                / F.col("n_exact"),
+                6,
+            ).alias("rel_error"),
+        )
+    )
+
+
+def hll_register_rollup_sql() -> str:
+    w = "(('0x' || substr(h, 3, 13))::BIGINT)"  # DuckDB >= 0.10 hex cast
+    return f"""
+WITH ev AS (SELECT event_type, user_id FROM events),
+hashed AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM ev
+),
+regs AS (
+  SELECT event_type,
+         (('0x' || substr(h, 1, 2))::BIGINT) AS bucket,
+         MAX(CASE WHEN {w} = 0 THEN {HLLP_WBITS + 1}
+                  ELSE {HLLP_WBITS + 1} - length(bin({w})) END) AS r
+  FROM hashed GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type, CAST(b AS BIGINT) AS bucket
+  FROM (SELECT DISTINCT event_type FROM ev), (SELECT unnest(range(0, {HLLP_M})) AS b)
+),
+dense AS (
+  SELECT s.event_type, s.bucket, COALESCE(regs.r, 0) AS r
+  FROM spine s LEFT JOIN regs ON regs.event_type = s.event_type AND regs.bucket = s.bucket
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(CAST(power(2, 53 - r) AS BIGINT)) AS BIGINT) AS harmonic_scaled,
+         CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_registers
+  FROM dense GROUP BY 1
+),
+exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM ev GROUP BY 1
+),
+est AS (
+  SELECT a.event_type, e.n_exact, a.n_zero_registers, a.harmonic_scaled,
+         CASE WHEN ({_HLLP_NUM} / a.harmonic_scaled) <= {2.5 * HLLP_M}
+                   AND a.n_zero_registers > 0
+              THEN round({float(HLLP_M)} * ln({float(HLLP_M)} / a.n_zero_registers), 4)
+              ELSE round({_HLLP_NUM} / a.harmonic_scaled, 4) END AS hll_estimate
+  FROM agg a JOIN exact e USING (event_type)
+)
+SELECT event_type, n_exact, n_zero_registers, harmonic_scaled, hll_estimate,
+       round(abs(hll_estimate - n_exact) / n_exact, 6) AS rel_error
+FROM est
+"""

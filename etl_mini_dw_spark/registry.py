@@ -1124,6 +1124,21 @@ _register(
     "ext_cms_token_counts", _sketches.cms_token_counts, _sketches.cms_token_counts_sql()
 )
 
+# --- round 5: portable distinct sketch, corpus-internal dup spans,
+# lexical retrieval ----------------------------------------------------------
+_register(
+    "ext_hll_register_rollup",
+    _sketches.hll_register_rollup,
+    _sketches.hll_register_rollup_sql(),
+)
+_register(
+    "ext_dup_ngram_coverage", dedup.dup_ngram_coverage, dedup.DUP_NGRAM_COVERAGE_SQL
+)
+
+from etl_mini_dw_spark.functions import retrieval as _retrieval
+
+_register("ext_bm25_topk", _retrieval.bm25_topk, _retrieval.BM25_TOPK_SQL)
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). The rotation is fully

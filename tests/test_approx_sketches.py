@@ -172,3 +172,49 @@ def test_cms_merge_of_shards_equals_global(spark, sf_dir):
     global_sketch = sk.cms_sketch(spark, sf_dir)
     assert sharded.exceptAll(global_sketch).count() == 0
     assert global_sketch.exceptAll(sharded).count() == 0
+
+
+def test_hll_registers_merge_and_estimate_quality(spark, sf_dir):
+    """The portable register sketch's two contracts: (a) registers built
+    on arbitrary shards max-merge to exactly the global register table
+    (what makes stored rollups trustworthy — same property as the CMS
+    cell-sum merge); (b) the estimate lands within the published ~3·rsd
+    band of the exact distinct count (rsd = 1.04/√m ≈ 6.5% at m=256)."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_dw_spark.plans import sketches
+    from etl_mini_dw_spark.sources.tables import typed_table
+
+    ev = typed_table(spark, sf_dir, "events").select("event_type", "user_id")
+    hashed = ev.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+    )
+    w = "CAST(conv(substr(h, 3, 13), 16, 10) AS BIGINT)"
+    proj = hashed.select(
+        "event_type",
+        F.expr("CAST(conv(substr(h, 1, 2), 16, 10) AS BIGINT)").alias("bucket"),
+        F.expr(
+            f"CAST(CASE WHEN {w} = 0 THEN 53 ELSE 53 - length(bin({w})) END AS INT)"
+        ).alias("rho"),
+    )
+    glob = {
+        (r["event_type"], r["bucket"]): r["r"]
+        for r in proj.groupBy("event_type", "bucket").agg(F.max("rho").alias("r")).collect()
+    }
+    # shard on an arbitrary predicate, merge by cell-wise max
+    sa = proj.filter(F.crc32(F.col("h")) % 2 == 0)
+    sb = proj.filter(F.crc32(F.col("h")) % 2 == 1)
+    merged: dict = {}
+    for shard in (sa, sb):
+        for r in shard.groupBy("event_type", "bucket").agg(F.max("rho").alias("r")).collect():
+            k = (r["event_type"], r["bucket"])
+            merged[k] = max(merged.get(k, 0), r["r"])
+    assert merged == glob
+
+    rows = sketches.hll_register_rollup(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["rel_error"] <= 3 * 1.04 / (sketches.HLLP_M ** 0.5), (
+            r["event_type"],
+            r["rel_error"],
+        )
