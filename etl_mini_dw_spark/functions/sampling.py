@@ -561,3 +561,102 @@ SELECT doc_id, n_tokens,
        round(CAST(SUM(covered) AS DOUBLE) / n_tokens, 6) AS contaminated_frac
 FROM per_island GROUP BY doc_id, n_tokens
 """
+
+
+# --- dedup-aware (leakage-free) train/test split (r5) ------------------------
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_train, n_test, n_leaky_train, n_clean_train, leak_frac):
+    the split-hygiene report composing the hash split with the near-dup
+    component labels — a train document LEAKS if any member of its
+    near-dup component landed in the test split (`decontaminate` catches
+    verbatim 8-gram overlap; this catches whole-document near-duplicates
+    that n-gram membership misses, the Lee et al. 2022 eval-inflation
+    failure). Pipelines drop `n_leaky_train` docs before training.
+
+    Scale: the component frame only covers docs that appear in some
+    verified near-dup pair (everything else is its own singleton and can
+    never leak), so the extra joins are near-dup-population-sized — tiny
+    relative to the corpus — and broadcast; the split itself stays the
+    pure hash map-only predicate. Oracle replays the same recursive-CTE
+    components the dedup family already pins.
+
+    Reference scope: extension beyond etl-mini-dw; standard
+    dedup-aware-split practice re-expressed Spark-first.
+    """
+    from etl_mini_dw_spark.functions.dedup import neardup_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    split = F.when(_hash_col() < DECON_TRAIN_CUT, F.lit("train")).otherwise(
+        F.lit("test")
+    )
+    comp = neardup_components(spark, sf_dir)
+    labeled = (
+        docs.select("doc_id", "source", split.alias("split"))
+        .join(F.broadcast(comp), "doc_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+    )
+    test_comps = (
+        labeled.filter(F.col("split") == "test").select("component").distinct()
+    )
+    leaky = (
+        labeled.filter(F.col("split") == "train")
+        .join(F.broadcast(test_comps), "component", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaky_train"))
+    )
+    base = labeled.groupBy("source").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_test"),
+    )
+    return (
+        base.join(leaky, "source", "left")
+        .select(
+            "source",
+            "n_train",
+            "n_test",
+            F.coalesce("n_leaky_train", F.lit(0)).cast("bigint").alias("n_leaky_train"),
+        )
+        .select(
+            "*",
+            (F.col("n_train") - F.col("n_leaky_train")).alias("n_clean_train"),
+            F.round(
+                F.col("n_leaky_train").cast("double") / F.col("n_train"), 6
+            ).alias("leak_frac"),
+        )
+    )
+
+
+def leakage_free_split_sql() -> str:
+    from etl_mini_dw_spark.functions.dedup import neardup_components_sql
+
+    return f"""
+WITH comp AS ({neardup_components_sql()}),
+labeled AS (
+  SELECT d.doc_id, d.source,
+         CASE WHEN {_HASH_SQL} < {DECON_TRAIN_CUT} THEN 'train' ELSE 'test' END AS split,
+         COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+test_comps AS (SELECT DISTINCT component FROM labeled WHERE split = 'test'),
+leaky AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_leaky_train
+  FROM labeled
+  WHERE split = 'train' AND component IN (SELECT component FROM test_comps)
+  GROUP BY source
+),
+base AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+  FROM labeled GROUP BY source
+)
+SELECT b.source, b.n_train, b.n_test,
+       COALESCE(l.n_leaky_train, 0) AS n_leaky_train,
+       b.n_train - COALESCE(l.n_leaky_train, 0) AS n_clean_train,
+       round(CAST(COALESCE(l.n_leaky_train, 0) AS DOUBLE) / b.n_train, 6) AS leak_frac
+FROM base b LEFT JOIN leaky l USING (source)
+"""

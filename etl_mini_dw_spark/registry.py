@@ -1138,6 +1138,11 @@ _register(
 from etl_mini_dw_spark.functions import retrieval as _retrieval
 
 _register("ext_bm25_topk", _retrieval.bm25_topk, _retrieval.BM25_TOPK_SQL)
+_register(
+    "ext_leakage_free_split",
+    sampling.leakage_free_split,
+    sampling.leakage_free_split_sql(),
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
