@@ -267,3 +267,113 @@ SELECT merge_round, corpus_subword_tokens,
 FROM ({counts}) c, nw
 """
     return sql
+
+
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_words, subword_tokens, fertility): tokens-per-word per
+    language label after applying the full R_MERGES merge table — the
+    multilingual-tokenizer equity report (languages under-represented in
+    training text get higher fertility, i.e. more subword tokens per
+    word, which inflates their compute cost downstream).
+
+    The merge table is trained on the GLOBAL histogram (same artifact as
+    ``bpe_train_merges``); application runs on a (lang, word) histogram,
+    so the corpus is still touched exactly once and every merge round is
+    vocabulary-sized. The per-round argmax is a 1-row broadcast applied
+    to both frames' lineage identically."""
+    from etl_mini_dw_spark.functions.text import _word_frame
+
+    base = _word_frame(spark, sf_dir)
+    # (lang, word, freq) histogram — lang rides the same explode
+    hist_lang = (
+        base.join(_lang_frame(spark, sf_dir), "doc_id")
+        .select("lang", F.explode("w").alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    hist_global = hist_lang.groupBy("word").agg(F.sum("freq").alias("freq"))
+    sym = F.concat(F.lit("  "), F.regexp_replace("word", "(.)", "$1  ")).alias("sym")
+    vocab_g = hist_global.select(sym, "freq").localCheckpoint(eager=False)
+    vocab_l = hist_lang.select("lang", sym, "freq").localCheckpoint(eager=False)
+    for _ in range(R_MERGES):
+        best = (
+            _pair_counts(vocab_g)
+            .agg(F.max(F.struct("pf", "a", "b")).alias("m"))
+            .select(F.col("m.a").alias("a"), F.col("m.b").alias("b"))
+        ).localCheckpoint(eager=False)
+        merge_expr = (
+            "replace(sym, concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' '))"
+        )
+        vocab_g = (
+            vocab_g.crossJoin(F.broadcast(best))
+            .select(F.expr(merge_expr).alias("sym"), "freq")
+            .localCheckpoint(eager=False)
+        )
+        vocab_l = (
+            vocab_l.crossJoin(F.broadcast(best))
+            .select("lang", F.expr(merge_expr).alias("sym"), "freq")
+            .localCheckpoint(eager=False)
+        )
+    return vocab_l.groupBy("lang").agg(
+        F.sum("freq").cast("bigint").alias("n_words"),
+        F.sum(F.expr(f"freq * size({_SYMS})")).cast("bigint").alias("subword_tokens"),
+    ).select(
+        "lang",
+        "n_words",
+        "subword_tokens",
+        F.round(
+            F.col("subword_tokens").cast("double") / F.col("n_words"), 6
+        ).alias("fertility"),
+    )
+
+
+def _lang_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_mini_dw_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+
+
+def bpe_fertility_by_lang_sql() -> str:
+    """Unrolled oracle: global chain picks each round's argmax pair, a
+    parallel lang-keyed chain applies the same merges."""
+    sql = f"""
+WITH wl AS (
+  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT lang, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS word
+    FROM documents)
+  GROUP BY lang, word
+),
+wh AS (SELECT word, CAST(SUM(freq) AS BIGINT) AS freq FROM wl GROUP BY word),
+s0 AS (SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS sym, freq FROM wh),
+t0 AS (SELECT lang, '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS sym, freq FROM wl),
+"""
+    prev_g, prev_l = "s0", "t0"
+    for r in range(1, R_MERGES + 1):
+        sql += f"""p{r} AS ({_sql_pairs(prev_g)}),
+b{r} AS (SELECT a, b FROM p{r} ORDER BY pf DESC, a DESC, b DESC LIMIT 1),
+s{r} AS (
+  SELECT replace(sym, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS sym,
+         freq
+  FROM {prev_g}, b{r}
+),
+t{r} AS (
+  SELECT lang,
+         replace(sym, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS sym,
+         freq
+  FROM {prev_l}, b{r}
+),
+"""
+        prev_g, prev_l = f"s{r}", f"t{r}"
+    sql = sql.rstrip().rstrip(",")
+    sql += f"""
+SELECT lang,
+       CAST(SUM(freq) AS BIGINT) AS n_words,
+       CAST(SUM(freq * len(list_filter(string_split(sym, '  '),
+            x -> x <> ''))) AS BIGINT) AS subword_tokens,
+       round(CAST(SUM(freq * len(list_filter(string_split(sym, '  '),
+             x -> x <> ''))) AS BIGINT)
+             / CAST(CAST(SUM(freq) AS BIGINT) AS DOUBLE), 6) AS fertility
+FROM {prev_l}
+GROUP BY lang
+"""
+    return sql

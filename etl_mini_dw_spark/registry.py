@@ -1143,6 +1143,11 @@ _register(
     sampling.leakage_free_split,
     sampling.leakage_free_split_sql(),
 )
+_register(
+    "ext_bpe_fertility_by_lang",
+    bpe.bpe_fertility_by_lang,
+    bpe.bpe_fertility_by_lang_sql(),
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
