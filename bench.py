@@ -90,6 +90,13 @@ FLOORS = {
     "ext_bpe_train_merges": 1.90,
     "ext_bpe_apply_report": 2.33,
     "ext_cms_token_counts": 0.79,
+    # round-5 operators (min-of-3 at load < 1, 2026-08-14)
+    "ext_multimodal_frame_digest": 0.56,
+    "ext_hll_register_rollup": 0.91,
+    "ext_dup_ngram_coverage": 1.64,
+    "ext_bm25_topk": 1.51,
+    "ext_leakage_free_split": 2.38,
+    "ext_bpe_fertility_by_lang": 2.73,
 }
 
 
