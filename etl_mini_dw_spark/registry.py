@@ -1148,6 +1148,13 @@ _register(
     bpe.bpe_fertility_by_lang,
     bpe.bpe_fertility_by_lang_sql(),
 )
+# streaming topology #12 — the first VALUE-CHECKED streaming sketch
+# (integer CMS cells replay in DuckDB; the HLL twin is rows-only)
+_register(
+    "ext_streaming_cms_activity",
+    ev.streaming_cms_user_activity,
+    ev.streaming_cms_sql(),
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

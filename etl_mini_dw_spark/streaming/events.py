@@ -970,3 +970,167 @@ def streaming_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+# --- streaming Count-Min maintenance (r5): the value-checked sketch ---------
+CMS_STREAM_BATCHES = 3
+CMS_STREAM_PROBES = 20
+
+
+def _split_landing_dir(sf_dir: str, n_parts: int) -> str:
+    """Landing dir with the events table split into ``n_parts`` files by
+    ``event_id % n_parts`` (mtimes staggered so the file source replays
+    them in order) — the bounded-replay stand-in for a Kafka topic that
+    actually exercises multi-micro-batch state/merge paths, unlike a
+    single-file source whose whole history lands in batch 0."""
+    import os
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    landing = tempfile.mkdtemp(prefix="stream_cms_landing_")
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    ids = tbl["event_id"].to_numpy()
+    for i in range(n_parts):
+        part = tbl.filter(pa.array(ids % n_parts == i))
+        path = os.path.join(landing, f"part{i}.parquet")
+        pq.write_table(part, path)
+        mt = _time.time() - (n_parts - i) * 10
+        os.utime(path, (mt, mt))
+    return landing
+
+
+def streaming_cms_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the Count-Min activity grid — the
+    VALUE-CHECKED streaming sketch (the HLL twin is rows-only because
+    DataSketches estimates are engine-specific; CMS cells are plain
+    integers, so the streamed grid replays bit-identically in DuckDB).
+
+    Topology: events split into 3 micro-batches (``_split_landing_dir``)
+    → update-mode (r, bucket) count aggregation (each batch emits the
+    new cumulative value of exactly the cells it touched) → exactly-once
+    keyed MERGE into the stored grid. Because integer cell counts are
+    order/batching-invariant, the final stored grid ≡ the one-shot batch
+    grid — the property that makes per-shard/day sketch tables safe to
+    maintain incrementally at 100 TB (same argument as the batch CMS
+    shard-merge test). The returned report probes the top-20 users by
+    exact activity against the STREAMED grid: (user_id, exact_count,
+    cms_estimate, overestimate), estimate = min over d probed cells.
+    """
+    _ensure_session_confs(spark)
+    import tempfile
+
+    from etl_mini_dw_spark.etl.store import IdempotentForeachBatch, ParquetStore
+    from etl_mini_dw_spark.plans.sketches import CMS_D, _cms_bucket_spark
+
+    landing = _split_landing_dir(sf_dir, CMS_STREAM_BATCHES)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    cells_expr = (
+        "array("
+        + ", ".join(
+            f"struct({r} AS r, {_cms_bucket_spark(r)} AS bucket)"
+            for r in range(CMS_D)
+        )
+        + ")"
+    )
+    grid = (
+        stream.select(F.md5(F.col("user_id").cast("string")).alias("h"))
+        .select(F.explode(F.expr(cells_expr)).alias("cell"))
+        .groupBy(
+            F.col("cell.r").cast("int").alias("r"),
+            F.col("cell.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    store = ParquetStore(tempfile.mkdtemp(prefix="stream_cms_store_"))
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_cms_ckpt_")
+
+    def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        # update mode ⇒ cumulative value per touched cell; MERGE overwrites
+        store.merge_upsert(spark, batch_df, "cms_grid", keys=["r", "bucket"])
+
+    sink = IdempotentForeachBatch(
+        tempfile.mkdtemp(prefix="stream_cms_commits_"), _merge_batch
+    )
+    q = (
+        grid.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    sketch = store.read(spark, "cms_grid")
+    exact = (
+        typed_table(spark, sf_dir, "events")
+        .select(F.col("user_id"), F.md5(F.col("user_id").cast("string")).alias("h"))
+        .groupBy("user_id", "h")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "user_id")
+        .limit(CMS_STREAM_PROBES)
+    )
+    probes = exact.select(
+        "user_id",
+        "exact_count",
+        F.explode(F.expr(cells_expr)).alias("cell"),
+    ).select(
+        "user_id",
+        "exact_count",
+        F.col("cell.r").cast("int").alias("r"),
+        F.col("cell.bucket").alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").cast("bigint").alias("cms_estimate"))
+        .select(
+            "user_id",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+        )
+    )
+
+
+def streaming_cms_sql() -> str:
+    from etl_mini_dw_spark.plans.sketches import CMS_D, _cms_bucket_sql
+
+    bucket_arms = ",\n           ".join(
+        f"struct_pack(r := {r}, bucket := {_cms_bucket_sql(r)})" for r in range(CMS_D)
+    )
+    return f"""
+WITH u AS (
+  SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+),
+cells AS (
+  SELECT c.r AS r, c.bucket AS bucket FROM (
+    SELECT unnest([{bucket_arms}]) AS c FROM u)
+),
+sketch AS (
+  SELECT CAST(r AS INTEGER) AS r, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM cells GROUP BY r, bucket
+),
+exact AS (
+  SELECT user_id, h, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM u GROUP BY user_id, h
+  ORDER BY exact_count DESC, user_id LIMIT {CMS_STREAM_PROBES}
+),
+probes AS (
+  SELECT user_id, exact_count, c.r AS r, c.bucket AS bucket FROM (
+    SELECT user_id, exact_count, unnest([{bucket_arms}]) AS c FROM exact)
+)
+SELECT p.user_id, p.exact_count, CAST(MIN(s.c) AS BIGINT) AS cms_estimate,
+       CAST(MIN(s.c) - p.exact_count AS BIGINT) AS overestimate
+FROM probes p JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
+GROUP BY p.user_id, p.exact_count
+"""

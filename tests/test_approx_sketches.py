@@ -218,3 +218,71 @@ def test_hll_registers_merge_and_estimate_quality(spark, sf_dir):
             r["event_type"],
             r["rel_error"],
         )
+
+
+def test_streaming_cms_grid_equals_batch_grid(spark, sf_dir):
+    """The maintenance contract behind the streaming CMS topology: after
+    3 micro-batches of update-mode counting + keyed MERGE, the STORED
+    grid must equal the one-shot batch grid cell-for-cell (integer sums
+    are order/batching-invariant) — stronger than the probe report the
+    registered query exposes."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_mini_dw_spark.etl.store import IdempotentForeachBatch, ParquetStore
+    from etl_mini_dw_spark.plans.sketches import CMS_D, _cms_bucket_spark
+    from etl_mini_dw_spark.sources.tables import typed_table
+    from etl_mini_dw_spark.streaming import events as sev
+
+    cells_expr = (
+        "array("
+        + ", ".join(
+            f"struct({r} AS r, {_cms_bucket_spark(r)} AS bucket)" for r in range(CMS_D)
+        )
+        + ")"
+    )
+
+    def grid_of(df):
+        return (
+            df.select(F.md5(F.col("user_id").cast("string")).alias("h"))
+            .select(F.explode(F.expr(cells_expr)).alias("cell"))
+            .groupBy(
+                F.col("cell.r").cast("int").alias("r"),
+                F.col("cell.bucket").alias("bucket"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    batch = {
+        (r["r"], r["bucket"]): r["c"]
+        for r in grid_of(typed_table(spark, sf_dir, "events")).collect()
+    }
+
+    landing = sev._split_landing_dir(sf_dir, sev.CMS_STREAM_BATCHES)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    store = ParquetStore(tempfile.mkdtemp(prefix="t_scms_store_"))
+    sink = IdempotentForeachBatch(
+        tempfile.mkdtemp(prefix="t_scms_commits_"),
+        lambda b, _i: store.merge_upsert(spark, b, "g", keys=["r", "bucket"]),
+    )
+    q = (
+        grid_of(stream)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t_scms_ckpt_"))
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r["r"], r["bucket"]): r["c"] for r in store.read(spark, "g").collect()
+    }
+    assert streamed == batch
