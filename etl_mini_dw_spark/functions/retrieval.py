@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_mini_dw_spark.functions.text import TOKEN_RE, _token_frame
+from etl_mini_dw_spark.sources.tables import load_table
 
 BM25_TOP_K = 10
 QUERY_STRIDE = 100  # every 100th doc_id poses a query
@@ -161,4 +162,139 @@ ranked AS (
 )
 SELECT q_doc, rank, doc_id, n_shared_terms, score_scaled
 FROM ranked WHERE rank <= {BM25_TOP_K}
+"""
+
+
+# --- trigram-indexed substring search (pg_trgm shape) ------------------------
+# "grep at corpus scale": a LIKE '%pattern%' scan reads every byte of
+# every document; the production shape (PostgreSQL pg_trgm, code-search
+# engines) is a TRIGRAM posting index — candidates are docs containing
+# ALL of the pattern's character trigrams (a superset of true matches),
+# verified by one substring probe each. Patterns chosen to cover the
+# selectivity spectrum on this corpus: rare / few / common / ABSENT
+# (the absent one pins the zero-candidate path).
+TRGM_PATTERNS = [
+    "fast merge batch",   # 1 doc at sf0.01
+    "merge batch part",   # few docs
+    "window table",       # common
+    "spark sql",          # no matches — index must yield nothing
+]
+
+
+def trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pattern, n_candidates, n_matches, min_doc_id, max_doc_id):
+    trigram-index candidate generation + exact substring verification
+    per pattern. min/max over VERIFIED matches (NULL-free: -1 when no
+    match, keeping the compared output scalar and portable).
+
+    Scale: the trigram posting build is ONE distinct+explode pass over
+    the corpus (the index a real deployment materializes once and
+    reuses); the pattern side is a handful of literals broadcast into
+    the posting join, so per-query cost is Σ df over pattern trigrams
+    + one `locate` per candidate — never a full-corpus LIKE scan. The
+    trigram arrays are checkpointed ahead of the explode
+    (Generate-collapse rule).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("t")
+    )
+    tri_arr = docs.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(1, length(t) - 2),"
+            " i -> substring(t, i, 3)))"
+        ).alias("tris"),
+    ).localCheckpoint(eager=False)
+    postings = tri_arr.select("doc_id", F.explode("tris").alias("tri"))
+
+    pats = spark.createDataFrame(
+        [(p,) for p in TRGM_PATTERNS], ["pattern"]
+    ).select(
+        "pattern",
+        F.expr(
+            "array_distinct(transform(sequence(1, length(pattern) - 2),"
+            " i -> substring(pattern, i, 3)))"
+        ).alias("ptris"),
+    )
+    pat_tri = pats.select(
+        "pattern", F.size("ptris").alias("n_tris"), F.explode("ptris").alias("tri")
+    )
+    cands = (
+        postings.join(F.broadcast(pat_tri), "tri")
+        .groupBy("pattern", "n_tris", "doc_id")
+        .agg(F.count(F.lit(1)).alias("hit_tris"))
+        .filter(F.col("hit_tris") == F.col("n_tris"))
+        .select("pattern", "doc_id")
+    )
+    verified = cands.join(docs, "doc_id").select(
+        "pattern",
+        "doc_id",
+        (F.expr("locate(pattern, t)") > 0).alias("is_match"),
+    )
+    agg = verified.groupBy("pattern").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("is_match"), 1).otherwise(0)).cast("bigint").alias("n_matches"),
+        F.coalesce(
+            F.min(F.when(F.col("is_match"), F.col("doc_id"))), F.lit(-1)
+        ).cast("bigint").alias("min_doc_id"),
+        F.coalesce(
+            F.max(F.when(F.col("is_match"), F.col("doc_id"))), F.lit(-1)
+        ).cast("bigint").alias("max_doc_id"),
+    )
+    # absent patterns produce no candidate rows at all — restore them as
+    # explicit zero rows so the report always has one row per pattern
+    spine = pats.select("pattern")
+    return spine.join(agg, "pattern", "left").select(
+        "pattern",
+        F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+        F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_matches"),
+        F.coalesce("min_doc_id", F.lit(-1)).cast("bigint").alias("min_doc_id"),
+        F.coalesce("max_doc_id", F.lit(-1)).cast("bigint").alias("max_doc_id"),
+    )
+
+
+def trigram_search_sql() -> str:
+    pat_values = ", ".join(f"('{p}')" for p in TRGM_PATTERNS)
+    return f"""
+WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+tri AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 1, 1)),
+           i -> substr(t, CAST(i AS INT), 3)))) AS tri
+  FROM docs
+),
+pats AS (
+  SELECT pattern,
+         list_distinct(list_transform(range(1, greatest(len(pattern) - 1, 1)),
+           i -> substr(pattern, CAST(i AS INT), 3))) AS ptris
+  FROM (VALUES {pat_values}) v(pattern)
+),
+pat_tri AS (
+  SELECT pattern, len(ptris) AS n_tris, unnest(ptris) AS tri FROM pats
+),
+cands AS (
+  SELECT p.pattern, p.n_tris, t.doc_id, COUNT(*) AS hit_tris
+  FROM tri t JOIN pat_tri p USING (tri)
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) = p.n_tris
+),
+verified AS (
+  SELECT c.pattern, c.doc_id,
+         position(c.pattern IN d.t) > 0 AS is_match
+  FROM cands c JOIN docs d USING (doc_id)
+),
+agg AS (
+  SELECT pattern,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+         COALESCE(MIN(CASE WHEN is_match THEN doc_id END), -1) AS min_doc_id,
+         COALESCE(MAX(CASE WHEN is_match THEN doc_id END), -1) AS max_doc_id
+  FROM verified GROUP BY pattern
+)
+SELECT s.pattern,
+       COALESCE(a.n_candidates, 0) AS n_candidates,
+       COALESCE(a.n_matches, 0) AS n_matches,
+       CAST(COALESCE(a.min_doc_id, -1) AS BIGINT) AS min_doc_id,
+       CAST(COALESCE(a.max_doc_id, -1) AS BIGINT) AS max_doc_id
+FROM (SELECT pattern FROM pats) s LEFT JOIN agg a USING (pattern)
 """

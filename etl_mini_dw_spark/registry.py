@@ -1155,6 +1155,9 @@ _register(
     ev.streaming_cms_user_activity,
     ev.streaming_cms_sql(),
 )
+_register(
+    "ext_trigram_search", _retrieval.trigram_search, _retrieval.trigram_search_sql()
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
