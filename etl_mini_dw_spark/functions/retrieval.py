@@ -243,8 +243,10 @@ def trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # absent patterns produce no candidate rows at all — restore them as
     # explicit zero rows so the report always has one row per pattern
+    # (agg is ≤ |patterns| rows — broadcast it; left-outer won't pick
+    # broadcast for a statless derived frame on its own)
     spine = pats.select("pattern")
-    return spine.join(agg, "pattern", "left").select(
+    return spine.join(F.broadcast(agg), "pattern", "left").select(
         "pattern",
         F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
         F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_matches"),

@@ -399,3 +399,36 @@ def test_semdedup_pairs_are_block_equi_join(spark, sf_dir):
     # the only BroadcastNestedLoop allowed anywhere is a 1-row scalar
     # hoist; the pair join itself must be hash-keyed
     assert "hashpartitioning" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bm25_qterms_broadcast_no_sort_merge(spark, sf_dir):
+    """BM25's candidate join must broadcast the (queries ⋈ df) side into
+    the postings stream — candidates ∝ Σ df over query terms; a
+    SortMergeJoin here would shuffle the whole postings frame per query
+    set at cluster scale."""
+    from etl_mini_dw_spark.functions import retrieval
+
+    plan = _plan(retrieval.bm25_topk(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_trigram_pattern_side_broadcast(spark, sf_dir):
+    """The pattern-trigram side (a handful of literals) must broadcast
+    into the posting join; the posting build is the only corpus pass."""
+    from etl_mini_dw_spark.functions import retrieval
+
+    plan = _plan(retrieval.trigram_search(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1, plan[:3000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_hll_register_shuffle_is_partial_aggregable(spark, sf_dir):
+    """The register build must be a two-phase (partial+final) max
+    aggregate — the property that lets register tables merge shard-wise
+    at 100 TB — and the 256-bucket spine join must broadcast."""
+    from etl_mini_dw_spark.plans import sketches
+
+    plan = _plan(sketches.hll_register_rollup(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
+    assert "SortMergeJoin" not in plan
