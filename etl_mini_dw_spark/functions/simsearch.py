@@ -511,3 +511,118 @@ SELECT CAST(dim_idx AS BIGINT) AS dim_idx, CAST(n AS BIGINT) AS n,
        mn AS min_v, mx AS max_v
 FROM agg
 """
+
+
+# --- binary quantization ANN (sign-bit hamming top-k, r5) --------------------
+# The vector-DB "binary quantization" tier between int8 and PQ: every
+# 64-dim float vector compresses to 64 SIGN BITS (two 32-bit halves so
+# the packed values stay positive in a BIGINT — no sign-bit/two's-
+# complement portability edge), and candidate ranking is XOR + popcount.
+# 32× smaller than float64 on the scan side and pure integer math, so
+# rankings are bit-reproducible; the exact cosine of each retrieved
+# candidate is reported alongside for the quality readout (the re-rank
+# tier a production system runs on the binary shortlist).
+
+
+def _sig_expr_spark(lo: bool) -> F.Column:
+    bits = None
+    for i in range(32):
+        d = i if lo else i + 32
+        bit = F.when(
+            F.expr(f"CAST(embedding[{d}] AS DOUBLE) >= 0.0"), F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    return bits.cast("bigint")
+
+
+def _sig_expr_sql(lo: bool) -> str:
+    return (
+        "CAST("
+        + " + ".join(
+            f"CASE WHEN CAST(embedding[{(i if lo else i + 32) + 1}] AS DOUBLE) >= 0.0"
+            f" THEN {1 << i} ELSE 0 END"
+            for i in range(32)
+        )
+        + " AS BIGINT)"
+    )
+
+
+def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, rank, cand_id, hamming, cosine): top-k by sign-bit
+    hamming distance per query (ties → lower cand_id), with the exact
+    cosine of each retrieved candidate.
+
+    Scale: the corpus side of the scoring join carries 16 bytes per
+    vector (two packed BIGINTs) instead of 256+ — the binary shortlist
+    scan a 100 TB vector store runs before full-precision re-rank; the
+    query side (N_QUERIES rows) broadcasts. Integer hamming makes the
+    ranking layout-invariant with no rounding concerns at all.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _sig_expr_spark(True).alias("sig_lo"),
+        _sig_expr_spark(False).alias("sig_hi"),
+        F.expr(_NORM.format(a="embedding")).alias("nrm"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("sig_lo").alias("q_lo"),
+        F.col("sig_hi").alias("q_hi"),
+        F.col("nrm").alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        F.col("sig_lo").alias("c_lo"),
+        F.col("sig_hi").alias("c_hi"),
+        F.col("nrm").alias("cn"),
+    )
+    ham = F.expr("bit_count(q_lo ^ c_lo) + bit_count(q_hi ^ c_hi)")
+    w = Window.partitionBy("query_id").orderBy(F.col("hamming"), F.col("cand_id"))
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("hamming", ham.cast("int"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            "cand_id",
+            "hamming",
+            F.round(
+                F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cosine"),
+        )
+    )
+
+
+def ann_hamming_topk_sql() -> str:
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding,
+         {_sig_expr_sql(True)} AS sig_lo,
+         {_sig_expr_sql(False)} AS sig_hi
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, sig_lo AS q_lo, sig_hi AS q_hi
+      FROM sig WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cand_id, embedding AS cv, sig_lo AS c_lo, sig_hi AS c_hi
+      FROM sig),
+scored AS (
+  SELECT query_id, cand_id,
+         CAST(bit_count(xor(q_lo, c_lo)) + bit_count(xor(q_hi, c_hi)) AS INTEGER)
+           AS hamming,
+         round({_DOT_SQL.format(a="qv", b="cv")}
+               / ({_NORM_SQL.format(a="qv")} * {_NORM_SQL.format(a="cv")}), 6) AS cosine
+  FROM q, c WHERE query_id <> cand_id
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id, hamming, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY hamming, cand_id) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+"""

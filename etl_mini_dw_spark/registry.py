@@ -1158,6 +1158,9 @@ _register(
 _register(
     "ext_trigram_search", _retrieval.trigram_search, _retrieval.trigram_search_sql()
 )
+_register(
+    "ext_ann_hamming_topk", simsearch.ann_hamming_topk, simsearch.ann_hamming_topk_sql()
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
