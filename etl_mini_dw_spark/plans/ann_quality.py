@@ -38,6 +38,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods = {
         "ivf_multiprobe": simsearch.ivf_multiprobe_topk(spark, sf_dir),
         "pq_adc": pq.ann_pq_topk(spark, sf_dir),
+        # r5: the other two compression tiers join the same scoreboard
+        "int8_dot": simsearch.ann_int8_topk(spark, sf_dir),
+        "sign_hamming": simsearch.ann_hamming_topk(spark, sf_dir),
     }
 
     def _one(name: str, approx: DataFrame) -> DataFrame:
@@ -60,28 +63,31 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_recall_report_sql() -> str:
+    branches = {
+        "ivf_multiprobe": simsearch.IVF_MULTIPROBE_SQL,
+        "pq_adc": pq.ann_pq_topk_sql(),
+        "int8_dot": simsearch.ANN_INT8_SQL,
+        "sign_hamming": simsearch.ann_hamming_topk_sql(),
+    }
+    ctes = ",\n".join(
+        f"a_{m} AS (SELECT query_id, cand_id FROM ({sql})),\n"
+        f"h_{m} AS (SELECT t.query_id, COUNT(*) AS n FROM truth t\n"
+        f"  JOIN a_{m} a ON t.query_id = a.query_id AND t.cand_id = a.cand_id\n"
+        f"  GROUP BY 1)"
+        for m, sql in branches.items()
+    )
+    union = "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS method, qs.query_id,"
+        f" CAST(COALESCE(h_{m}.n, 0) AS BIGINT) AS n_overlap"
+        f" FROM qs LEFT JOIN h_{m} USING (query_id)"
+        for m in branches
+    )
     return f"""
 WITH truth AS (SELECT query_id, cand_id FROM ({simsearch.ANN_BRUTEFORCE_SQL})),
 qs AS (SELECT DISTINCT query_id FROM truth),
-ivf AS (SELECT query_id, cand_id FROM ({simsearch.IVF_MULTIPROBE_SQL})),
-pqr AS (SELECT query_id, cand_id FROM ({pq.ann_pq_topk_sql()})),
-h_ivf AS (
-  SELECT t.query_id, COUNT(*) AS n FROM truth t
-  JOIN ivf a ON t.query_id = a.query_id AND t.cand_id = a.cand_id
-  GROUP BY 1
-),
-h_pq AS (
-  SELECT t.query_id, COUNT(*) AS n FROM truth t
-  JOIN pqr a ON t.query_id = a.query_id AND t.cand_id = a.cand_id
-  GROUP BY 1
-),
+{ctes},
 r AS (
-  SELECT 'ivf_multiprobe' AS method, qs.query_id,
-         CAST(COALESCE(h_ivf.n, 0) AS BIGINT) AS n_overlap
-  FROM qs LEFT JOIN h_ivf USING (query_id)
-  UNION ALL
-  SELECT 'pq_adc', qs.query_id, CAST(COALESCE(h_pq.n, 0) AS BIGINT)
-  FROM qs LEFT JOIN h_pq USING (query_id)
+{union}
 )
 SELECT method, query_id, n_overlap,
        CAST(n_overlap AS DOUBLE) / CAST({TOP_K} AS DOUBLE) AS recall_at_k
