@@ -627,3 +627,139 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
        END AS autocorr_lag1
 FROM pairs GROUP BY 1
 """
+
+
+# --- PSI drift report (r5): the ML-ops distribution-shift staple ------------
+# Population Stability Index between an early and a late time slice of a
+# numeric column: bucket the BASELINE slice into deciles, re-bucket both
+# slices by those boundaries, psi = Σ (pa−pb)·ln(pa/pb). psi < 0.1 is
+# the conventional "stable" line, > 0.25 "shifted — investigate".
+PSI_CUTOFF = "1998-01-01"  # early slice < cutoff ≤ late slice (testdata spans 1995–2001, median ≈ 1998-04)
+PSI_BUCKETS = 10
+
+
+def _psi_metric(
+    df: DataFrame, label: str, val_col: str, split_col: str
+) -> DataFrame:
+    """One (metric, n_a, n_b, psi) row. Boundaries are side-A decile
+    edges; BOTH sides re-bucket by the same boundary rule (bucket =
+    1 + #boundaries < value), so tie handling is identical and the
+    bucketing depends only on the value multiset — decimal comparisons
+    are exact, no float enters until the final pa/pb ratios. Laplace
+    (+1) smoothing keeps empty buckets finite and deterministic."""
+    sliced = df.select(
+        F.col(val_col).alias("val"),
+        (F.col(split_col) < PSI_CUTOFF).alias("is_a"),
+    )
+    a = sliced.filter("is_a")
+    tile = F.ntile(PSI_BUCKETS).over(Window.orderBy("val"))
+    bounds = (
+        a.select("val", tile.alias("tile"))
+        .filter(F.col("tile") < PSI_BUCKETS)
+        .groupBy("tile")
+        .agg(F.max("val").alias("b"))
+        .agg(F.array_sort(F.collect_list("b")).alias("barr"))
+    )
+    bucketed = sliced.crossJoin(F.broadcast(bounds)).select(
+        "is_a",
+        (F.lit(1) + F.size(F.expr("filter(barr, x -> x < val)"))).alias("bucket"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("cb"),
+    )
+    totals = sliced.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("nb"),
+    )
+    term = (
+        "((CAST(ca + 1 AS DOUBLE) / (na + 10)) - (CAST(cb + 1 AS DOUBLE) / (nb + 10)))"
+        " * ln((CAST(ca + 1 AS DOUBLE) / (na + 10)) / (CAST(cb + 1 AS DOUBLE) / (nb + 10)))"
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.round(F.sum(F.expr(term)), 6).alias("psi"),
+        )
+        .select(F.lit(label).alias("metric"), "n_a", "n_b", "psi")
+    )
+
+
+def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(metric, n_a, n_b, psi): distribution shift of three revenue-path
+    columns between the pre-/post-1995 halves of the corpus — the drift
+    gate a feature pipeline runs before trusting a retrain window.
+
+    Scale: the only global step is the baseline decile window, which at
+    100 TB swaps for the `layout.equidepth_histogram` bucket-selection
+    boundaries (value-identical semantics, no global sort); bucketing is
+    a map-only broadcast compare and the counts are one partial-
+    aggregable shuffle per metric."""
+    orders = typed_table(spark, sf_dir, "orders")
+    li = typed_table(spark, sf_dir, "lineitem")
+    out = _psi_metric(orders, "orders.o_totalprice", "o_totalprice", "o_orderdate")
+    out = out.unionByName(
+        _psi_metric(li, "lineitem.l_quantity", "l_quantity", "l_shipdate")
+    )
+    return out.unionByName(
+        _psi_metric(li, "lineitem.l_extendedprice", "l_extendedprice", "l_shipdate")
+    )
+
+
+def _psi_metric_sql(tbl: str, label: str, val: str, split: str) -> str:
+    term = (
+        "((CAST(ca + 1 AS DOUBLE) / (na + 10)) - (CAST(cb + 1 AS DOUBLE) / (nb + 10)))"
+        " * ln((CAST(ca + 1 AS DOUBLE) / (na + 10)) / (CAST(cb + 1 AS DOUBLE) / (nb + 10)))"
+    )
+    return f"""
+SELECT '{label}' AS metric, n_a, n_b, psi FROM (
+  WITH sliced AS (
+    SELECT {val} AS val, {split} < TIMESTAMP '{PSI_CUTOFF}' AS is_a FROM {tbl}
+  ),
+  bounds AS (
+    SELECT list_sort(list(b)) AS barr FROM (
+      SELECT tile, MAX(val) AS b FROM (
+        SELECT val, ntile({PSI_BUCKETS}) OVER (ORDER BY val) AS tile
+        FROM sliced WHERE is_a)
+      WHERE tile < {PSI_BUCKETS} GROUP BY tile)
+  ),
+  bucketed AS (
+    SELECT is_a, 1 + len(list_filter(barr, x -> x < val)) AS bucket
+    FROM sliced, bounds
+  ),
+  counts AS (
+    SELECT bucket,
+           SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+           SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+    FROM bucketed GROUP BY bucket
+  ),
+  totals AS (
+    SELECT CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+    FROM sliced
+  )
+  SELECT MAX(na) AS n_a, MAX(nb) AS n_b, round(SUM({term}), 6) AS psi
+  FROM counts, totals
+)
+"""
+
+
+def psi_drift_report_sql() -> str:
+    return "\nUNION ALL\n".join(
+        [
+            _psi_metric_sql(
+                "orders", "orders.o_totalprice", "o_totalprice", "o_orderdate"
+            ),
+            _psi_metric_sql(
+                "lineitem", "lineitem.l_quantity", "l_quantity", "l_shipdate"
+            ),
+            _psi_metric_sql(
+                "lineitem",
+                "lineitem.l_extendedprice",
+                "l_extendedprice",
+                "l_shipdate",
+            ),
+        ]
+    )

@@ -1161,6 +1161,9 @@ _register(
 _register(
     "ext_ann_hamming_topk", simsearch.ann_hamming_topk, simsearch.ann_hamming_topk_sql()
 )
+_register(
+    "ext_psi_drift_report", _stats.psi_drift_report, _stats.psi_drift_report_sql()
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
