@@ -97,6 +97,10 @@ FLOORS = {
     "ext_bm25_topk": 1.51,
     "ext_leakage_free_split": 2.38,
     "ext_bpe_fertility_by_lang": 2.73,
+    "ext_streaming_cms_activity": 6.21,  # streaming fixture (3 batches + ckpt)
+    "ext_trigram_search": 2.69,
+    "ext_ann_hamming_topk": 0.91,
+    "ext_psi_drift_report": 2.08,
 }
 
 
