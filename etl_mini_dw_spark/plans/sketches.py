@@ -352,3 +352,131 @@ SELECT event_type, n_exact, n_zero_registers, harmonic_scaled, hll_estimate,
        round(abs(hll_estimate - n_exact) / n_exact, 6) AS rel_error
 FROM est
 """
+
+
+# --- CMS join-size estimation (r5): sketches for the optimizer --------------
+# The OTHER thing a frequency sketch buys a warehouse: |A ⋈ B| on a key
+# is the inner product of the two key-frequency vectors, and the CMS
+# estimate of an inner product is min over rows r of Σ_b A_r[b]·B_r[b]
+# (Cormode & Muthukrishnan 2005, §4.2) — never an underestimate. This is
+# how an optimizer prices a join from two tiny grids without touching
+# either table. USABILITY BOUNDARY (deliberately exposed by the two
+# metrics below): the additive error is ε·‖a‖₁·‖b‖₁ with ε ≈ e/w, so the
+# estimate is informative only when the true join size clears that noise
+# floor — a skewed self-join (second frequency moment, the classic AMS
+# application) does; a PK–FK join whose output ≈ fact-row-count sits far
+# below it and the estimate reads as the collision floor. The report
+# shows BOTH so the failure mode is measured, not hidden.
+
+
+def _cms_key_grid(df: DataFrame, key: str) -> DataFrame:
+    """(r, bucket, c): CMS grid of a key column's frequency vector."""
+    cells = df.select(F.md5(F.col(key).cast("string")).alias("h")).select(
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct({r} AS r, {_cms_bucket_spark(r)} AS bucket)"
+                    for r in range(CMS_D)
+                )
+                + ")"
+            )
+        ).alias("cell")
+    )
+    return cells.groupBy(
+        F.col("cell.r").cast("int").alias("r"), F.col("cell.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(metric, r, est_r, exact_rows, overestimate): per-hash-row CMS
+    inner products vs the exact join cardinality, for (a) the skewed
+    events×events self-join on user_id — the F2/self-join-size case the
+    estimator is FOR, estimate within a small factor — and (b) the
+    orders⋈lineitem PK–FK join, whose true size sits below the ε·N·M
+    noise floor (the overestimate IS the measured floor). The published
+    estimator is min(est_r); overestimate ≥ 0 on every row (collisions
+    only add), pinned in tests. Exact sides come from per-key count
+    aggregates (Σ na·nb), never from materializing the joins.
+
+    Scale: grid builds are one partial-aggregable shuffle each with
+    ≤ d·w cells out; the estimate join moves 4096 rows per side. An
+    optimizer keeps only the grids — the exact columns exist here to
+    expose the error."""
+    ev = typed_table(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    orders = typed_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    li = typed_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+
+    def one(label: str, a: DataFrame, b: DataFrame) -> DataFrame:
+        ga, gb = _cms_key_grid(a, "k"), _cms_key_grid(b, "k")
+        est = (
+            ga.join(gb.withColumnRenamed("c", "c2"), ["r", "bucket"])
+            .groupBy("r")
+            .agg(F.sum(F.col("c") * F.col("c2")).cast("bigint").alias("est_r"))
+        )
+        ca = a.groupBy("k").agg(F.count(F.lit(1)).alias("na"))
+        cb = b.groupBy("k").agg(F.count(F.lit(1)).alias("nb"))
+        exact = ca.join(cb, "k").agg(
+            F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("exact_rows")
+        )
+        return est.crossJoin(F.broadcast(exact)).select(
+            F.lit(label).alias("metric"),
+            "r",
+            "est_r",
+            "exact_rows",
+            (F.col("est_r") - F.col("exact_rows")).alias("overestimate"),
+        )
+
+    return one("events_selfjoin_user_id", ev, ev).unionByName(
+        one("orders_lineitem_orderkey", orders, li)
+    )
+
+
+def cms_join_size_sql() -> str:
+    bucket_arms = ",\n           ".join(
+        f"struct_pack(r := {r}, bucket := {_cms_bucket_sql(r)})" for r in range(CMS_D)
+    )
+
+    def grid(src_sql: str) -> str:
+        return f"""
+  SELECT CAST(c.r AS INTEGER) AS r, c.bucket AS bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT unnest([{bucket_arms}]) AS c
+    FROM (SELECT md5(CAST(k AS VARCHAR)) AS h FROM ({src_sql}))
+  ) GROUP BY 1, 2
+"""
+
+    def one(label: str, a_sql: str, b_sql: str) -> str:
+        return f"""
+SELECT '{label}' AS metric, r, est_r, exact_rows, est_r - exact_rows AS overestimate
+FROM (
+  WITH ga AS ({grid(a_sql)}),
+  gb AS ({grid(b_sql)}),
+  est AS (
+    SELECT ga.r, CAST(SUM(ga.c * gb.c) AS BIGINT) AS est_r
+    FROM ga JOIN gb ON ga.r = gb.r AND ga.bucket = gb.bucket
+    GROUP BY ga.r
+  ),
+  exact AS (
+    SELECT CAST(SUM(na * nb) AS BIGINT) AS exact_rows FROM (
+      SELECT k, COUNT(*) AS na FROM ({a_sql}) GROUP BY k) a
+    JOIN (
+      SELECT k, COUNT(*) AS nb FROM ({b_sql}) GROUP BY k) b
+    USING (k)
+  )
+  SELECT r, est_r, exact_rows FROM est, exact
+)
+"""
+
+    ev = "SELECT user_id AS k FROM events"
+    o = "SELECT o_orderkey AS k FROM orders"
+    l = "SELECT l_orderkey AS k FROM lineitem"
+    return (
+        one("events_selfjoin_user_id", ev, ev)
+        + "\nUNION ALL\n"
+        + one("orders_lineitem_orderkey", o, l)
+    )

@@ -1164,6 +1164,11 @@ _register(
 _register(
     "ext_psi_drift_report", _stats.psi_drift_report, _stats.psi_drift_report_sql()
 )
+_register(
+    "ext_cms_join_size_estimate",
+    _sketches.cms_join_size_estimate,
+    _sketches.cms_join_size_sql(),
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

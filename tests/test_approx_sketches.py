@@ -286,3 +286,21 @@ def test_streaming_cms_grid_equals_batch_grid(spark, sf_dir):
         (r["r"], r["bucket"]): r["c"] for r in store.read(spark, "g").collect()
     }
     assert streamed == batch
+
+
+def test_cms_join_size_never_underestimates(spark, sf_dir):
+    """Inner-product CMS estimates share the point-query guarantee:
+    collisions only ADD, so every hash row's estimate ≥ the exact join
+    cardinality — for both the well-posed self-join metric and the
+    noise-floor-dominated PK-FK metric."""
+    from etl_mini_dw_spark.plans import sketches
+
+    rows = sketches.cms_join_size_estimate(spark, sf_dir).collect()
+    assert len(rows) == 2 * sketches.CMS_D
+    for r in rows:
+        assert r["overestimate"] >= 0, (r["metric"], r["r"], r["overestimate"])
+    # and the estimator (min over rows) is within 1.5x on the metric it
+    # is FOR: the skewed self-join clears the epsilon*N*M noise floor
+    sj = [r for r in rows if r["metric"] == "events_selfjoin_user_id"]
+    est = min(r["est_r"] for r in sj)
+    assert est <= 1.5 * sj[0]["exact_rows"], (est, sj[0]["exact_rows"])
