@@ -113,3 +113,143 @@ SELECT strftime(day, '%Y-%m-%d') AS day,
 FROM scored
 WHERE abs(z) > {Z_THRESHOLD}
 """
+
+
+# --- CUSUM level-shift detection (r5) ---------------------------------------
+# The z-score battery above flags single outlier DAYS; CUSUM flags
+# sustained LEVEL SHIFTS (a step change spread over many unremarkable
+# days — the failure z-scores structurally miss). The sequential
+# recursion s_t = max(0, s_{t-1} + d_t) has the classic prefix closed
+# form s_t = P_t − min_{j≤t} P_j with P_t = Σ_{i≤t} d_i, so the whole
+# detector is two windows (prefix sum + running min) — no recursion, no
+# UDF. Everything runs in integer 10^-4-currency
+# units (the revenue expression's native scale — NO rounding cast
+# anywhere, a ×100 'cents' version rounds and diverged between engines
+# at sf0.01), so the statistic is bit-identical on any engine/layout.
+CUSUM_TOP = 20
+
+
+def revenue_cusum_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(region, day, cusum_scaled, day_revenue): top-20 days by the
+    upward CUSUM statistic of daily revenue per region — the sustained
+    level-shift detector. cusum_scaled is in 10^-4-currency·n_days units
+    (deviation from the region's floor-average day, accumulated).
+
+    Scale: one (region, day) pre-aggregate shuffle, then two
+    region-partitioned date-ordered windows over ~date-range-sized
+    partitions; the final top-k is TakeOrdered. Nothing global.
+    int64 headroom: prefix sums reach ~2·10^15 at sf0.1 and grow as
+    revenue·days² — past ~10^18 the d/p columns promote to
+    DECIMAL(38,0), the pagerank rule.
+    """
+    li = typed_table(spark, sf_dir, "lineitem")
+    orders = typed_table(spark, sf_dir, "orders")
+    cust = typed_table(spark, sf_dir, "customer")
+    nation = typed_table(spark, sf_dir, "nation")
+    region = typed_table(spark, sf_dir, "region")
+    daily = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.date_trunc("day", "o_orderdate").alias("day"),
+        )
+        .agg(
+            (F.sum(F.expr("l_extendedprice * (1 - l_discount)")) * 10000)
+            .cast("decimal(38,0)")
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wreg = Window.partitionBy("region")
+    word = wreg.orderBy("day")
+    stats = daily.select(
+        "region",
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(wreg).alias("n"),
+        F.sum("cents").over(wreg).alias("total"),
+    )
+    # d_t in cents·n units: x_t·n − total (zero-mean by construction)
+    dev = stats.select(
+        "region",
+        "day",
+        "cents",
+        (F.col("cents") * F.col("n") - F.col("total")).alias("d"),
+    )
+    prefixed = dev.select(
+        "region",
+        "day",
+        "cents",
+        F.sum("d").over(word.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("p"),
+    )
+    cusum = prefixed.select(
+        "region",
+        "day",
+        "cents",
+        (
+            F.col("p")
+            - F.least(
+                F.lit(0).cast("bigint"),
+                F.min("p").over(
+                    word.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+            )
+        ).alias("cusum_scaled"),
+    )
+    return (
+        cusum.select(
+            "region",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cusum_scaled",
+            (F.col("cents").cast("double") / 10000).alias("day_revenue"),
+        )
+        .orderBy(F.col("cusum_scaled").desc(), "region", "day")
+        .limit(CUSUM_TOP)
+    )
+
+
+REVENUE_CUSUM_SQL = f"""
+WITH daily AS (
+  SELECT r.r_name AS region, date_trunc('day', o.o_orderdate) AS day,
+         CAST(CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) * 10000
+              AS DECIMAL(38,0)) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT region, day, cents,
+         COUNT(*) OVER (PARTITION BY region) AS n,
+         SUM(cents) OVER (PARTITION BY region) AS total
+  FROM daily
+),
+dev AS (
+  SELECT region, day, cents, cents * n - total AS d FROM stats
+),
+prefixed AS (
+  SELECT region, day, cents,
+         SUM(d) OVER (PARTITION BY region ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS p
+  FROM dev
+),
+cusum AS (
+  SELECT region, day, cents,
+         p - least(CAST(0 AS BIGINT),
+                   MIN(p) OVER (PARTITION BY region ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+           AS cusum_scaled
+  FROM prefixed
+)
+SELECT region, strftime(day, '%Y-%m-%d') AS day,
+       CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+       CAST(cents AS DOUBLE) / 10000 AS day_revenue
+FROM cusum
+ORDER BY cusum_scaled DESC, region, day
+LIMIT {CUSUM_TOP}
+"""

@@ -1169,6 +1169,11 @@ _register(
     _sketches.cms_join_size_estimate,
     _sketches.cms_join_size_sql(),
 )
+_register(
+    "ext_revenue_cusum_shifts",
+    anomaly.revenue_cusum_shifts,
+    anomaly.REVENUE_CUSUM_SQL,
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
