@@ -1304,3 +1304,109 @@ SELECT source,
          AS dup_token_frac
 FROM joined GROUP BY source
 """
+
+
+# --- MinHash estimator quality (r5) -----------------------------------------
+def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_match_components, est_jaccard, exact_jaccard,
+    abs_error): estimated-vs-exact Jaccard for every LSH candidate pair,
+    top-50 by exact similarity — the sketch-error readout that tells you
+    whether K = 8 min-hashes is enough before trusting estimate-only
+    dedup at a scale where exact verification is unaffordable. Same
+    measured-error discipline as the ANN recall scoreboard and the CMS
+    overestimate columns.
+
+    All inputs are the memoized staged frames (signatures, candidate
+    pairs, shingle arrays) — this report adds two broadcast joins and
+    one component-compare, nothing corpus-scale."""
+    cands = lsh_candidate_pairs(spark, sf_dir)
+    mh = _minhash_arrays(spark, sf_dir)
+    arrs = _shingle_arrays(spark, sf_dir)
+    paired = (
+        cands.join(
+            F.broadcast(mh.select(F.col("doc_id").alias("doc_a"), F.col("mh_arr").alias("ma"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(mh.select(F.col("doc_id").alias("doc_b"), F.col("mh_arr").alias("mb"))),
+            "doc_b",
+        )
+        .join(
+            F.broadcast(
+                arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b"))
+            ),
+            "doc_b",
+        )
+    )
+    n_match = F.size(
+        F.expr("filter(zip_with(ma, mb, (x, y) -> x = y), m -> m)")
+    )
+    common = F.size(F.array_intersect("arr_a", "arr_b"))
+    exact = F.round(
+        F.col("common").cast("double")
+        / (F.size("arr_a") + F.size("arr_b") - F.col("common")).cast("double"),
+        6,
+    )
+    return (
+        paired.withColumn("n_match_components", n_match.cast("bigint"))
+        .withColumn("common", common)
+        .withColumn(
+            "est_jaccard",
+            F.round(F.col("n_match_components").cast("double") / N_HASHES, 6),
+        )
+        .withColumn("exact_jaccard", exact)
+        .withColumn(
+            "abs_error", F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match_components",
+            "est_jaccard",
+            "exact_jaccard",
+            "abs_error",
+        )
+        .orderBy(F.col("exact_jaccard").desc(), "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
+MINHASH_QUALITY_SQL = f"""
+WITH cands AS ({LSH_PAIRS_SQL}),
+sig AS ({MINHASH_SQL}),
+arrs AS ({_SHINGLE_ARRAYS_SQL}),
+matches AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_match_components
+  FROM cands c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+  WHERE sa.minhash = sb.minhash
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         COALESCE(m.n_match_components, 0) AS n_match_components,
+         len(list_intersect(aa.sh_arr, ab.sh_arr)) AS common,
+         len(aa.sh_arr) AS na, len(ab.sh_arr) AS nb
+  FROM cands c
+  LEFT JOIN matches m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+  JOIN arrs aa ON aa.doc_id = c.doc_a
+  JOIN arrs ab ON ab.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, n_match_components,
+       round(CAST(n_match_components AS DOUBLE) / {N_HASHES}, 6) AS est_jaccard,
+       round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
+         AS exact_jaccard,
+       round(abs(round(CAST(n_match_components AS DOUBLE) / {N_HASHES}, 6)
+                 - round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)),
+             6) AS abs_error
+FROM scored
+ORDER BY exact_jaccard DESC, doc_a, doc_b
+LIMIT 50
+"""

@@ -763,3 +763,91 @@ def psi_drift_report_sql() -> str:
             ),
         ]
     )
+
+
+# --- five-number boxplot digest (r5) ----------------------------------------
+def boxplot_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n, min_chars, q1, median, q3, max_chars, n_outliers):
+    exact five-number summary + Tukey outlier count of document length
+    per source. Quantiles are EXACT lower order statistics — the value
+    at 1-based rank floor((n−1)·q)+1 under the total order (value,
+    doc_id) — so both engines pick the identical element with no
+    interpolation or float math; the outlier fence (1.5·IQR) runs in
+    integer 2×-units so halves stay exact.
+
+    Scale: one per-source window (partitions bounded by per-source doc
+    counts; at corpus scale the exact ranks swap for the equidepth
+    bucket-selection boundaries like the PSI report) + one aggregate.
+    """
+    docs = typed_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").alias("v")
+    )
+    w = Window.partitionBy("source").orderBy("v", "doc_id")
+    ranked = docs.select(
+        "source",
+        "v",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    picks = ranked.groupBy("source", "n").agg(
+        F.min("v").alias("min_chars"),
+        F.max("v").alias("max_chars"),
+        F.max(
+            F.when(F.expr("rk = ((n - 1) * 1) div 4 + 1"), F.col("v"))
+        ).alias("q1"),
+        F.max(
+            F.when(F.expr("rk = ((n - 1) * 2) div 4 + 1"), F.col("v"))
+        ).alias("median"),
+        F.max(
+            F.when(F.expr("rk = ((n - 1) * 3) div 4 + 1"), F.col("v"))
+        ).alias("q3"),
+    )
+    fenced = docs.join(F.broadcast(picks), "source").groupBy(
+        "source", "n", "min_chars", "q1", "median", "q3", "max_chars"
+    ).agg(
+        F.sum(
+            F.when(
+                (F.col("v") * 2 < F.col("q1") * 2 - (F.col("q3") - F.col("q1")) * 3)
+                | (F.col("v") * 2 > F.col("q3") * 2 + (F.col("q3") - F.col("q1")) * 3),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers")
+    )
+    return fenced.select(
+        "source",
+        F.col("n").cast("bigint").alias("n"),
+        "min_chars",
+        "q1",
+        "median",
+        "q3",
+        "max_chars",
+        "n_outliers",
+    )
+
+
+BOXPLOT_DIGEST_SQL = """
+WITH ranked AS (
+  SELECT source, n_chars AS v,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+picks AS (
+  SELECT source, n,
+         MIN(v) AS min_chars,
+         MAX(v) AS max_chars,
+         MAX(CASE WHEN rk = ((n - 1) * 1) // 4 + 1 THEN v END) AS q1,
+         MAX(CASE WHEN rk = ((n - 1) * 2) // 4 + 1 THEN v END) AS median,
+         MAX(CASE WHEN rk = ((n - 1) * 3) // 4 + 1 THEN v END) AS q3
+  FROM ranked GROUP BY source, n
+)
+SELECT p.source, CAST(p.n AS BIGINT) AS n, p.min_chars, p.q1, p.median, p.q3,
+       p.max_chars,
+       CAST(SUM(CASE WHEN d.n_chars * 2 < p.q1 * 2 - (p.q3 - p.q1) * 3
+                       OR d.n_chars * 2 > p.q3 * 2 + (p.q3 - p.q1) * 3
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM documents d JOIN picks p USING (source)
+GROUP BY p.source, p.n, p.min_chars, p.q1, p.median, p.q3, p.max_chars
+"""

@@ -1174,6 +1174,14 @@ _register(
     anomaly.revenue_cusum_shifts,
     anomaly.REVENUE_CUSUM_SQL,
 )
+_register(
+    "ext_boxplot_digest", _stats.boxplot_digest, _stats.BOXPLOT_DIGEST_SQL
+)
+_register(
+    "ext_minhash_estimate_quality",
+    dedup.minhash_estimate_quality,
+    dedup.MINHASH_QUALITY_SQL,
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
