@@ -101,6 +101,10 @@ FLOORS = {
     "ext_trigram_search": 2.69,
     "ext_ann_hamming_topk": 0.91,
     "ext_psi_drift_report": 2.08,
+    "ext_cms_join_size_estimate": 3.14,
+    "ext_revenue_cusum_shifts": 2.46,
+    "ext_boxplot_digest": 0.79,
+    "ext_minhash_estimate_quality": 1.12,  # warm staged frames
 }
 
 
