@@ -253,3 +253,121 @@ FROM cusum
 ORDER BY cusum_scaled DESC, region, day
 LIMIT {CUSUM_TOP}
 """
+
+
+# --- MAD robust outliers (r5) -----------------------------------------------
+# The z-battery's mean/σ are themselves dragged by the outliers they
+# hunt (masking); the robust version scores against the MEDIAN and the
+# median-absolute-deviation. Both medians are EXACT lower order
+# statistics (rank (n−1) div 2 + 1 under a total order) over integer
+# 10^-4-currency units — two ranked windows, zero float math until the
+# final report columns. Flag rule in pure integers: a day is an outlier
+# iff |x − med| · 10^4 > MAD_K_SCALED · mad, with MAD_K_SCALED =
+# 3·1.4826·10^4 (the normal-consistency constant, pre-scaled so the
+# comparison never touches a double).
+MAD_K_SCALED = 44478  # 3 × 1.4826 × 10^4
+
+
+def mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(month, n_days, median_revenue, mad_revenue, n_outliers): per
+    month, the robust spread and how many days breach the 3-MAD fence.
+
+    Plan: the daily pre-aggregate shuffle, then two month-partitioned
+    ranked windows (≤31-row partitions): one picks the month median,
+    one the median of |x − med|. Exact integers end-to-end; the two
+    report columns divide by 10^4 at the very end (exact in double at
+    these magnitudes)."""
+    li = typed_table(spark, sf_dir, "lineitem")
+    orders = typed_table(spark, sf_dir, "orders")
+    daily = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            (F.sum(F.expr(_REV)) * 10000)
+            .cast("decimal(38,0)")
+            .cast("bigint")
+            .alias("x")
+        )
+        .withColumn("month", F.date_format("day", "yyyy-MM"))
+    )
+    wm = Window.partitionBy("month")
+    r1 = daily.select(
+        "month",
+        "day",
+        "x",
+        F.row_number().over(wm.orderBy("x", "day")).alias("rk"),
+        F.count(F.lit(1)).over(wm).alias("n"),
+    )
+    med = (
+        r1.filter(F.expr("rk = (n - 1) div 2 + 1"))
+        .select("month", F.col("x").alias("med"))
+    )
+    dev = daily.join(F.broadcast(med), "month").select(
+        "month", "day", "x", "med", F.abs(F.col("x") - F.col("med")).alias("ad")
+    )
+    r2 = dev.select(
+        "month",
+        "ad",
+        F.row_number().over(wm.orderBy("ad", "day")).alias("rk"),
+        F.count(F.lit(1)).over(wm).alias("n"),
+    )
+    mad = (
+        r2.filter(F.expr("rk = (n - 1) div 2 + 1"))
+        .select("month", F.col("ad").alias("mad"))
+    )
+    flagged = dev.join(F.broadcast(mad), "month").groupBy(
+        "month", "med", "mad"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(
+            F.when(
+                F.col("ad") * 10000 > F.lit(MAD_K_SCALED) * F.col("mad"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    )
+    return flagged.select(
+        "month",
+        "n_days",
+        (F.col("med").cast("double") / 10000).alias("median_revenue"),
+        (F.col("mad").cast("double") / 10000).alias("mad_revenue"),
+        "n_outliers",
+    )
+
+
+MAD_OUTLIER_SQL = f"""
+WITH daily AS (
+  SELECT o.o_orderdate AS day,
+         CAST(CAST(SUM({_REV}) * 10000 AS DECIMAL(38,0)) AS BIGINT) AS x,
+         strftime(o.o_orderdate, '%Y-%m') AS month
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 3
+),
+r1 AS (
+  SELECT month, day, x,
+         row_number() OVER (PARTITION BY month ORDER BY x, day) AS rk,
+         COUNT(*) OVER (PARTITION BY month) AS n
+  FROM daily
+),
+med AS (SELECT month, x AS med FROM r1 WHERE rk = (n - 1) // 2 + 1),
+dev AS (
+  SELECT d.month, d.day, d.x, m.med, abs(d.x - m.med) AS ad
+  FROM daily d JOIN med m USING (month)
+),
+r2 AS (
+  SELECT month, ad,
+         row_number() OVER (PARTITION BY month ORDER BY ad, day) AS rk,
+         COUNT(*) OVER (PARTITION BY month) AS n
+  FROM dev
+),
+mad AS (SELECT month, ad AS mad FROM r2 WHERE rk = (n - 1) // 2 + 1)
+SELECT v.month,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MAX(v.med) AS DOUBLE) / 10000 AS median_revenue,
+       CAST(MAX(md.mad) AS DOUBLE) / 10000 AS mad_revenue,
+       CAST(SUM(CASE WHEN v.ad * 10000 > {MAD_K_SCALED} * md.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev v JOIN mad md USING (month)
+GROUP BY v.month
+"""

@@ -1182,6 +1182,9 @@ _register(
     dedup.minhash_estimate_quality,
     dedup.MINHASH_QUALITY_SQL,
 )
+_register(
+    "ext_mad_outlier_days", anomaly.mad_outlier_days, anomaly.MAD_OUTLIER_SQL
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
