@@ -417,3 +417,99 @@ SELECT frame_idx,
 FROM f
 GROUP BY frame_idx
 """
+
+
+RESIZE_FACTOR = 2  # 16×16 → 8×8 nearest-neighbor (every 2nd pixel)
+
+RESIZE_DIGEST_SCHEMA = (
+    "media_source string, n_docs bigint, n_dims_ok bigint,"
+    " n_roundtrip_ok bigint, sum_row0_resized bigint"
+)
+
+
+def resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked digest of the RESIZE stage (the remaining member of
+    the decode / feature-extract / resize / frame-sample quartet):
+    decode the rendered PNG, nearest-neighbor downsample by taking every
+    ``RESIZE_FACTOR``-th pixel in both axes (real pixel math on real
+    decoded bytes), re-encode, and verify the result decodes back to the
+    reduced geometry byte-identically.
+
+    Per source: n_docs, how many resized images decode to 8×8×1, how
+    many survive resize→encode→decode→re-encode round trips, and the
+    summed row-0 pixels of the RESIZED image. Row 0 of the resize is the
+    EVEN-index bytes of the original row 0 — which is the md5 digest of
+    the document text — so DuckDB recomputes the sum independently from
+    hex chars at positions 0, 2, 4, …, 14 (same seam as
+    ``codec_digest``; rows 1+ stay pytest-covered).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+
+    def _digest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_source": [],
+                "n_docs": [],
+                "n_dims_ok": [],
+                "n_roundtrip_ok": [],
+                "sum_row0_resized": [],
+            }
+            for src, grp in pdf.groupby("source"):
+                dims_ok = rt_ok = row0 = 0
+                for text in grp["text"]:
+                    info = decode_png(render_text_png(text))
+                    w, h, px = info["width"], info["height"], info["pixels"]
+                    rw, rh = w // RESIZE_FACTOR, h // RESIZE_FACTOR
+                    resized = bytes(
+                        px[y * RESIZE_FACTOR * w + x * RESIZE_FACTOR]
+                        for y in range(rh)
+                        for x in range(rw)
+                    )
+                    payload = encode_png_gray(resized, rw, rh)
+                    back = decode_png(payload)
+                    if (back["width"], back["height"], back["channels"]) == (
+                        rw,
+                        rh,
+                        1,
+                    ):
+                        dims_ok += 1
+                    if back["pixels"] == resized and encode_png_gray(
+                        back["pixels"], rw, rh
+                    ) == payload:
+                        rt_ok += 1
+                    row0 += sum(back["pixels"][:rw])
+                out["media_source"].append(src)
+                out["n_docs"].append(len(grp))
+                out["n_dims_ok"].append(dims_ok)
+                out["n_roundtrip_ok"].append(rt_ok)
+                out["sum_row0_resized"].append(row0)
+            yield pd.DataFrame(out)
+
+    return (
+        docs.mapInPandas(_digest, RESIZE_DIGEST_SCHEMA)
+        .groupBy("media_source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_dims_ok").alias("n_dims_ok"),
+            F.sum("n_roundtrip_ok").alias("n_roundtrip_ok"),
+            F.sum("sum_row0_resized").alias("sum_row0_resized"),
+        )
+    )
+
+
+# row 0 of the resized image = md5-digest bytes at even indices 0..14 =
+# hex-char pairs at string positions 1, 5, 9, …, 29 (1-indexed)
+RESIZE_DIGEST_SQL = """
+SELECT source AS media_source,
+       COUNT(*) AS n_docs,
+       COUNT(*) AS n_dims_ok,
+       COUNT(*) AS n_roundtrip_ok,
+       CAST(SUM(list_sum(list_transform(range(0, 8),
+            i -> 16 * (strpos('0123456789abcdef',
+                              substr(h, 4 * CAST(i AS INT) + 1, 1)) - 1)
+               + (strpos('0123456789abcdef',
+                         substr(h, 4 * CAST(i AS INT) + 2, 1)) - 1)
+       ))) AS BIGINT) AS sum_row0_resized
+FROM (SELECT source, md5(text) AS h FROM documents)
+GROUP BY source
+"""

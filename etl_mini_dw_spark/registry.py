@@ -1185,6 +1185,13 @@ _register(
 _register(
     "ext_mad_outlier_days", anomaly.mad_outlier_days, anomaly.MAD_OUTLIER_SQL
 )
+# completes the multimodal quartet (decode / feature-extract / RESIZE /
+# frame-sample) with a value-checked stage
+_register(
+    "ext_multimodal_resize_digest",
+    multimodal.resize_digest,
+    multimodal.RESIZE_DIGEST_SQL,
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
