@@ -648,3 +648,160 @@ GROUP BY 1
 ORDER BY n_paths DESC, path
 LIMIT {PATH_TOP}
 """
+
+
+# --- exact Shapley-value attribution (r5) -----------------------------------
+# The game-theoretic endpoint of the attribution family: first/last/
+# linear (attribution_models) are heuristics; the Shapley value is the
+# unique credit split satisfying efficiency/symmetry/dummy. Exact
+# computation is 2^n coalitions — intractable for many channels,
+# CLOSED-FORM ENUMERABLE for the 4 non-purchase event types here — and
+# the whole computation runs in integers: coalition values v(S) are user
+# counts, and the Shapley weights |S|!·(n−|S|−1)!/n! are pre-multiplied
+# by n! = 24 so credits are exact BIGINTs (φ·24), divided once for the
+# report column. Efficiency (Σφ·24 = 24·(v(full) − v(∅))) is pinned in
+# pytest. Touches are scoped to the 24 h before the user's FIRST
+# purchase (the attribution_models lookback) — corpus-wide masks are
+# degenerate on this fixture (every user touches every type).
+SHAPLEY_CHANNELS = [("view", 1), ("click", 2), ("signup", 4), ("error", 8)]
+
+
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(channel, shapley_x24, shapley_credit, v_full, v_empty): exact
+    Shapley conversion credit per channel. v(S) = converted users whose
+    24h-lookback touched-channel set ⊆ S (no-touch converters sit in
+    v(∅) — "direct"; Shapley splits only the lift above direct).
+
+    Scale: one purchase min-aggregate + one user-keyed windowed-touch
+    aggregate reduce the corpus to ≤ 2^4 mask rows; everything after
+    (the subset-sum zeta transform, the weighted marginal sums) is a
+    16×16-row join — constant work regardless of event volume."""
+    ev = typed_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    bits = sum(
+        (
+            F.max(F.when(F.col("event_type") == name, bit).otherwise(0))
+            for name, bit in SHAPLEY_CHANNELS
+        ),
+        F.lit(0),
+    )
+    touched = (
+        ev.join(fp, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS"))
+            & (F.col("ts") < F.col("pts"))
+        )
+        .groupBy("user_id")
+        .agg(bits.alias("mask"))
+    )
+    converters = fp.join(touched, "user_id", "left").select(
+        F.coalesce("mask", F.lit(0)).alias("mask")
+    )
+    mask_counts = converters.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nconv")
+    )
+    subsets = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    v = (
+        subsets.join(
+            F.broadcast(mask_counts), F.expr("(mask & s) = mask"), "left"
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("nconv"), F.lit(0)).cast("bigint").alias("v"))
+    )
+    channels = spark.createDataFrame(SHAPLEY_CHANNELS, ["channel", "bit"])
+    pairs = (
+        channels.crossJoin(F.broadcast(v.withColumnRenamed("v", "v_s")))
+        .filter(F.expr("(s & bit) = 0"))
+        .join(
+            F.broadcast(
+                v.select(F.col("s").alias("sb"), F.col("v").alias("v_sb"))
+            ),
+            F.expr("sb = s + bit"),
+        )
+        .select(
+            "channel",
+            F.expr(
+                "CASE bit_count(s) WHEN 0 THEN 6 WHEN 1 THEN 2"
+                " WHEN 2 THEN 2 ELSE 6 END"
+            ).alias("w"),
+            (F.col("v_sb") - F.col("v_s")).alias("marg"),
+        )
+    )
+    consts = v.agg(
+        F.max(F.when(F.col("s") == 15, F.col("v"))).alias("v_full"),
+        F.max(F.when(F.col("s") == 0, F.col("v"))).alias("v_empty"),
+    )
+    return (
+        pairs.groupBy("channel")
+        .agg(F.sum(F.col("w") * F.col("marg")).cast("bigint").alias("shapley_x24"))
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "channel",
+            "shapley_x24",
+            F.round(F.col("shapley_x24").cast("double") / 24, 6).alias(
+                "shapley_credit"
+            ),
+            F.col("v_full").cast("bigint").alias("v_full"),
+            F.col("v_empty").cast("bigint").alias("v_empty"),
+        )
+    )
+
+
+SHAPLEY_ATTRIBUTION_SQL = """
+WITH fp AS (
+  SELECT user_id, MIN(ts) AS pts FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+touched AS (
+  SELECT e.user_id,
+         MAX(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END)
+         + MAX(CASE WHEN e.event_type = 'click' THEN 2 ELSE 0 END)
+         + MAX(CASE WHEN e.event_type = 'signup' THEN 4 ELSE 0 END)
+         + MAX(CASE WHEN e.event_type = 'error' THEN 8 ELSE 0 END) AS mask
+  FROM events e JOIN fp ON fp.user_id = e.user_id
+  WHERE e.ts >= fp.pts - INTERVAL 24 HOUR AND e.ts < fp.pts
+  GROUP BY e.user_id
+),
+converters AS (
+  SELECT COALESCE(t.mask, 0) AS mask
+  FROM fp LEFT JOIN touched t USING (user_id)
+),
+mask_counts AS (
+  SELECT mask, CAST(COUNT(*) AS BIGINT) AS nconv FROM converters GROUP BY mask
+),
+subsets AS (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS s),
+v AS (
+  SELECT s, CAST(COALESCE(SUM(nconv), 0) AS BIGINT) AS v
+  FROM subsets LEFT JOIN mask_counts ON (mask & s) = mask
+  GROUP BY s
+),
+channels AS (
+  SELECT * FROM (VALUES ('view', 1), ('click', 2), ('signup', 4), ('error', 8))
+    c(channel, bit)
+),
+pairs AS (
+  SELECT c.channel,
+         CASE bit_count(CAST(vs.s AS BIGINT)) WHEN 0 THEN 6 WHEN 1 THEN 2
+              WHEN 2 THEN 2 ELSE 6 END AS w,
+         vsb.v - vs.v AS marg
+  FROM channels c
+  JOIN v vs ON (vs.s & c.bit) = 0
+  JOIN v vsb ON vsb.s = vs.s + c.bit
+),
+consts AS (
+  SELECT MAX(CASE WHEN s = 15 THEN v END) AS v_full,
+         MAX(CASE WHEN s = 0 THEN v END) AS v_empty
+  FROM v
+)
+SELECT p.channel,
+       CAST(SUM(p.w * p.marg) AS BIGINT) AS shapley_x24,
+       round(CAST(SUM(p.w * p.marg) AS BIGINT) / 24.0, 6) AS shapley_credit,
+       CAST(consts.v_full AS BIGINT) AS v_full,
+       CAST(consts.v_empty AS BIGINT) AS v_empty
+FROM pairs p, consts
+GROUP BY p.channel, consts.v_full, consts.v_empty
+"""

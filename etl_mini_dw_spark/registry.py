@@ -1192,6 +1192,11 @@ _register(
     multimodal.resize_digest,
     multimodal.RESIZE_DIGEST_SQL,
 )
+_register(
+    "ext_shapley_attribution",
+    _behavior.shapley_attribution,
+    _behavior.SHAPLEY_ATTRIBUTION_SQL,
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

@@ -180,3 +180,18 @@ def test_bloom_filter_merges_across_shards(spark, sf_dir):
     merged = per_shard.groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
     assert merged.exceptAll(one_shot).count() == 0
     assert one_shot.exceptAll(merged).count() == 0
+
+
+def test_shapley_efficiency_and_bounds(spark, sf_dir):
+    """The Shapley axioms the integer construction must satisfy exactly:
+    efficiency (credits sum to the lift over direct conversions, in x24
+    units with NO rounding slack) and the trivial bounds (every
+    channel's credit between 0 and the full lift for a monotone v)."""
+    from etl_mini_dw_spark.plans import behavior
+
+    rows = behavior.shapley_attribution(spark, sf_dir).collect()
+    assert len(rows) == len(behavior.SHAPLEY_CHANNELS)
+    lift = rows[0]["v_full"] - rows[0]["v_empty"]
+    assert sum(r["shapley_x24"] for r in rows) == 24 * lift
+    for r in rows:
+        assert 0 <= r["shapley_x24"] <= 24 * lift, r
