@@ -105,6 +105,9 @@ FLOORS = {
     "ext_revenue_cusum_shifts": 2.46,
     "ext_boxplot_digest": 0.79,
     "ext_minhash_estimate_quality": 1.12,  # warm staged frames
+    "ext_mad_outlier_days": 1.72,
+    "ext_multimodal_resize_digest": 0.81,
+    "ext_shapley_attribution": 1.38,
 }
 
 
