@@ -53,11 +53,11 @@ HEADLINE = [
 # time/floor ratios so the recorded JSON itself distinguishes ambient
 # load from a plan regression (VERDICT r04 task #4).
 FLOORS = {
-    "flagship_revenue_by_month_segment": 1.50,
-    "q1_pricing_summary": 0.73,
-    "dim_date_build": 0.32,
-    "scd2_customer_two_phase": 2.5,
-    "fact_sales_initial": 3.59,
+    "flagship_revenue_by_month_segment": 1.34,
+    "q1_pricing_summary": 0.64,
+    "dim_date_build": 0.20,
+    "scd2_customer_two_phase": 2.02,
+    "fact_sales_initial": 3.11,
     "fact_sales_two_phase": 4.73,
     "fact_order_lifecycle": 1.73,
     "fact_customer_monthly_snapshot": 3.8,
