@@ -720,3 +720,79 @@ SELECT source,
 FROM evaled
 GROUP BY source
 """
+
+
+# --- lexical diversity report ---------------------------------------------
+#
+# The corpus-health readout a data-mixture owner checks per source:
+# type-token ratio, hapax share, and the Herfindahl concentration of the
+# unigram distribution (+ its Rényi-2 entropy, the collision-entropy
+# "effective diversity" in nats). Everything reduces to four EXACT
+# integer sufficient statistics per source (Σc, V, #hapax, Σc²) — no
+# float enters until the final correctly-rounded <2^53 divisions, so the
+# report is bit-portable unlike a Shannon entropy (whose Σ c·ln c
+# accumulates order-dependent double error over |vocab| terms).
+
+
+def lexical_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, n_types, n_hapax, sum_c2, ttr, hapax_share,
+    hhi, renyi2) per document source.
+
+    Scale: one corpus-side partial-aggregable (source, word) count —
+    the same single-shuffle shape as the BPE histogram — then a
+    |vocab|-row rollup. renyi2 = −ln(hhi) is one libm call on an
+    identical double in both engines, rounded to the repo's 6-dp
+    convention."""
+    wc = (
+        _word_frame(spark, sf_dir)
+        .select("source", F.explode("w").alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = wc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias("n_hapax"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+    )
+    n2 = F.col("n_tokens").cast("double") * F.col("n_tokens").cast("double")
+    hhi_arg = F.col("sum_c2").cast("double") / n2
+    return per.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        "sum_c2",
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(F.col("n_hapax").cast("double") / F.col("n_types"), 6).alias(
+            "hapax_share"
+        ),
+        F.round(hhi_arg, 6).alias("hhi"),
+        F.round(-F.log(hhi_arg), 6).alias("renyi2"),
+    ).orderBy("source")
+
+
+LEXICAL_DIVERSITY_SQL = f"""
+WITH wc AS (
+  SELECT source, word, COUNT(*) AS c FROM (
+    SELECT source, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS word
+    FROM documents)
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2
+  FROM wc GROUP BY 1
+)
+SELECT source, n_tokens, n_types, n_hapax, sum_c2,
+       round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+       round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_share,
+       round(CAST(sum_c2 AS DOUBLE)
+             / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6) AS hhi,
+       round(-ln(CAST(sum_c2 AS DOUBLE)
+             / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))), 6) AS renyi2
+FROM per ORDER BY source
+"""

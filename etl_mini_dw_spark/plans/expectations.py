@@ -250,3 +250,79 @@ FROM (
 )"""
     for ct, cc, pt, pc in IND_CHECKS
 )
+
+
+# --- Benford first-digit audit --------------------------------------------
+#
+# The forensic data-quality screen: naturally-grown monetary amounts
+# follow Benford's law (P(first digit = d) = log10(1 + 1/d)); fabricated
+# or truncated feeds don't. Expected shares are ROUND-6 LITERALS (shared
+# by both engines — no cross-engine log10 at all); observed shares are
+# exact-integer counts with one correctly-rounded <2^53 division each.
+#
+# Portability: the first digit comes from the STRING of floor(value) —
+# DuckDB's decimal→BIGINT cast ROUNDS half-away-from-zero where Spark's
+# truncates, so both sides floor() explicitly before casting.
+
+_BENFORD_P = {
+    1: "0.301030", 2: "0.176091", 3: "0.124939", 4: "0.096910",
+    5: "0.079181", 6: "0.066947", 7: "0.057992", 8: "0.051153",
+    9: "0.045757",
+}
+
+
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(digit, n, share, benford_p, dev): first-digit distribution of
+    o_totalprice vs the Benford expectation. Map-only scan → 9-row
+    aggregate; at 100 TB the digit extraction is a per-row projection
+    and the count is partial-aggregable — nothing else moves."""
+    orders = typed_table(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    total = digits.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    expect = spark.createDataFrame(
+        [(d, float(p)) for d, p in sorted(_BENFORD_P.items())],
+        "digit int, benford_p double",
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .join(F.broadcast(expect), "digit", "left")
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+            "benford_p",
+            F.round(
+                F.round(F.col("n").cast("double") / F.col("total"), 6)
+                - F.col("benford_p"),
+                6,
+            ).alias("dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+BENFORD_AUDIT_SQL = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit
+  FROM orders
+),
+counts AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY 1),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM digits),
+expect AS (
+  {" UNION ALL ".join(f"SELECT {d} AS digit, CAST({p} AS DOUBLE) AS benford_p" for d, p in sorted(_BENFORD_P.items()))}
+)
+SELECT c.digit, c.n,
+       round(CAST(c.n AS DOUBLE) / t.total, 6) AS share,
+       e.benford_p,
+       round(round(CAST(c.n AS DOUBLE) / t.total, 6) - e.benford_p, 6) AS dev
+FROM counts c CROSS JOIN total t LEFT JOIN expect e ON c.digit = e.digit
+ORDER BY c.digit
+"""

@@ -278,3 +278,93 @@ FROM corners GROUP BY 1
 ORDER BY n_triangles DESC, p_partkey
 LIMIT 20
 """
+
+
+# --- k-core decomposition -------------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 8
+
+
+def kcore_peel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(peel_round, n_nodes, n_edges): the k-core peeling trace of the
+    part co-occurrence graph at k=3 — repeatedly delete vertices of
+    degree < k; what survives is the maximal subgraph where every part
+    co-occurs with ≥ k other core parts (the "dense basket nucleus"
+    community-detection primitive).
+
+    Peeling is the textbook distributed k-core algorithm (one degree
+    aggregate + two semi-joins per round, each a single |E|-row shuffle;
+    lineage cut per round like the PageRank loop). Rounds are FIXED at 8
+    and the trace itself is the output, so both engines compute the
+    identical unrolled prefix whether or not the fixpoint has been
+    reached — tests/test_graph_and_diff.py pins monotone non-increasing counts
+    and the sf0.001 fixpoint (trailing rounds equal). Directed edge counts
+    (both orientations) are reported; the undirected count is half.
+
+    At 100 TB: each round is degree-filter + semi-join — the classic
+    Pregel-as-joins shape; rounds needed in practice ≈ O(log N) for
+    power-law graphs, and the trace makes partial progress observable.
+    """
+    li = (
+        typed_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    g = cooccurrence_edges(li)
+    edges = (
+        g.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(g.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    summaries = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.filter(F.col("deg") >= KCORE_K).select(
+            F.col("src").alias("node")
+        ).localCheckpoint(eager=False)
+        edges = (
+            edges.join(alive, edges.src == alive.node, "left_semi")
+            .join(alive, F.col("dst") == alive.node, "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        summaries.append(
+            edges.agg(
+                F.count_distinct(F.col("src")).cast("bigint").alias("n_nodes"),
+                F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            ).select(
+                F.lit(r).cast("int").alias("peel_round"), "n_nodes", "n_edges"
+            )
+        )
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("peel_round")
+
+
+def kcore_peel_report_sql() -> str:
+    # each round references the previous THREE times; without
+    # materialization DuckDB inlines the chain into ~3^R copies of the
+    # base parquet scan (fd exhaustion at R=8) — MATERIALIZED pins each
+    # round to one evaluation, mirroring the Spark-side localCheckpoint
+    parts = [f"WITH {_edges_sql()}, e0 AS MATERIALIZED (SELECT src, dst FROM edges)"]
+    for r in range(1, KCORE_ROUNDS + 1):
+        p = r - 1
+        parts.append(
+            f""", d{r} AS (SELECT src, COUNT(*) AS deg FROM e{p} GROUP BY 1),
+a{r} AS (SELECT src AS node FROM d{r} WHERE deg >= {KCORE_K}),
+e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{p} e
+  JOIN a{r} s ON e.src = s.node JOIN a{r} t ON e.dst = t.node
+),
+s{r} AS (
+  SELECT CAST({r} AS INTEGER) AS peel_round,
+         CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+         CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM e{r}
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT * FROM s{r}" for r in range(1, KCORE_ROUNDS + 1)
+    )
+    return "".join(parts) + f"\n{sel}\nORDER BY peel_round"

@@ -851,3 +851,121 @@ SELECT p.source, CAST(p.n AS BIGINT) AS n, p.min_chars, p.q1, p.median, p.q3,
 FROM documents d JOIN picks p USING (source)
 GROUP BY p.source, p.n, p.min_chars, p.q1, p.median, p.q3, p.max_chars
 """
+
+
+# --- Kolmogorov–Smirnov two-sample drift ----------------------------------
+#
+# Companion to the PSI report: PSI is bucket-based (sensitive to the
+# boundary rule), KS is the exact sup-norm distance between the two
+# empirical CDFs — D = max_x |F_a(x) − F_b(x)|. The whole statistic is
+# computed in integers: D = max |n_b·cumA(x) − n_a·cumB(x)| / (n_a·n_b),
+# and only the final division (two exact <2^53 BIGINTs → correctly
+# rounded IEEE divide, identical in both engines) produces a float.
+
+
+def _ks_metric(df: DataFrame, label: str, val_col: str, split_col: str) -> DataFrame:
+    """One (metric, n_a, n_b, d_num, ks) row.
+
+    The running CDFs are a cumulative window over the DISTINCT-value
+    frame (groupBy first), so ties collapse before the window and both
+    engines see the identical RANGE-frame semantics. Scale: the groupBy
+    is partial-aggregable corpus-side; the global cum window runs over
+    |distinct values| rows only — at 100 TB swap it for the two-pass
+    range-partitioned prefix sum (per-partition subtotals broadcast as
+    offsets), value-identical."""
+    sliced = df.select(
+        F.col(val_col).alias("val"),
+        (F.col(split_col) < PSI_CUTOFF).alias("is_a"),
+    )
+    by_val = sliced.groupBy("val").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("ca"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("cb"),
+    )
+    cum_w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    cum = by_val.select(
+        F.sum("ca").over(cum_w).alias("cum_a"),
+        F.sum("cb").over(cum_w).alias("cum_b"),
+    )
+    totals = sliced.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("nb"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(totals))
+        .groupBy("na", "nb")
+        .agg(
+            F.max(
+                F.abs(F.col("nb") * F.col("cum_a") - F.col("na") * F.col("cum_b"))
+            ).alias("d_num")
+        )
+    )
+    return d.select(
+        F.lit(label).alias("metric"),
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.col("d_num").cast("bigint").alias("d_num"),
+        F.round(
+            F.col("d_num").cast("double")
+            / (F.col("na").cast("double") * F.col("nb").cast("double")),
+            6,
+        ).alias("ks"),
+    )
+
+
+def ks_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(metric, n_a, n_b, d_num, ks): exact two-sample KS distance of the
+    same three revenue-path columns the PSI report watches, split at the
+    same pre-/post-1998 cutoff — the boundary-free drift gate (PSI can
+    hide shift inside a bucket; KS cannot)."""
+    orders = typed_table(spark, sf_dir, "orders")
+    li = typed_table(spark, sf_dir, "lineitem")
+    out = _ks_metric(orders, "orders.o_totalprice", "o_totalprice", "o_orderdate")
+    out = out.unionByName(
+        _ks_metric(li, "lineitem.l_quantity", "l_quantity", "l_shipdate")
+    )
+    return out.unionByName(
+        _ks_metric(li, "lineitem.l_extendedprice", "l_extendedprice", "l_shipdate")
+    )
+
+
+def _ks_metric_sql(tbl: str, label: str, val: str, split: str) -> str:
+    return f"""
+SELECT '{label}' AS metric, n_a, n_b, d_num, ks FROM (
+  WITH sliced AS (
+    SELECT {val} AS val, {split} < TIMESTAMP '{PSI_CUTOFF}' AS is_a FROM {tbl}
+  ),
+  by_val AS (
+    SELECT val,
+           CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+    FROM sliced GROUP BY val
+  ),
+  cum AS (
+    SELECT SUM(ca) OVER (ORDER BY val) AS cum_a,
+           SUM(cb) OVER (ORDER BY val) AS cum_b
+    FROM by_val
+  ),
+  totals AS (
+    SELECT CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+    FROM sliced
+  )
+  SELECT na AS n_a, nb AS n_b,
+         CAST(MAX(ABS(nb * cum_a - na * cum_b)) AS BIGINT) AS d_num,
+         round(CAST(MAX(ABS(nb * cum_a - na * cum_b)) AS DOUBLE)
+               / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks
+  FROM cum, totals GROUP BY na, nb
+)
+"""
+
+
+def ks_drift_report_sql() -> str:
+    return "\nUNION ALL\n".join(
+        [
+            _ks_metric_sql("orders", "orders.o_totalprice", "o_totalprice", "o_orderdate"),
+            _ks_metric_sql("lineitem", "lineitem.l_quantity", "l_quantity", "l_shipdate"),
+            _ks_metric_sql(
+                "lineitem", "lineitem.l_extendedprice", "l_extendedprice", "l_shipdate"
+            ),
+        ]
+    )

@@ -1197,6 +1197,20 @@ _register(
     _behavior.shapley_attribution,
     _behavior.SHAPLEY_ATTRIBUTION_SQL,
 )
+_register(
+    "ext_ks_drift_report", _stats.ks_drift_report, _stats.ks_drift_report_sql()
+)
+_register(
+    "ext_benford_digit_audit",
+    expectations.benford_digit_audit,
+    expectations.BENFORD_AUDIT_SQL,
+)
+_register(
+    "ext_lexical_diversity",
+    text.lexical_diversity_report,
+    text.LEXICAL_DIVERSITY_SQL,
+)
+_register("ext_kcore_peel", graph.kcore_peel_report, graph.kcore_peel_report_sql())
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

