@@ -371,3 +371,109 @@ SELECT v.month,
 FROM dev v JOIN mad md USING (month)
 GROUP BY v.month
 """
+
+
+# --- autocorrelation of daily revenue --------------------------------------
+#
+# The seasonality detector the CUSUM/MAD battery lacks: ACF(lag) is the
+# Pearson correlation of day-t revenue against day-(t+lag) revenue over
+# all observed day pairs. Lag 1 reads momentum, lag 7 the weekly cycle,
+# lag 28 the ~monthly cycle. The day pairing is a self-join on the
+# INTEGER day index (epoch datediff — no engine date arithmetic), the
+# daily series is exact ×10⁴ integers (the CUSUM scaling: revenue has 4
+# decimal places so ×10⁴ is exact where ×100 would round), sufficient
+# statistics are exact DECIMAL sums, and the float appears only in the
+# final assembled ratio (trend-slope discipline, round 6).
+
+ACF_LAGS = [1, 7, 28]
+_ACF_EPOCH = "1992-01-01"
+
+
+def revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lag, n_pairs, acf): autocorrelation of global daily revenue at
+    lags 1/7/28 days over observed-day pairs.
+
+    Scale: ONE fact-side shuffle builds the ~|date-range|-row daily
+    series; the lag self-joins and sufficient-statistics aggregates all
+    run on that tiny frame (broadcast). Nothing else touches the fact."""
+    li = typed_table(spark, sf_dir, "lineitem")
+    orders = typed_table(spark, sf_dir, "orders")
+    daily = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.datediff(
+                F.date_trunc("day", "o_orderdate"), F.lit(_ACF_EPOCH).cast("date")
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+        .agg(
+            (F.sum(F.expr(_REV)) * 10000)
+            .cast("decimal(38,0)")
+            .cast("decimal(19,0)")
+            .alias("v")
+        )
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for lag in ACF_LAGS:
+        a = daily.select(F.col("x"), F.col("v").alias("va"))
+        b = daily.select((F.col("x") - lag).alias("x"), F.col("v").alias("vb"))
+        pairs = a.join(F.broadcast(b), "x")
+        stats = pairs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("va").cast("decimal(38,0)").alias("sa"),
+            F.sum("vb").cast("decimal(38,0)").alias("sb"),
+            F.sum(F.col("va") * F.col("va")).cast("decimal(38,0)").alias("ssa"),
+            F.sum(F.col("vb") * F.col("vb")).cast("decimal(38,0)").alias("ssb"),
+            F.sum(F.col("va") * F.col("vb")).cast("decimal(38,0)").alias("sab"),
+        )
+        n = F.col("n_pairs").cast("double")
+        sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+        va = n * F.col("ssa").cast("double") - sa * sa
+        vb = n * F.col("ssb").cast("double") - sb * sb
+        cov = n * F.col("sab").cast("double") - sa * sb
+        row = stats.select(
+            F.lit(lag).cast("int").alias("lag"),
+            "n_pairs",
+            F.when((va > 0) & (vb > 0), F.round(cov / F.sqrt(va * vb), 6)).alias(
+                "acf"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("lag")
+
+
+def revenue_acf_sql() -> str:
+    per_lag = []
+    for lag in ACF_LAGS:
+        per_lag.append(
+            f"""
+SELECT CAST({lag} AS INTEGER) AS lag, n_pairs,
+       CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) > 0
+             AND (CAST(n_pairs AS DOUBLE) * CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0
+            THEN round((CAST(n_pairs AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                       / sqrt((CAST(n_pairs AS DOUBLE) * CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                            * (CAST(n_pairs AS DOUBLE) * CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+       END AS acf
+FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(a.v) AS DECIMAL(38,0)) AS sa,
+         CAST(SUM(b.v) AS DECIMAL(38,0)) AS sb,
+         CAST(SUM(a.v * a.v) AS DECIMAL(38,0)) AS ssa,
+         CAST(SUM(b.v * b.v) AS DECIMAL(38,0)) AS ssb,
+         CAST(SUM(a.v * b.v) AS DECIMAL(38,0)) AS sab
+  FROM daily a JOIN daily b ON b.x = a.x + {lag}
+)"""
+        )
+    union = "\nUNION ALL\n".join(per_lag)
+    return f"""
+WITH daily AS MATERIALIZED (
+  SELECT CAST(datediff('day', DATE '{_ACF_EPOCH}', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+         CAST(CAST(SUM({_REV}) * 10000 AS DECIMAL(38,0)) AS DECIMAL(19,0)) AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+)
+{union}
+ORDER BY lag
+"""

@@ -969,3 +969,230 @@ def ks_drift_report_sql() -> str:
             ),
         ]
     )
+
+
+# --- Mann–Whitney AUC ranking quality --------------------------------------
+#
+# "Does this score RANK the positives above the negatives?" — the
+# threshold-free counterpart of the repo's recall/error scoreboards
+# (ANN recall, CMS overestimate, MinHash estimate error). AUC is the
+# Mann–Whitney U statistic normalized by n_pos·n_neg; with ties handled
+# as half-credit it is computed here ENTIRELY in integers:
+#
+#   2U = Σ_v pos(v)·(2·neg_below(v) + neg(v)),   AUC = 2U / (2·n_pos·n_neg)
+#
+# (each tie pair contributes 1 of the 2 units, each strictly-ordered
+# pair 2 of 2). Only the final division produces a float — the same
+# one-exact-division discipline as the KS statistic above.
+
+
+def _auc_metric(
+    df: DataFrame, label: str, score_col: str, pos_cond
+) -> DataFrame:
+    """One (metric, n_pos, n_neg, u2, auc) row.
+
+    Scale: the groupBy collapses the corpus to |distinct scores| rows
+    (partial-aggregable map-side); the cumulative window then runs over
+    that small frame only — swap for the range-partitioned prefix sum
+    at 100 TB, value-identical (same note as ``_ks_metric``)."""
+    base = df.select(F.col(score_col).alias("score"), pos_cond.alias("is_pos"))
+    by_val = base.groupBy("score").agg(
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).cast("bigint").alias("pos"),
+        F.sum(F.when(~F.col("is_pos"), 1).otherwise(0)).cast("bigint").alias("neg"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    cum = by_val.select(
+        "pos", "neg", (F.sum("neg").over(w) - F.col("neg")).alias("neg_below")
+    )
+    agg = cum.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.sum(F.col("pos") * (2 * F.col("neg_below") + F.col("neg")))
+        .cast("bigint")
+        .alias("u2"),
+    )
+    return agg.select(
+        F.lit(label).alias("metric"),
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.round(
+            F.col("u2").cast("double")
+            / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+            6,
+        ).alias("auc"),
+    )
+
+
+def auc_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(metric, n_pos, n_neg, u2, auc): tie-aware Mann–Whitney AUC of
+    three warehouse score→label rankings — does discount (or quantity)
+    rank returned lineitems first; does order value rank urgent orders
+    first. u2 is the exact doubled U statistic (integer)."""
+    li = typed_table(spark, sf_dir, "lineitem")
+    orders = typed_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    out = _auc_metric(
+        li, "lineitem.discount->returned", "l_discount", F.col("l_returnflag") == "R"
+    )
+    out = out.unionByName(
+        _auc_metric(
+            li, "lineitem.quantity->returned", "l_quantity",
+            F.col("l_returnflag") == "R",
+        )
+    )
+    return out.unionByName(
+        _auc_metric(orders, "orders.totalprice->urgent", "o_totalprice", urgent)
+    ).orderBy("metric")
+
+
+def _auc_metric_sql(tbl: str, label: str, score: str, pos: str) -> str:
+    # by_val groups score to DISTINCT values, so the default RANGE
+    # window frame has no peer rows and equals the Spark ROWS frame
+    return f"""
+SELECT '{label}' AS metric, n_pos, n_neg, u2,
+       round(CAST(u2 AS DOUBLE)
+             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
+FROM (
+  WITH base AS (SELECT {score} AS score, {pos} AS is_pos FROM {tbl}),
+  by_val AS (
+    SELECT score,
+           CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+           CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS neg
+    FROM base GROUP BY score
+  ),
+  cum AS (
+    SELECT pos, neg, SUM(neg) OVER (ORDER BY score) - neg AS neg_below
+    FROM by_val
+  )
+  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(neg) AS BIGINT) AS n_neg,
+         CAST(SUM(pos * (2 * neg_below + neg)) AS BIGINT) AS u2
+  FROM cum
+)
+"""
+
+
+def auc_rank_quality_sql() -> str:
+    return "\nUNION ALL\n".join(
+        [
+            _auc_metric_sql(
+                "lineitem", "lineitem.discount->returned", "l_discount",
+                "l_returnflag = 'R'",
+            ),
+            _auc_metric_sql(
+                "lineitem", "lineitem.quantity->returned", "l_quantity",
+                "l_returnflag = 'R'",
+            ),
+            _auc_metric_sql(
+                "orders", "orders.totalprice->urgent", "o_totalprice",
+                "o_orderpriority IN ('1-URGENT', '2-HIGH')",
+            ),
+        ]
+    ) + "\nORDER BY metric"
+
+
+# --- Spearman rank correlation ---------------------------------------------
+#
+# The monotone-association companion of the Pearson matrix above: rho is
+# Pearson computed over midranks, so it sees any monotone relation and
+# ignores the measures' scale. Midranks are kept in 2×-scaled integers
+# (2·midrank = 2·rank + ties − 1, exact for any tie multiplicity); the
+# sufficient statistics are exact DECIMAL sums and the float appears
+# only in the final assembled ratio (trend-slope discipline).
+
+
+def spearman_rank_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(var_a, var_b, n, rho) for the six ``CORR_VARS`` pairs.
+
+    Plan: one global-sort rank window + one value-partitioned tie count
+    per variable (4 sorts over the projected 4-column frame), then a
+    single 1-row sufficient-statistics aggregate fanned into 6 rows.
+    At 100 TB the global rank swaps for the two-pass range-partitioned
+    rank (per-partition counts broadcast as rank offsets) — the r2
+    integers, and hence every downstream number, are unchanged."""
+    li = typed_table(spark, sf_dir, "lineitem").select(*CORR_VARS)
+    for v in CORR_VARS:
+        li = li.withColumn(
+            f"r2_{v}",
+            (
+                2 * F.rank().over(Window.orderBy(v))
+                + F.count(F.lit(1)).over(Window.partitionBy(v))
+                - 1
+            ).cast("decimal(19,0)"),
+        )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for v in CORR_VARS:
+        aggs.append(F.sum(f"r2_{v}").cast("decimal(38,0)").alias(f"s_{v}"))
+        aggs.append(
+            F.sum(F.col(f"r2_{v}") * F.col(f"r2_{v}"))
+            .cast("decimal(38,0)")
+            .alias(f"ss_{v}")
+        )
+    pairs = [(a, b) for i, a in enumerate(CORR_VARS) for b in CORR_VARS[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(
+            F.sum(F.col(f"r2_{a}") * F.col(f"r2_{b}"))
+            .cast("decimal(38,0)")
+            .alias(f"sp_{a}_{b}")
+        )
+    stats = li.agg(*aggs)
+    rows = []
+    for a, b in pairs:
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        va = n * F.col(f"ss_{a}").cast("double") - sa * sa
+        vb = n * F.col(f"ss_{b}").cast("double") - sb * sb
+        cov = n * F.col(f"sp_{a}_{b}").cast("double") - sa * sb
+        rho = F.when((va > 0) & (vb > 0), F.round(cov / F.sqrt(va * vb), 6))
+        rows.append(
+            stats.select(
+                F.lit(a).alias("var_a"),
+                F.lit(b).alias("var_b"),
+                F.col("n"),
+                rho.alias("rho"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("var_a", "var_b")
+
+
+def spearman_rank_matrix_sql() -> str:
+    r2 = ",\n         ".join(
+        f"CAST(2 * rank() OVER (ORDER BY {v}) + COUNT(*) OVER (PARTITION BY {v}) - 1"
+        f" AS DECIMAL(19,0)) AS r2_{v}"
+        for v in CORR_VARS
+    )
+    pairs = [(a, b) for i, a in enumerate(CORR_VARS) for b in CORR_VARS[i + 1 :]]
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for v in CORR_VARS:
+        sums.append(f"CAST(SUM(r2_{v}) AS DECIMAL(38,0)) AS s_{v}")
+        sums.append(f"CAST(SUM(r2_{v} * r2_{v}) AS DECIMAL(38,0)) AS ss_{v}")
+    for a, b in pairs:
+        sums.append(f"CAST(SUM(r2_{a} * r2_{b}) AS DECIMAL(38,0)) AS sp_{a}_{b}")
+    selects = []
+    for a, b in pairs:
+        va = f"(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+        vb = f"(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        cov = f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        selects.append(
+            f"SELECT '{a}' AS var_a, '{b}' AS var_b, n,\n"
+            f"       CASE WHEN {va} > 0 AND {vb} > 0\n"
+            f"            THEN round({cov} / sqrt({va} * {vb}), 6) END AS rho\n"
+            f"FROM stats"
+        )
+    sel = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH ranked AS (
+  SELECT {r2}
+  FROM lineitem
+),
+stats AS (
+  SELECT {", ".join(sums)}
+  FROM ranked
+)
+{sel}
+ORDER BY var_a, var_b
+"""

@@ -1211,6 +1211,15 @@ _register(
     text.LEXICAL_DIVERSITY_SQL,
 )
 _register("ext_kcore_peel", graph.kcore_peel_report, graph.kcore_peel_report_sql())
+_register(
+    "ext_auc_rank_quality", _stats.auc_rank_quality, _stats.auc_rank_quality_sql()
+)
+_register(
+    "ext_spearman_rank_matrix",
+    _stats.spearman_rank_matrix,
+    _stats.spearman_rank_matrix_sql(),
+)
+_register("ext_revenue_acf", anomaly.revenue_acf, anomaly.revenue_acf_sql())
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

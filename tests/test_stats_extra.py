@@ -62,3 +62,69 @@ def test_lexical_diversity_identities(spark, sf_dir):
         # Rényi-2 entropy is -ln(hhi): recompute from the exact integers
         expect = -np.log(r["sum_c2"] / (r["n_tokens"] ** 2))
         assert abs(r["renyi2"] - expect) < 1e-5
+
+
+def test_auc_matches_searchsorted(spark, sf_dir):
+    """AUC via an independent formulation: for each positive, count
+    strictly-smaller negatives + half the tied negatives, using sorted
+    arrays + searchsorted (no grouping/window)."""
+    rows = {r["metric"]: r for r in stats.auc_rank_quality(spark, sf_dir).collect()}
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_discount", "l_returnflag"]
+    )
+    pos = np.sort(li.loc[li["l_returnflag"] == "R", "l_discount"].astype(float).to_numpy())
+    neg = np.sort(li.loc[li["l_returnflag"] != "R", "l_discount"].astype(float).to_numpy())
+    below = np.searchsorted(neg, pos, side="left").sum()
+    tied = (np.searchsorted(neg, pos, side="right") - np.searchsorted(neg, pos, side="left")).sum()
+    u2 = 2 * int(below) + int(tied)
+    r = rows["lineitem.discount->returned"]
+    assert r["u2"] == u2
+    assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
+    assert abs(r["auc"] - u2 / (2 * len(pos) * len(neg))) < 1e-6
+
+
+def test_spearman_matches_pandas(spark, sf_dir):
+    """rho against pandas midranks + numpy corrcoef (float path)."""
+    got = {
+        (r["var_a"], r["var_b"]): r
+        for r in stats.spearman_rank_matrix(spark, sf_dir).collect()
+    }
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=stats.CORR_VARS).astype(
+        float
+    )
+    n = len(li)
+    ranks = li.rank(method="average")
+    for (a, b), r in got.items():
+        assert r["n"] == n
+        expect = np.corrcoef(ranks[a], ranks[b])[0, 1]
+        assert abs(r["rho"] - expect) < 1e-5, (a, b)
+    assert len(got) == 6
+
+
+def test_revenue_acf_matches_numpy(spark, sf_dir):
+    from etl_mini_dw_spark.plans import anomaly
+
+    got = {r["lag"]: r for r in anomaly.revenue_acf(spark, sf_dir).collect()}
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    m = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    rev = (m["l_extendedprice"].astype(float) * (1 - m["l_discount"].astype(float)))
+    day = pd.to_datetime(m["o_orderdate"]).dt.normalize()
+    daily = rev.groupby(day).sum()
+    idx = {d: v for d, v in daily.items()}
+    for lag in anomaly.ACF_LAGS:
+        xs, ys = [], []
+        for d, v in idx.items():
+            d2 = d + pd.Timedelta(days=lag)
+            if d2 in idx:
+                xs.append(v)
+                ys.append(idx[d2])
+        r = got[lag]
+        assert r["n_pairs"] == len(xs)
+        expect = np.corrcoef(np.array(xs), np.array(ys))[0, 1]
+        assert abs(r["acf"] - expect) < 1e-4, lag
