@@ -1196,3 +1196,162 @@ stats AS (
 {sel}
 ORDER BY var_a, var_b
 """
+
+
+# --- cumulative gains / lift chart ------------------------------------------
+#
+# The targeting-depth companion of the AUC above: AUC says whether a
+# score ranks positives first; the gains chart says what a campaign
+# that acts on the top-k% actually captures. Buckets are score deciles
+# by the PSI boundary rule (ntile edges on the value multiset, both
+# engines re-bucket by `#bounds < val` — tie handling identical, exact
+# decimal comparisons), depth 1 = highest-score decile. Heavy ties
+# (l_discount has 11 distinct values) legitimately collapse buckets —
+# collapsed ids simply emit no row, and gains/lift stay well-defined.
+# All counts are exact integers; the two floats are final ratios of
+# sub-2^53 integer products, round-6 on both engines.
+
+GAINS_BUCKETS = 10
+
+
+def _gains_metric(
+    df: DataFrame, label: str, score_col: str, pos_cond
+) -> DataFrame:
+    """(metric, depth, n, n_pos, cum_n, cum_pos, gains, lift) rows, one
+    per non-empty descending-score decile.
+
+    Scale: the boundary ntile is the only global step (same swap note
+    as ``_psi_metric``: equidepth-histogram bucket selection at 100 TB,
+    value-identical); bucketing is a map-only broadcast compare, the
+    counts one partial-aggregable shuffle, and the cumulative windows
+    run over ≤GAINS_BUCKETS rows."""
+    base = df.select(F.col(score_col).alias("val"), pos_cond.alias("is_pos"))
+    tile = F.ntile(GAINS_BUCKETS).over(Window.orderBy("val"))
+    bounds = (
+        base.select("val", tile.alias("tile"))
+        .filter(F.col("tile") < GAINS_BUCKETS)
+        .groupBy("tile")
+        .agg(F.max("val").alias("b"))
+        .agg(F.array_sort(F.collect_list("b")).alias("barr"))
+    )
+    counts = (
+        base.crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                F.lit(GAINS_BUCKETS) - F.size(F.expr("filter(barr, x -> x < val)"))
+            ).alias("depth"),
+            "is_pos",
+        )
+        .groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("is_pos"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+        )
+    )
+    wcum = Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("depth").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        F.lit(label).alias("metric"),
+        "depth",
+        "n",
+        "n_pos",
+        F.sum("n").over(wcum).alias("cum_n"),
+        F.sum("n_pos").over(wcum).alias("cum_pos"),
+        F.sum("n").over(wall).alias("tot_n"),
+        F.sum("n_pos").over(wall).alias("tot_pos"),
+    )
+    return cum.select(
+        "metric",
+        "depth",
+        "n",
+        "n_pos",
+        "cum_n",
+        "cum_pos",
+        F.round(
+            F.col("cum_pos").cast("double") / F.col("tot_pos").cast("double"), 6
+        ).alias("gains"),
+        F.round(
+            (F.col("cum_pos").cast("double") * F.col("tot_n").cast("double"))
+            / (F.col("cum_n").cast("double") * F.col("tot_pos").cast("double")),
+            6,
+        ).alias("lift"),
+    )
+
+
+def gains_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(metric, depth, n, n_pos, cum_n, cum_pos, gains, lift): cumulative
+    gains and lift by descending-score decile for the three AUC
+    score→label rankings — "acting on the top 3 deciles of order value
+    captures X% of urgent orders at Y× random"."""
+    li = typed_table(spark, sf_dir, "lineitem")
+    orders = typed_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    out = _gains_metric(
+        li, "lineitem.discount->returned", "l_discount", F.col("l_returnflag") == "R"
+    )
+    out = out.unionByName(
+        _gains_metric(
+            li,
+            "lineitem.quantity->returned",
+            "l_quantity",
+            F.col("l_returnflag") == "R",
+        )
+    )
+    return out.unionByName(
+        _gains_metric(orders, "orders.totalprice->urgent", "o_totalprice", urgent)
+    ).orderBy("metric", "depth")
+
+
+def _gains_metric_sql(tbl: str, label: str, score: str, pos: str) -> str:
+    # counts groups depth to DISTINCT values, so the default RANGE
+    # cumulative frame has no peer rows and equals the Spark ROWS frame
+    return f"""
+SELECT '{label}' AS metric, depth, n, n_pos, cum_n, cum_pos,
+       round(CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE), 6) AS gains,
+       round((CAST(cum_pos AS DOUBLE) * CAST(tot_n AS DOUBLE))
+             / (CAST(cum_n AS DOUBLE) * CAST(tot_pos AS DOUBLE)), 6) AS lift
+FROM (
+  WITH base AS (SELECT {score} AS val, {pos} AS is_pos FROM {tbl}),
+  bounds AS (
+    SELECT list_sort(list(b)) AS barr FROM (
+      SELECT tile, MAX(val) AS b FROM (
+        SELECT val, ntile({GAINS_BUCKETS}) OVER (ORDER BY val) AS tile FROM base)
+      WHERE tile < {GAINS_BUCKETS} GROUP BY tile)
+  ),
+  counts AS (
+    SELECT CAST({GAINS_BUCKETS} - len(list_filter(barr, x -> x < val)) AS INTEGER) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+    FROM base, bounds GROUP BY 1
+  )
+  SELECT depth, n, n_pos,
+         CAST(SUM(n) OVER (ORDER BY depth) AS BIGINT) AS cum_n,
+         CAST(SUM(n_pos) OVER (ORDER BY depth) AS BIGINT) AS cum_pos,
+         CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+         CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos
+  FROM counts
+)
+"""
+
+
+def gains_lift_chart_sql() -> str:
+    return "\nUNION ALL\n".join(
+        [
+            _gains_metric_sql(
+                "lineitem", "lineitem.discount->returned", "l_discount",
+                "l_returnflag = 'R'",
+            ),
+            _gains_metric_sql(
+                "lineitem", "lineitem.quantity->returned", "l_quantity",
+                "l_returnflag = 'R'",
+            ),
+            _gains_metric_sql(
+                "orders", "orders.totalprice->urgent", "o_totalprice",
+                "o_orderpriority IN ('1-URGENT', '2-HIGH')",
+            ),
+        ]
+    ) + "\nORDER BY metric, depth"

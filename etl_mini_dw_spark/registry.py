@@ -1220,6 +1220,9 @@ _register(
     _stats.spearman_rank_matrix_sql(),
 )
 _register("ext_revenue_acf", anomaly.revenue_acf, anomaly.revenue_acf_sql())
+_register(
+    "ext_gains_lift_chart", _stats.gains_lift_chart, _stats.gains_lift_chart_sql()
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

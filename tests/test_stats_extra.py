@@ -128,3 +128,39 @@ def test_revenue_acf_matches_numpy(spark, sf_dir):
         assert r["n_pairs"] == len(xs)
         expect = np.corrcoef(np.array(xs), np.array(ys))[0, 1]
         assert abs(r["acf"] - expect) < 1e-4, lag
+
+
+def test_gains_lift_matches_numpy(spark, sf_dir):
+    """Replicate the full chart independently: ntile boundary semantics
+    (first n%B tiles one element larger), bucket = B - #bounds<val,
+    cumulative gains/lift from raw counts."""
+    got = [
+        r.asDict()
+        for r in stats.gains_lift_chart(spark, sf_dir)
+        .filter("metric = 'lineitem.discount->returned'")
+        .collect()
+    ]
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_discount", "l_returnflag"]
+    )
+    vals = np.sort(li["l_discount"].astype(float).to_numpy())
+    n, B = len(vals), stats.GAINS_BUCKETS
+    sizes = [n // B + (1 if i < n % B else 0) for i in range(B)]
+    cuts = np.cumsum(sizes)[:-1]
+    bounds = sorted({vals[c - 1] for c in cuts})
+    score = li["l_discount"].astype(float).to_numpy()
+    depth = B - np.searchsorted(np.array(bounds), score, side="left")
+    is_pos = (li["l_returnflag"] == "R").to_numpy()
+    tot_n, tot_pos = len(score), int(is_pos.sum())
+    seen = []
+    cum_n = cum_pos = 0
+    for d in sorted(set(depth.tolist())):
+        m = depth == d
+        cum_n += int(m.sum())
+        cum_pos += int(is_pos[m].sum())
+        seen.append((d, int(m.sum()), int(is_pos[m].sum()), cum_n, cum_pos))
+    assert [(r["depth"], r["n"], r["n_pos"], r["cum_n"], r["cum_pos"]) for r in got] == seen
+    for r in got:
+        assert abs(r["gains"] - r["cum_pos"] / tot_pos) < 1e-6
+        assert abs(r["lift"] - (r["cum_pos"] * tot_n) / (r["cum_n"] * tot_pos)) < 1e-6
+    assert got[-1]["gains"] == 1.0 and got[-1]["lift"] == 1.0
