@@ -1224,6 +1224,14 @@ _register(
     "ext_gains_lift_chart", _stats.gains_lift_chart, _stats.gains_lift_chart_sql()
 )
 
+from etl_mini_dw_spark.plans import survival as _survival  # noqa: E402
+
+_register(
+    "ext_survival_km_shipping",
+    _survival.survival_km_shipping,
+    _survival.survival_km_shipping_sql(),
+)
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). The rotation is fully
