@@ -1232,6 +1232,14 @@ _register(
     _survival.survival_km_shipping_sql(),
 )
 
+from etl_mini_dw_spark.plans import preference as _pref  # noqa: E402
+
+_register(
+    "ext_bradley_terry_brands",
+    _pref.bradley_terry_brands,
+    _pref.bradley_terry_brands_sql(),
+)
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). The rotation is fully
