@@ -1239,6 +1239,11 @@ _register(
     _pref.bradley_terry_brands,
     _pref.bradley_terry_brands_sql(),
 )
+_register(
+    "ext_incremental_join_view",
+    incremental.incremental_join_view,
+    incremental.INCREMENTAL_JOIN_VIEW_SQL,
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

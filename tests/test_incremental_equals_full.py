@@ -58,3 +58,47 @@ def test_dim_two_phase_split_invariant(spark, sf_dir, split):
     a = full.filter(~F.col(dim.nk).isin(deleted_nks)).select(*cols)
     b = two.filter(~F.col(dim.nk).isin(deleted_nks)).select(*cols)
     assert _sym_diff_count(a, b) == 0, split
+
+
+def test_join_view_ivm_equals_batch_and_exercises_all_terms(spark, sf_dir):
+    """The three-term join delta must (a) equal the batch recompute and
+    (b) actually populate all three terms — a time-split on both feeds
+    would silently leave L_old ⋈ ΔO empty."""
+    from pyspark.sql import functions as F2
+
+    from etl_mini_dw_spark.plans import incremental
+    from etl_mini_dw_spark.sources.tables import typed_table
+
+    maintained = incremental.incremental_join_view(spark, sf_dir)
+    li = typed_table(spark, sf_dir, "lineitem")
+    orders = typed_table(spark, sf_dir, "orders")
+    customer = typed_table(spark, sf_dir, "customer")
+    nation = typed_table(spark, sf_dir, "nation")
+    rev = F2.col("l_extendedprice") * (
+        F2.lit(1).cast("decimal(4,2)") - F2.col("l_discount")
+    )
+    batch = (
+        li.join(orders, F2.col("l_orderkey") == F2.col("o_orderkey"))
+        .join(F2.broadcast(customer), F2.col("o_custkey") == F2.col("c_custkey"))
+        .join(F2.broadcast(nation), F2.col("c_nationkey") == F2.col("n_nationkey"))
+        .groupBy(F2.col("n_name").alias("nation"))
+        .agg(
+            F2.sum(rev).cast("decimal(38,4)").cast("double").alias("revenue"),
+            F2.count(F2.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+    assert _sym_diff_count(maintained, batch) == 0
+    # all three delta terms non-empty
+    wm = F2.lit(incremental.IVM_WM).cast("timestamp")
+    l_new = li.filter(F2.col("l_shipdate") >= wm)
+    l_old = li.filter(F2.col("l_shipdate") < wm)
+    o_new = orders.filter(F2.col("o_orderkey") % incremental.IVM_ORDER_MOD == 0)
+    o_old = orders.filter(F2.col("o_orderkey") % incremental.IVM_ORDER_MOD != 0)
+    for lpart, opart, label in [
+        (l_new, o_old, "dL-Oold"),
+        (l_old, o_new, "Lold-dO"),
+        (l_new, o_new, "dL-dO"),
+    ]:
+        assert (
+            lpart.join(opart, F2.col("l_orderkey") == F2.col("o_orderkey")).limit(1).count() == 1
+        ), label
