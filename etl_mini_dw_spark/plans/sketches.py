@@ -18,7 +18,7 @@ by tests/test_approx_sketches.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_mini_dw_spark.sources.tables import typed_table
@@ -480,3 +480,127 @@ FROM (
         + "\nUNION ALL\n"
         + one("orders_lineitem_orderkey", o, l)
     )
+
+
+# --- HDR-histogram quantile sketch -------------------------------------------
+#
+# The mergeable-quantile member of the sketch family (CMS = frequency,
+# HLL = cardinality, Bloom = membership; this = rank). The bucketing is
+# the HDR-histogram / DDSketch idea — log-spaced buckets give bounded
+# RELATIVE error — but realized in PURE INTEGER arithmetic so both
+# engines bucket bit-identically: bucket lower bound = the value with
+# everything below its top (1 + HDR_SUB_BITS) bits cleared,
+#
+#   shift = max(bitlen(v) − 1 − HDR_SUB_BITS, 0)
+#   lb    = (v >> shift) << shift
+#
+# (bitlen via length(bin(v)) — the HLL rho trick). A float log_γ(x)
+# bucketer would flip buckets on boundary values whenever the two
+# engines' ln differ by an ulp; shifts cannot. Guarantee: the true
+# quantile q lies in [lb, lb·(1+2^−HDR_SUB_BITS)), so est_c ≤ exact_c
+# and rel_err ∈ (−2^−HDR_SUB_BITS, 0].
+#
+# Mergeability (the 100 TB point): a shard's sketch is its (lb, cnt)
+# histogram — ≤ ~(64−S)·2^S + 2^(S+1) ≈ 2k rows regardless of data size —
+# and merging shards is summing counts; shard-merge ≡ global is pinned
+# in tests/test_approx_sketches.py. The exact side's full-resolution
+# cumulative window is the verification oracle only (same 100 TB swap
+# note as the KS/AUC cumulatives).
+
+HDR_SUB_BITS = 5  # 32 sub-buckets per octave → rel err ≤ 1/32 ≈ 3.1%
+HDR_QSPECS = [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10), ("p99", 99, 100)]
+
+
+def _hdr_lb_expr(v: str) -> str:
+    s = f"greatest(length(bin({v})) - 1 - {HDR_SUB_BITS}, 0)"
+    return f"shiftleft(shiftright({v}, {s}), {s})"
+
+
+def hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(quantile, rank, exact_c, est_c, rel_err): o_totalprice quantiles
+    (in exact cents) estimated from the integer HDR histogram vs the
+    exact order statistic, with the signed relative error."""
+    orders = typed_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        (F.col("o_totalprice") * 100).cast("bigint").alias("v")
+    )
+    hist = vals.groupBy(F.expr(_hdr_lb_expr("v")).alias("lb")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wcum = Window.orderBy("lb").rowsBetween(Window.unboundedPreceding, 0)
+    cum_hist = hist.select("lb", F.sum("cnt").over(wcum).alias("cum"))
+    by_v = vals.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum_v = by_v.select("v", F.sum("cnt").over(wv).alias("cum"))
+    n = vals.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranks = None
+    for label, num, den in HDR_QSPECS:
+        r = n.select(
+            F.lit(label).alias("quantile"),
+            F.expr(f"((n - 1) * {num}) div {den} + 1").cast("bigint").alias("rank"),
+        )
+        ranks = r if ranks is None else ranks.unionByName(r)
+    est = (
+        cum_hist.crossJoin(F.broadcast(ranks))
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("quantile", "rank")
+        .agg(F.min("lb").alias("est_c"))
+    )
+    exact = (
+        cum_v.crossJoin(F.broadcast(ranks))
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("quantile")
+        .agg(F.min("v").alias("exact_c"))
+    )
+    return (
+        est.join(exact, "quantile")
+        .select(
+            "quantile",
+            "rank",
+            "exact_c",
+            "est_c",
+            F.round(
+                (F.col("est_c") - F.col("exact_c")).cast("double")
+                / F.col("exact_c").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("quantile")
+    )
+
+
+def hdr_quantile_sketch_sql() -> str:
+    # DuckDB spells the shifts as operators
+    s = f"greatest(length(bin(v)) - 1 - {HDR_SUB_BITS}, 0)"
+    lb = f"((v >> ({s})) << ({s}))"
+    specs = "\nUNION ALL\n".join(
+        f"SELECT '{label}' AS quantile, CAST(((n - 1) * {num}) // {den} + 1 AS BIGINT) AS rank FROM n"
+        for label, num, den in HDR_QSPECS
+    )
+    return f"""
+WITH vals AS MATERIALIZED (
+  SELECT CAST(o_totalprice * 100 AS BIGINT) AS v FROM orders
+),
+cum_hist AS MATERIALIZED (
+  SELECT lb, SUM(cnt) OVER (ORDER BY lb) AS cum FROM (
+    SELECT {lb} AS lb, CAST(COUNT(*) AS BIGINT) AS cnt FROM vals GROUP BY 1)
+),
+cum_v AS MATERIALIZED (
+  SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM (
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM vals GROUP BY 1)
+),
+n AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+ranks AS MATERIALIZED ({specs}),
+est AS (
+  SELECT quantile, rank, MIN(lb) AS est_c
+  FROM cum_hist, ranks WHERE cum >= rank GROUP BY 1, 2
+),
+exact AS (
+  SELECT quantile, MIN(v) AS exact_c
+  FROM cum_v, ranks WHERE cum >= rank GROUP BY 1
+)
+SELECT e.quantile, e.rank, x.exact_c, e.est_c,
+       round(CAST(e.est_c - x.exact_c AS DOUBLE) / CAST(x.exact_c AS DOUBLE), 6) AS rel_err
+FROM est e JOIN exact x ON x.quantile = e.quantile
+ORDER BY e.quantile
+"""

@@ -1244,6 +1244,11 @@ _register(
     incremental.incremental_join_view,
     incremental.INCREMENTAL_JOIN_VIEW_SQL,
 )
+_register(
+    "ext_hdr_quantile_sketch",
+    sketches.hdr_quantile_sketch,
+    sketches.hdr_quantile_sketch_sql(),
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

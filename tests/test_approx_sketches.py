@@ -304,3 +304,42 @@ def test_cms_join_size_never_underestimates(spark, sf_dir):
     sj = [r for r in rows if r["metric"] == "events_selfjoin_user_id"]
     est = min(r["est_r"] for r in sj)
     assert est <= 1.5 * sj[0]["exact_rows"], (est, sj[0]["exact_rows"])
+
+
+def test_hdr_sketch_bounds_and_shard_merge(spark, sf_dir):
+    """HDR quantile sketch: (a) est is the true bucket lower bound —
+    rel_err in (−2^−S, 0]; (b) exact_c matches the numpy order
+    statistic; (c) per-shard histograms summed == global histogram
+    (mergeability, the sketch's reason to exist)."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_mini_dw_spark.plans import sketches
+
+    rows = {r["quantile"]: r for r in sketches.hdr_quantile_sketch(spark, sf_dir).collect()}
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice", "o_orderkey"])
+    v = np.sort((orders["o_totalprice"].astype(float) * 100).round().astype(np.int64).to_numpy())
+    n = len(v)
+    for label, num, den in sketches.HDR_QSPECS:
+        r = rows[label]
+        rank = ((n - 1) * num) // den + 1
+        assert r["rank"] == rank
+        exact = int(v[rank - 1])
+        assert r["exact_c"] == exact, label
+        # est = exact with low bits cleared below the top 1+S bits
+        shift = max(exact.bit_length() - 1 - sketches.HDR_SUB_BITS, 0)
+        assert r["est_c"] == (exact >> shift) << shift, label
+        assert -(2 ** -sketches.HDR_SUB_BITS) < r["rel_err"] <= 0
+    # mergeability: shard histograms sum to the global histogram
+    def lb(x: np.ndarray) -> np.ndarray:
+        bl = np.frexp(x.astype(np.float64))[1]  # bit_length for exact ints < 2^53
+        shift = np.maximum(bl - 1 - sketches.HDR_SUB_BITS, 0)
+        return (x >> shift) << shift
+
+    allv = (orders["o_totalprice"].astype(float) * 100).round().astype(np.int64).to_numpy()
+    keys = orders["o_orderkey"].to_numpy()
+    glob = pd.Series(lb(allv)).value_counts().sort_index()
+    sharded = pd.Series(dtype="float64")
+    for s in range(4):
+        sharded = sharded.add(pd.Series(lb(allv[keys % 4 == s])).value_counts(), fill_value=0)
+    assert glob.equals(sharded.sort_index().astype("int64"))
