@@ -108,6 +108,15 @@ FLOORS = {
     "ext_mad_outlier_days": 1.72,
     "ext_multimodal_resize_digest": 0.81,
     "ext_shapley_attribution": 1.38,
+    # round-5 second wave (min-of-3 isolated, 2026-08-15, load ~2)
+    "ext_auc_rank_quality": 1.55,
+    "ext_spearman_rank_matrix": 7.63,  # grouping-sets histograms + map joins
+    "ext_revenue_acf": 2.15,
+    "ext_gains_lift_chart": 2.18,
+    "ext_survival_km_shipping": 1.09,
+    "ext_bradley_terry_brands": 4.02,  # 5 integer MM rounds, ckpt per round
+    "ext_incremental_join_view": 3.14,  # builds + merges a ParquetStore twice
+    "ext_hdr_quantile_sketch": 0.78,
 }
 
 

@@ -1096,47 +1096,79 @@ def auc_rank_quality_sql() -> str:
 #
 # The monotone-association companion of the Pearson matrix above: rho is
 # Pearson computed over midranks, so it sees any monotone relation and
-# ignores the measures' scale. Midranks are kept in 2×-scaled integers
-# (2·midrank = 2·rank + ties − 1, exact for any tie multiplicity); the
-# sufficient statistics are exact DECIMAL sums and the float appears
+# ignores the measures' scale. Midranks are kept in 2×-scaled integers —
+# exact for any tie multiplicity — derived from the VALUE HISTOGRAM:
+# with cum_below(v) = #rows with value < v and cnt(v) = #rows tied at v,
+#   2·midrank(v) = 2·rank(v) + ties(v) − 1 = 2·cum_below(v) + cnt(v) + 1.
+# The sufficient statistics are exact DECIMAL sums and the float appears
 # only in the final assembled ratio (trend-slope discipline).
 
 
 def spearman_rank_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(var_a, var_b, n, rho) for the six ``CORR_VARS`` pairs.
 
-    Plan: one global-sort rank window + one value-partitioned tie count
-    per variable (4 sorts over the projected 4-column frame), then a
-    single 1-row sufficient-statistics aggregate fanned into 6 rows.
-    At 100 TB the global rank swaps for the two-pass range-partitioned
-    rank (per-partition counts broadcast as rank offsets) — the r2
-    integers, and hence every downstream number, are unchanged."""
+    Plan (two corpus passes total, no global per-row sort — the first
+    cut's 4 single-partition row-level rank windows ran 10.5 s at sf0.1
+    and would not survive 100 TB):
+    1. ONE GROUPING SETS shuffle builds all four value histograms in a
+       single partial-aggregable pass; the cumulative midrank windows
+       then run over |distinct values| rows only (checkpointed).
+    2. The per-variable Σcnt·r2 / Σcnt·r2² sufficient statistics come
+       straight off the tiny histograms — only the six CROSS products
+       need the corpus, via one pass with the four val→2·midrank maps
+       joined back (the near-unique l_extendedprice map by shuffle,
+       measured faster than building its 583k-entry broadcast; the three
+       ≤50-row maps broadcast)."""
     li = typed_table(spark, sf_dir, "lineitem").select(*CORR_VARS)
-    for v in CORR_VARS:
-        li = li.withColumn(
-            f"r2_{v}",
-            (
-                2 * F.rank().over(Window.orderBy(v))
-                + F.count(F.lit(1)).over(Window.partitionBy(v))
-                - 1
-            ).cast("decimal(19,0)"),
-        )
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
-    for v in CORR_VARS:
-        aggs.append(F.sum(f"r2_{v}").cast("decimal(38,0)").alias(f"s_{v}"))
-        aggs.append(
-            F.sum(F.col(f"r2_{v}") * F.col(f"r2_{v}"))
-            .cast("decimal(38,0)")
-            .alias(f"ss_{v}")
-        )
+    gs = (
+        li.groupingSets([[v] for v in CORR_VARS], *CORR_VARS)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    wb = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, -1)
     pairs = [(a, b) for i, a in enumerate(CORR_VARS) for b in CORR_VARS[i + 1 :]]
+    joined = li
+    per_var = None
+    for v in CORR_VARS:
+        hist = gs.filter(F.col(v).isNotNull()).select(
+            F.col(v).alias("val"), "cnt"
+        )
+        rmap = hist.select(
+            "val",
+            "cnt",
+            (2 * F.coalesce(F.sum("cnt").over(wb), F.lit(0)) + F.col("cnt") + 1)
+            .cast("bigint")
+            .alias("r2"),
+        ).localCheckpoint(eager=False)
+        # s/ss from the histogram: Σcnt·r2 and Σcnt·r2² (cnt cast down per
+        # the decimal-portability note so the product keeps precision)
+        sv = rmap.agg(
+            F.sum(F.col("cnt").cast("decimal(20,0)") * F.col("r2"))
+            .cast("decimal(38,0)")
+            .alias(f"s_{v}"),
+            F.sum(
+                F.col("cnt").cast("decimal(20,0)") * F.col("r2") * F.col("r2")
+            )
+            .cast("decimal(38,0)")
+            .alias(f"ss_{v}"),
+        )
+        per_var = sv if per_var is None else per_var.crossJoin(F.broadcast(sv))
+        rmap_keyed = rmap.select(F.col("val").alias(v), F.col("r2").alias(f"r2_{v}"))
+        if v == "l_extendedprice":
+            joined = joined.join(rmap_keyed, v)
+        else:
+            joined = joined.join(F.broadcast(rmap_keyed), v)
+    # cross products stay in BIGINT (r2 ≤ 2n+1 ⇒ product < 2⁶³ up to
+    # n ≈ 1.5e9 rows; beyond that split the sum hi/lo) — only the SUM
+    # pays the DECIMAL path, no BigDecimal multiply per corpus row
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
     for a, b in pairs:
         aggs.append(
-            F.sum(F.col(f"r2_{a}") * F.col(f"r2_{b}"))
+            F.sum((F.col(f"r2_{a}") * F.col(f"r2_{b}")).cast("decimal(38,0)"))
             .cast("decimal(38,0)")
             .alias(f"sp_{a}_{b}")
         )
-    stats = li.agg(*aggs)
+    stats = joined.agg(*aggs).crossJoin(F.broadcast(per_var))
     rows = []
     for a, b in pairs:
         n = F.col("n").cast("double")
@@ -1160,16 +1192,32 @@ def spearman_rank_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def spearman_rank_matrix_sql() -> str:
-    r2 = ",\n         ".join(
-        f"CAST(2 * rank() OVER (ORDER BY {v}) + COUNT(*) OVER (PARTITION BY {v}) - 1"
-        f" AS DECIMAL(19,0)) AS r2_{v}"
+    # same single GROUPING SETS histogram pass + histogram-derived
+    # 2·midrank as the Spark side: each cumulative window runs over
+    # DISTINCT values (RANGE default frame == ROWS); per-variable s/ss
+    # come off the histogram (HUGEINT keeps cnt·r2² exact), only the
+    # cross products touch the corpus
+    gs_cols = ", ".join(CORR_VARS)
+    gs_sets = ", ".join(f"({v})" for v in CORR_VARS)
+    maps = ",\n".join(
+        f"""m_{v} AS MATERIALIZED (
+  SELECT val AS {v}, cnt,
+         CAST(2 * (SUM(cnt) OVER (ORDER BY val) - cnt) + cnt + 1 AS BIGINT) AS r2_{v}
+  FROM (SELECT {v} AS val, cnt FROM gs WHERE {v} IS NOT NULL)
+)"""
         for v in CORR_VARS
     )
+    per_var = ",\n".join(
+        f"""sv_{v} AS (
+  SELECT CAST(SUM(CAST(cnt AS HUGEINT) * r2_{v}) AS DECIMAL(38,0)) AS s_{v},
+         CAST(SUM(CAST(cnt AS HUGEINT) * r2_{v} * r2_{v}) AS DECIMAL(38,0)) AS ss_{v}
+  FROM m_{v}
+)"""
+        for v in CORR_VARS
+    )
+    joins = " ".join(f"JOIN m_{v} USING ({v})" for v in CORR_VARS)
     pairs = [(a, b) for i, a in enumerate(CORR_VARS) for b in CORR_VARS[i + 1 :]]
     sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
-    for v in CORR_VARS:
-        sums.append(f"CAST(SUM(r2_{v}) AS DECIMAL(38,0)) AS s_{v}")
-        sums.append(f"CAST(SUM(r2_{v} * r2_{v}) AS DECIMAL(38,0)) AS ss_{v}")
     for a, b in pairs:
         sums.append(f"CAST(SUM(r2_{a} * r2_{b}) AS DECIMAL(38,0)) AS sp_{a}_{b}")
     selects = []
@@ -1181,13 +1229,20 @@ def spearman_rank_matrix_sql() -> str:
             f"SELECT '{a}' AS var_a, '{b}' AS var_b, n,\n"
             f"       CASE WHEN {va} > 0 AND {vb} > 0\n"
             f"            THEN round({cov} / sqrt({va} * {vb}), 6) END AS rho\n"
-            f"FROM stats"
+            f"FROM stats, sv_{a}, sv_{b}"
         )
     sel = "\nUNION ALL\n".join(selects)
+    r2cols = ", ".join(f"r2_{v}" for v in CORR_VARS)
     return f"""
-WITH ranked AS (
-  SELECT {r2}
-  FROM lineitem
+WITH gs AS MATERIALIZED (
+  SELECT {gs_cols}, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY GROUPING SETS ({gs_sets})
+),
+{maps},
+{per_var},
+ranked AS MATERIALIZED (
+  SELECT {r2cols}
+  FROM lineitem {joins}
 ),
 stats AS (
   SELECT {", ".join(sums)}
