@@ -117,6 +117,7 @@ FLOORS = {
     "ext_bradley_terry_brands": 4.02,  # 5 integer MM rounds, ckpt per round
     "ext_incremental_join_view": 3.14,  # builds + merges a ParquetStore twice
     "ext_hdr_quantile_sketch": 0.78,
+    "ext_penny_allocation_audit": 2.59,
 }
 
 

@@ -1,0 +1,155 @@
+"""Penny-exact proration: largest-remainder fee allocation.
+
+The classic warehouse allocation problem: spread an order-level charge
+(here a 2.5% shipping fee, rounded to the cent) across the order's
+lineitems proportionally to value, such that the allocated cents SUM
+BACK EXACTLY to the fee — naive per-line rounding leaks pennies, and a
+financial mart that is off by a cent per order fails reconciliation at
+month-end. The fix is the largest-remainder (Hamilton) method, entirely
+in integers:
+
+    base_i = floor(T · w_i / W),   r_i = (T · w_i) mod W
+    rem    = T − Σ base_i          (0 ≤ rem < n_lines)
+    alloc_i = base_i + 1 for the `rem` largest r_i, else base_i
+
+Portability: the testdata's lineitem is NOT unique on (orderkey,
+linenumber) — fully duplicate rows have EQUAL remainders, so which
+duplicate receives the extra penny is engine-dependent. But the
+per-order allocation MULTISET is invariant under that choice (k of the
+tied rows get +1 regardless of which k), so every compared column here
+is a multiset-invariant per-order aggregate (sum / max / min /
+mismatch count) rolled up by order size. The n_mismatch column is the
+op's own invariant: it must be 0 everywhere.
+
+Scale: one orderkey-keyed aggregate for (W, n) + one co-partitioned
+join back + one per-order window over ≤order-size rows — the same
+single-shuffle discipline as the fact loader; no global step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_mini_dw_spark.sources.tables import typed_table
+
+FEE_PERMILLE = 25  # order fee = 2.5% of o_totalprice, floored to the cent
+
+
+def penny_allocation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_lines, n_orders, fee_c, alloc_c, n_mismatch, max_spread_c):
+    largest-remainder allocation audit rolled up by order size —
+    alloc_c must equal fee_c and n_mismatch must be 0 in every row."""
+    li = typed_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * 100).cast("bigint").alias("w"),
+    )
+    orders = typed_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(f"(CAST(o_totalprice * 100 AS BIGINT) * {FEE_PERMILLE}) div 1000")
+        .cast("bigint")
+        .alias("fee"),
+    )
+    totals = li.groupBy("l_orderkey").agg(
+        F.sum("w").cast("bigint").alias("w_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+    lines = (
+        li.join(totals, "l_orderkey")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "n_lines",
+            "fee",
+            F.expr("(fee * w) div w_tot").alias("base"),
+            F.expr("(fee * w) % w_tot").alias("r"),
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+        )
+    )
+    wr = Window.partitionBy("l_orderkey").orderBy(
+        F.col("r").desc(), "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    wrem = Window.partitionBy("l_orderkey")
+    alloc = lines.select(
+        "l_orderkey",
+        "n_lines",
+        "fee",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(wr)
+                <= (F.col("fee") - F.sum("base").over(wrem)),
+                1,
+            ).otherwise(0)
+        ).alias("alloc"),
+    )
+    per_order = alloc.groupBy("l_orderkey", "n_lines", "fee").agg(
+        F.sum("alloc").cast("bigint").alias("alloc_sum"),
+        (F.max("alloc") - F.min("alloc")).cast("bigint").alias("spread"),
+    )
+    return (
+        per_order.groupBy("n_lines")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("fee").cast("bigint").alias("fee_c"),
+            F.sum("alloc_sum").cast("bigint").alias("alloc_c"),
+            F.sum(F.when(F.col("alloc_sum") != F.col("fee"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_mismatch"),
+            F.max("spread").cast("bigint").alias("max_spread_c"),
+        )
+        .orderBy("n_lines")
+    )
+
+
+PENNY_ALLOCATION_SQL = f"""
+WITH li AS MATERIALIZED (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         CAST(l_extendedprice * 100 AS BIGINT) AS w
+  FROM lineitem
+),
+totals AS (
+  SELECT l_orderkey AS tk, CAST(SUM(w) AS BIGINT) AS w_tot,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM li GROUP BY 1
+),
+lines AS MATERIALIZED (
+  SELECT l_orderkey, n_lines, fee,
+         (fee * w) // w_tot AS base,
+         (fee * w) % w_tot AS r,
+         l_linenumber, l_partkey, l_suppkey
+  FROM li
+  JOIN totals ON tk = l_orderkey
+  JOIN (SELECT o_orderkey,
+               CAST((CAST(o_totalprice * 100 AS BIGINT) * {FEE_PERMILLE}) // 1000 AS BIGINT) AS fee
+        FROM orders) o ON o_orderkey = l_orderkey
+),
+alloc AS (
+  SELECT l_orderkey, n_lines, fee,
+         base + CASE WHEN row_number() OVER (
+                  PARTITION BY l_orderkey
+                  ORDER BY r DESC, l_linenumber, l_partkey, l_suppkey)
+                <= fee - SUM(base) OVER (PARTITION BY l_orderkey)
+                THEN 1 ELSE 0 END AS alloc
+  FROM lines
+),
+per_order AS (
+  SELECT l_orderkey, n_lines, fee,
+         CAST(SUM(alloc) AS BIGINT) AS alloc_sum,
+         CAST(MAX(alloc) - MIN(alloc) AS BIGINT) AS spread
+  FROM alloc GROUP BY 1, 2, 3
+)
+SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(fee) AS BIGINT) AS fee_c,
+       CAST(SUM(alloc_sum) AS BIGINT) AS alloc_c,
+       CAST(SUM(CASE WHEN alloc_sum <> fee THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+       CAST(MAX(spread) AS BIGINT) AS max_spread_c
+FROM per_order
+GROUP BY 1
+ORDER BY 1
+"""

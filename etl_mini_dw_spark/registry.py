@@ -1250,6 +1250,14 @@ _register(
     sketches.hdr_quantile_sketch_sql(),
 )
 
+from etl_mini_dw_spark.plans import allocation as _alloc  # noqa: E402
+
+_register(
+    "ext_penny_allocation_audit",
+    _alloc.penny_allocation_audit,
+    _alloc.PENNY_ALLOCATION_SQL,
+)
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). The rotation is fully
