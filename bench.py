@@ -118,6 +118,7 @@ FLOORS = {
     "ext_incremental_join_view": 3.14,  # builds + merges a ParquetStore twice
     "ext_hdr_quantile_sketch": 0.78,
     "ext_penny_allocation_audit": 2.59,
+    "ext_conformal_coverage": 2.47,
 }
 
 

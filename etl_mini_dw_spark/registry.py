@@ -1258,6 +1258,14 @@ _register(
     _alloc.PENNY_ALLOCATION_SQL,
 )
 
+from etl_mini_dw_spark.plans import conformal as _conformal  # noqa: E402
+
+_register(
+    "ext_conformal_coverage",
+    _conformal.conformal_coverage,
+    _conformal.conformal_coverage_sql(),
+)
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). The rotation is fully
