@@ -86,8 +86,11 @@ def bradley_terry_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("d")
             )
         )
+        # denom/p are tiny DERIVED frames (no stats) — without the explicit
+        # hint they compile to SortMergeJoin (CLAUDE.md trap, seen in the
+        # plan test)
         praw = (
-            wins.join(denom, "i")
+            wins.join(F.broadcast(denom), "i")
             .select("i", F.expr(f"(W * {BT_TERM}) div d").alias("praw"))
         )
         tot = praw.agg(F.sum("praw").cast("bigint").alias("tot"))
@@ -98,7 +101,7 @@ def bradley_terry_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     ranked = (
-        wins.join(p, "i")
+        wins.join(F.broadcast(p), "i")
         .select(
             F.col("i").alias("brand"),
             F.col("G").alias("n_games"),

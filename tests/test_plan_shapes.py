@@ -432,3 +432,66 @@ def test_hll_register_shuffle_is_partial_aggregable(spark, sf_dir):
     plan = _plan(sketches.hll_register_rollup(spark, sf_dir))
     assert plan.count("HashAggregate") >= 2, plan[:3000]
     assert "SortMergeJoin" not in plan
+
+
+def test_spearman_small_maps_broadcast_one_corpus_join(spark, sf_dir):
+    """Three ≤50-row midrank maps broadcast; only the near-unique
+    l_extendedprice map joins by shuffle; no cartesian anywhere."""
+    from etl_mini_dw_spark.plans import stats
+
+    plan = _plan(stats.spearman_rank_matrix(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_penny_allocation_windows_are_order_keyed(spark, sf_dir):
+    """Per-order windows must partition by l_orderkey (bounded
+    partitions), and candidate generation must never go cartesian."""
+    from etl_mini_dw_spark.plans import allocation
+
+    plan = _plan(allocation.penny_allocation_audit(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "partitionBy=[l_orderkey" in plan.replace(" ", "").replace(
+        "PartitionBy", "partitionBy"
+    ) or "l_orderkey" in plan.split("Window")[1][:400], plan[:3000]
+
+
+def test_bradley_terry_strength_maps_broadcast(spark, sf_dir):
+    """Every MM round joins the ≤|brands|-row strength frames back as
+    broadcasts; the dim join is broadcast; no cartesian outside the
+    1-row scalar hoists."""
+    from etl_mini_dw_spark.plans import preference
+
+    plan = _plan(preference.bradley_terry_brands(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_conformal_model_join_is_broadcast(spark, sf_dir):
+    """The |quantity|-row predictor joins the corpus as a broadcast;
+    residual histograms aggregate in two phases (map-side partials)."""
+    from etl_mini_dw_spark.plans import conformal
+
+    plan = _plan(conformal.conformal_coverage(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_hdr_sketch_aggregates_two_phase(spark, sf_dir):
+    """The (bucket, count) histogram must reduce map-side before the
+    shuffle — the sketch's whole reason to exist."""
+    from etl_mini_dw_spark.plans import sketches
+
+    plan = _plan(sketches.hdr_quantile_sketch(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_km_survival_no_cartesian_and_partitioned_windows(spark, sf_dir):
+    from etl_mini_dw_spark.plans import survival
+
+    plan = _plan(survival.survival_km_shipping(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # per-priority windows, never a global single partition
+    assert "windowspecdefinition(priority" in plan, plan[:3000]
