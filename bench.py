@@ -119,6 +119,7 @@ FLOORS = {
     "ext_hdr_quantile_sketch": 0.78,
     "ext_penny_allocation_audit": 2.59,
     "ext_conformal_coverage": 2.47,
+    "ext_trending_parts": 1.44,
 }
 
 

@@ -805,3 +805,118 @@ SELECT p.channel,
 FROM pairs p, consts
 GROUP BY p.channel, consts.v_full, consts.v_empty
 """
+
+
+# --- decayed trending leaderboard --------------------------------------------
+#
+# The feature-store "trending items" counter: recent demand counts more
+# than old demand, with an exponential half-life. Float decay factors
+# (0.5^(age/hl)) are summation-order-sensitive and drift between
+# engines; DYADIC decay is not — the weight is an exact power of two,
+#
+#   weight = 2^(32 − age_halflives)  for age < 32 half-lives, else 0
+#
+# (shiftleft on an integer; one 8-week half-life). Scores are exact
+# DECIMAL sums of BIGINT qty_cents·weight products and are compared as
+# STRINGS (a >15-digit decimal→double cast is the CLAUDE.md 1-ulp trap,
+# and the driver's pandas canon turns DuckDB decimals into lossy
+# float64 — strings are exact on both engines).
+#
+# Scale: one partkey shuffle (partial-aggregable — the weight is a
+# map-side expression), broadcast part dim, TakeOrderedAndProject
+# top-20. Maintaining the counter incrementally is one multiply: scores
+# age by 2^-k per k half-lives, so yesterday's stored leaderboard times
+# a constant plus today's partial = today's leaderboard.
+
+TREND_REF_DATE = "2002-01-01"  # just past the testdata's 2001-11 end
+TREND_HALFLIFE_DAYS = 56
+TREND_MAX_HL = 32
+TREND_TOP_K = 20
+
+
+def trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(trend_rank, p_partkey, p_brand, score, recent_qty_c, total_qty_c):
+    top-20 parts by half-life-decayed ordered quantity; recent = inside
+    the newest half-life window."""
+    li = typed_table(spark, sf_dir, "lineitem")
+    orders = typed_table(spark, sf_dir, "orders")
+    part = typed_table(spark, sf_dir, "part")
+    age_hl = F.floor(
+        F.datediff(F.lit(TREND_REF_DATE).cast("date"), F.col("o_orderdate"))
+        / TREND_HALFLIFE_DAYS
+    ).cast("int")
+    qty_c = (F.col("l_quantity") * 100).cast("bigint")
+    # reference the PROJECTED age_hl column, not the raw expression (which
+    # still points at the already-dropped o_orderdate)
+    weight = F.when(
+        F.col("age_hl") < TREND_MAX_HL,
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {TREND_MAX_HL} - age_hl)"),
+    ).otherwise(F.lit(0))
+    scored = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_partkey",
+            qty_c.alias("qty_c"),
+            age_hl.alias("age_hl"),
+        )
+        .select(
+            "l_partkey",
+            "qty_c",
+            "age_hl",
+            (F.col("qty_c") * weight).alias("wq"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("wq").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("score_d"),
+            F.sum(F.when(F.col("age_hl") < 1, F.col("qty_c")).otherwise(0))
+            .cast("bigint")
+            .alias("recent_qty_c"),
+            F.sum("qty_c").cast("bigint").alias("total_qty_c"),
+        )
+    )
+    w = Window.orderBy(F.col("score_d").desc(), F.col("l_partkey"))
+    return (
+        scored.withColumn("trend_rank", F.row_number().over(w))
+        .filter(F.col("trend_rank") <= TREND_TOP_K)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "trend_rank",
+            "p_partkey",
+            "p_brand",
+            F.col("score_d").cast("string").alias("score"),
+            "recent_qty_c",
+            "total_qty_c",
+        )
+        .orderBy("trend_rank")
+    )
+
+
+TRENDING_PARTS_SQL = f"""
+WITH scored AS MATERIALIZED (
+  SELECT l_partkey,
+         CAST(SUM(CASE WHEN age_hl < {TREND_MAX_HL}
+                       THEN qty_c * (CAST(1 AS BIGINT) << ({TREND_MAX_HL} - age_hl))
+                       ELSE 0 END) AS DECIMAL(38,0)) AS score_d,
+         CAST(SUM(CASE WHEN age_hl < 1 THEN qty_c ELSE 0 END) AS BIGINT) AS recent_qty_c,
+         CAST(SUM(qty_c) AS BIGINT) AS total_qty_c
+  FROM (
+    SELECT l_partkey,
+           CAST(l_quantity * 100 AS BIGINT) AS qty_c,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '{TREND_REF_DATE}')
+                      // {TREND_HALFLIFE_DAYS} AS INTEGER) AS age_hl
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  )
+  GROUP BY 1
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY score_d DESC, l_partkey) AS INTEGER) AS trend_rank
+  FROM scored
+)
+SELECT trend_rank, p_partkey, p_brand,
+       CAST(score_d AS VARCHAR) AS score, recent_qty_c, total_qty_c
+FROM ranked JOIN part ON p_partkey = l_partkey
+WHERE trend_rank <= {TREND_TOP_K}
+ORDER BY trend_rank
+"""

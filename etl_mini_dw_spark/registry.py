@@ -1265,6 +1265,11 @@ _register(
     _conformal.conformal_coverage,
     _conformal.conformal_coverage_sql(),
 )
+_register(
+    "ext_trending_parts",
+    behavior.trending_parts,
+    behavior.TRENDING_PARTS_SQL,
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
