@@ -9,6 +9,7 @@ timings look fine.
 from __future__ import annotations
 
 import io
+import re
 from contextlib import redirect_stdout
 
 from etl_mini_dw_spark.operators import fact
@@ -451,9 +452,9 @@ def test_penny_allocation_windows_are_order_keyed(spark, sf_dir):
 
     plan = _plan(allocation.penny_allocation_audit(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "partitionBy=[l_orderkey" in plan.replace(" ", "").replace(
-        "PartitionBy", "partitionBy"
-    ) or "l_orderkey" in plan.split("Window")[1][:400], plan[:3000]
+    # formatted explain spells the partition spec inside
+    # windowspecdefinition(<first partition key>#id, ...)
+    assert re.search(r"windowspecdefinition\(l_orderkey#\d+", plan), plan[:3000]
 
 
 def test_bradley_terry_strength_maps_broadcast(spark, sf_dir):
