@@ -1,0 +1,389 @@
+"""Online-experimentation readouts: CUPED-adjusted A/B lift and a
+probability-calibration (reliability / Brier / ECE) report.
+
+These are the experimentation counterparts of the repo's ML-eval family
+(AUC ranking quality, gains/lift targeting depth, conformal coverage):
+an A/B platform needs a variance-reduced lift estimate (CUPED, Deng et
+al. WSDM 2013) and any probabilistic classifier feeding a decision
+needs its predicted probabilities CHECKED against observed rates
+(reliability table + Brier score + expected calibration error).
+
+Both follow the repo's exact-sufficient-statistics discipline: every
+corpus-sized reduction is an integer / exact-decimal sum, floats appear
+only in final O(1)-magnitude ratios, and every exposed ratio is
+``round(x, 6)`` on BOTH engines because the second-moment sums exceed
+15 digits (the wide-decimal → double 1-ulp trap, CLAUDE.md). Derived
+quantities (naive_diff, cuped_diff, gap) are computed FROM the already-
+rounded components so both engines do identical IEEE arithmetic on
+identical doubles.
+
+Reference parity note: the reference warehouse (DavidFarm/etl-mini-dw,
+code/SQL_1_Assignment_2_David_Färm.sql) has no experimentation layer;
+these extend the engine for the training-data/serving pipeline the
+brief asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_mini_dw_spark.functions.sampling import HASH_MOD, HASH_MULT
+from etl_mini_dw_spark.sources.tables import typed_table
+
+# ---------------------------------------------------------------------------
+# CUPED A/B lift
+#
+# Unit = customer; assignment = deterministic multiplicative hash of
+# c_custkey (the repo's split hash, so assignment is reproducible and
+# balanced); metric y = post-period revenue (>= PERIOD_CUT), covariate
+# x = pre-period revenue (< PERIOD_CUT), both in exact integer cents.
+# theta = cov(x, y) / var(x) is fitted POOLED across arms (Deng et al.
+# §3.2 — pooling is unbiased because assignment is independent of x),
+# and the adjusted lift is
+#     cuped_diff = (ybar_A - ybar_B) - theta * (xbar_A - xbar_B).
+# Variance reduction equals rho^2 = corr(x, y)^2, reported so the
+# platform can see what the covariate bought.
+#
+# Scale: one o_custkey groupBy (partial-aggregable), one co-partitioned
+# left join onto the customer spine, then ONE global aggregate of
+# integer/exact-decimal sufficient statistics — the same shape at
+# 100 TB, nothing global but a 1-row reduce.
+
+PERIOD_CUT = "1997-01-01"  # pre-period < cut <= post-period (data spans 1995–2001)
+AB_ARM_CUT = 500_000  # hash < cut -> arm A (HASH_MOD = 1_000_000 -> 50/50)
+
+
+def ab_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_a, n_b, mean_x_a, mean_x_b, mean_y_a, mean_y_b,
+    naive_diff, theta, cuped_diff, rho2) — the CUPED-adjusted A/B
+    revenue-lift readout over hash-assigned customer arms.
+
+    The hash split is on the CUSTOMER key so a unit's entire order
+    history lands in one arm (the same whole-unit rule as the conformal
+    order-key split). Second moments are summed as DECIMAL(38,0) —
+    x*y reaches ~1e16 per row and ~1e21 summed at sf0.1, past int64.
+    """
+    cust = typed_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = typed_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") < PERIOD_CUT,
+                    (F.col("o_totalprice") * 100).cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") >= PERIOD_CUT,
+                    (F.col("o_totalprice") * 100).cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).alias("y"),
+        )
+    )
+    units = cust.join(per_cust, "c_custkey", "left").select(
+        F.when(
+            F.pmod(F.col("c_custkey") * F.lit(HASH_MULT), F.lit(HASH_MOD))
+            < AB_ARM_CUT,
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    # one global aggregate: per-arm first moments + pooled second moments
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    a = F.col("arm") == "A"
+    agg = units.agg(
+        F.sum(F.when(a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~a, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(a, F.col("x")).otherwise(0)).cast("bigint").alias("sx_a"),
+        F.sum(F.when(~a, F.col("x")).otherwise(0)).cast("bigint").alias("sx_b"),
+        F.sum(F.when(a, F.col("y")).otherwise(0)).cast("bigint").alias("sy_a"),
+        F.sum(F.when(~a, F.col("y")).otherwise(0)).cast("bigint").alias("sy_b"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+    )
+    # exact-decimal moment combination (n cast DECIMAL(10,0): the
+    # bigint*decimal precision-39 scale-shed trap — scale is 0 here but
+    # keep the rule uniform); values ~1e26 sit well inside 38 digits
+    n = (F.col("n_a") + F.col("n_b")).cast("decimal(10,0)")
+    sx = (F.col("sx_a") + F.col("sx_b")).cast("decimal(19,0)")
+    sy = (F.col("sy_a") + F.col("sy_b")).cast("decimal(19,0)")
+    cov_num = (n * F.col("sxy") - sx * sy).cast("double")
+    varx_num = (n * F.col("sxx") - sx * sx).cast("double")
+    vary_num = (n * F.col("syy") - sy * sy).cast("double")
+    theta = F.round(cov_num / varx_num, 6)
+    # means in dollars, round-6 BEFORE any derived arithmetic
+    mean_x_a = F.round(F.col("sx_a") / (100.0 * F.col("n_a")), 6)
+    mean_x_b = F.round(F.col("sx_b") / (100.0 * F.col("n_b")), 6)
+    mean_y_a = F.round(F.col("sy_a") / (100.0 * F.col("n_a")), 6)
+    mean_y_b = F.round(F.col("sy_b") / (100.0 * F.col("n_b")), 6)
+    derived = agg.select(
+        "n_a",
+        "n_b",
+        mean_x_a.alias("mean_x_a"),
+        mean_x_b.alias("mean_x_b"),
+        mean_y_a.alias("mean_y_a"),
+        mean_y_b.alias("mean_y_b"),
+        theta.alias("theta"),
+        F.when(
+            (varx_num > 0) & (vary_num > 0),
+            F.round(cov_num * cov_num / (varx_num * vary_num), 6),
+        ).alias("rho2"),
+    )
+    return derived.select(
+        "n_a",
+        "n_b",
+        "mean_x_a",
+        "mean_x_b",
+        "mean_y_a",
+        "mean_y_b",
+        F.round(F.col("mean_y_a") - F.col("mean_y_b"), 6).alias("naive_diff"),
+        "theta",
+        F.round(
+            (F.col("mean_y_a") - F.col("mean_y_b"))
+            - F.col("theta") * (F.col("mean_x_a") - F.col("mean_x_b")),
+            6,
+        ).alias("cuped_diff"),
+        "rho2",
+    )
+
+
+def ab_cuped_lift_sql() -> str:
+    """DuckDB mirror: HUGEINT second moments (int128, exact like the
+    Spark DECIMAL(38,0) sums), identical round-6-then-derive order."""
+    return f"""
+WITH per_cust AS (
+  SELECT c.c_custkey,
+         CASE WHEN (c.c_custkey * {HASH_MULT}) % {HASH_MOD} < {AB_ARM_CUT}
+              THEN 'A' ELSE 'B' END AS arm,
+         COALESCE(SUM(CASE WHEN o.o_orderdate < TIMESTAMP '{PERIOD_CUT}'
+             THEN CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+             ELSE 0 END), 0) AS x,
+         COALESCE(SUM(CASE WHEN o.o_orderdate >= TIMESTAMP '{PERIOD_CUT}'
+             THEN CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+             ELSE 0 END), 0) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 'A' THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+         CAST(SUM(CASE WHEN arm = 'B' THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+         CAST(SUM(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+         CAST(SUM(CASE WHEN arm = 'B' THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM per_cust
+),
+m AS (
+  SELECT n_a, n_b,
+         CAST((n_a + n_b) * sxy - CAST(sx_a + sx_b AS HUGEINT) * (sy_a + sy_b)
+              AS DOUBLE) AS cov_num,
+         CAST((n_a + n_b) * sxx - CAST(sx_a + sx_b AS HUGEINT) * (sx_a + sx_b)
+              AS DOUBLE) AS varx_num,
+         CAST((n_a + n_b) * syy - CAST(sy_a + sy_b AS HUGEINT) * (sy_a + sy_b)
+              AS DOUBLE) AS vary_num,
+         round(CAST(sx_a AS DOUBLE) / (100.0 * n_a), 6) AS mean_x_a,
+         round(CAST(sx_b AS DOUBLE) / (100.0 * n_b), 6) AS mean_x_b,
+         round(CAST(sy_a AS DOUBLE) / (100.0 * n_a), 6) AS mean_y_a,
+         round(CAST(sy_b AS DOUBLE) / (100.0 * n_b), 6) AS mean_y_b
+  FROM s
+)
+SELECT n_a, n_b, mean_x_a, mean_x_b, mean_y_a, mean_y_b,
+       round(mean_y_a - mean_y_b, 6) AS naive_diff,
+       round(cov_num / varx_num, 6) AS theta,
+       round((mean_y_a - mean_y_b)
+             - round(cov_num / varx_num, 6) * (mean_x_a - mean_x_b), 6)
+         AS cuped_diff,
+       CASE WHEN varx_num > 0 AND vary_num > 0
+            THEN round(cov_num * cov_num / (varx_num * vary_num), 6)
+       END AS rho2
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Calibration / reliability report
+#
+# Predictor: per-discount-value return probability fitted on a hash
+# TRAIN split of lineitem order keys (whole orders on one side, the
+# conformal rule); evaluated on the TEST split. l_discount has ~11
+# distinct values, so the "reliability diagram" buckets ARE the
+# predictor's support — no extra binning step to disagree on.
+#
+# Exactness: the predicted probability is floor(1e6 * pos / n) — an
+# integer fixed-point computed with the pmod floor-division identity on
+# both engines; Brier sums (p6 - y*1e6)^2 as DECIMAL(38,0)/HUGEINT
+# (~1e12 per row — past int64 at sf >= 1); ECE's numerator
+# sum_d |p6_d * n_d - 1e6 * pos_d| is exact integer. Only the final
+# per-bucket/O(1) ratios become round-6 doubles.
+
+CAL_TRAIN_CUT = 500_000  # hash < cut -> train, else test
+
+
+def _fd(a, b):
+    """Exact floor division a div b (b > 0) via the pmod identity —
+    Spark's `div` truncates toward zero, DuckDB's `//` floors; routing
+    through (a - pmod(a, b)) / b makes both engines compute the same
+    mathematical floor (the power-iteration renorm rule)."""
+    return F.expr(f"({a} - pmod({a}, {b})) div ({b})")
+
+
+def calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket_cents, n_test, pos_test, p_pred, p_obs, gap, brier, ece):
+    reliability row per discount value plus one TOTAL row (bucket -1)
+    carrying the Brier score and expected calibration error.
+
+    Scale: train pass reduces to an ~11-row model (broadcast); test pass
+    is one partial-aggregable groupBy on the same ~11 keys; Brier's
+    corpus-sized sum rides the same aggregate. Nothing global but the
+    11-row assembly.
+    """
+    li = typed_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_discount") * 100).cast("int").alias("bucket_cents"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        F.when(
+            F.pmod(F.col("l_orderkey") * F.lit(HASH_MULT), F.lit(HASH_MOD))
+            < CAL_TRAIN_CUT,
+            F.lit("train"),
+        )
+        .otherwise(F.lit("test"))
+        .alias("role"),
+    )
+    model = (
+        li.filter(F.col("role") == "train")
+        .groupBy("bucket_cents")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tr"),
+            F.sum("y").cast("bigint").alias("pos_tr"),
+        )
+        .select(
+            "bucket_cents",
+            _fd("1000000 * pos_tr", "n_tr").cast("bigint").alias("p6"),
+        )
+    )
+    test = (
+        li.filter(F.col("role") == "test")
+        .join(F.broadcast(model), "bucket_cents")
+        .groupBy("bucket_cents", "p6")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum("y").cast("bigint").alias("pos_test"),
+            F.sum(
+                (
+                    (F.col("p6") - F.col("y") * 1_000_000).cast("decimal(19,0)")
+                    * (F.col("p6") - F.col("y") * 1_000_000).cast("decimal(19,0)")
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("sq"),
+        )
+    )
+    buckets = test.select(
+        "bucket_cents",
+        "n_test",
+        "pos_test",
+        F.round(F.col("p6") / 1e6, 6).alias("p_pred"),
+        F.round(F.col("pos_test") / F.col("n_test").cast("double"), 6).alias(
+            "p_obs"
+        ),
+        F.round(
+            F.col("p6") / 1e6
+            - F.round(F.col("pos_test") / F.col("n_test").cast("double"), 6),
+            6,
+        ).alias("gap"),
+        F.lit(None).cast("double").alias("brier"),
+        F.lit(None).cast("double").alias("ece"),
+    )
+    total = test.agg(
+        F.sum("n_test").cast("bigint").alias("n"),
+        F.sum("pos_test").cast("bigint").alias("pos"),
+        F.sum("sq").cast("decimal(38,0)").alias("sq_sum"),
+        F.sum(
+            F.abs(
+                F.col("p6").cast("decimal(19,0)") * F.col("n_test")
+                - F.col("pos_test").cast("decimal(19,0)") * 1_000_000
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("ece_num"),
+    ).select(
+        F.lit(-1).cast("int").alias("bucket_cents"),
+        F.col("n").alias("n_test"),
+        F.col("pos").alias("pos_test"),
+        F.lit(None).cast("double").alias("p_pred"),
+        F.round(F.col("pos") / F.col("n").cast("double"), 6).alias("p_obs"),
+        F.lit(None).cast("double").alias("gap"),
+        F.round(
+            F.col("sq_sum").cast("double") / (1e12 * F.col("n").cast("double")),
+            6,
+        ).alias("brier"),
+        F.round(
+            F.col("ece_num").cast("double") / (1e6 * F.col("n").cast("double")),
+            6,
+        ).alias("ece"),
+    )
+    return buckets.unionByName(total).orderBy("bucket_cents")
+
+
+def calibration_brier_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS INTEGER) AS bucket_cents,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         CASE WHEN (l_orderkey * {HASH_MULT}) % {HASH_MOD} < {CAL_TRAIN_CUT}
+              THEN 'train' ELSE 'test' END AS role
+  FROM lineitem
+),
+model AS (
+  SELECT bucket_cents,
+         CAST((1000000 * SUM(y) - ((1000000 * SUM(y) % COUNT(*)) + COUNT(*))
+               % COUNT(*)) // COUNT(*) AS BIGINT) AS p6
+  FROM base WHERE role = 'train' GROUP BY bucket_cents
+),
+test AS (
+  SELECT b.bucket_cents, m.p6,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(b.y) AS BIGINT) AS pos_test,
+         SUM(CAST(m.p6 - b.y * 1000000 AS HUGEINT)
+             * (m.p6 - b.y * 1000000)) AS sq
+  FROM base b JOIN model m USING (bucket_cents)
+  WHERE b.role = 'test'
+  GROUP BY 1, 2
+),
+bucket_rows AS (
+  SELECT bucket_cents, n_test, pos_test,
+         round(CAST(p6 AS DOUBLE) / 1e6, 6) AS p_pred,
+         round(CAST(pos_test AS DOUBLE) / n_test, 6) AS p_obs,
+         round(CAST(p6 AS DOUBLE) / 1e6
+               - round(CAST(pos_test AS DOUBLE) / n_test, 6), 6) AS gap,
+         CAST(NULL AS DOUBLE) AS brier, CAST(NULL AS DOUBLE) AS ece
+  FROM test
+),
+total_row AS (
+  SELECT CAST(-1 AS INTEGER) AS bucket_cents,
+         CAST(SUM(n_test) AS BIGINT) AS n_test,
+         CAST(SUM(pos_test) AS BIGINT) AS pos_test,
+         CAST(NULL AS DOUBLE) AS p_pred,
+         round(CAST(SUM(pos_test) AS DOUBLE) / SUM(n_test), 6) AS p_obs,
+         CAST(NULL AS DOUBLE) AS gap,
+         round(CAST(SUM(sq) AS DOUBLE) / (1e12 * SUM(n_test)), 6) AS brier,
+         round(CAST(SUM(ABS(CAST(p6 AS HUGEINT) * n_test
+                            - CAST(pos_test AS HUGEINT) * 1000000)) AS DOUBLE)
+               / (1e6 * SUM(n_test)), 6) AS ece
+  FROM test
+)
+SELECT * FROM bucket_rows
+UNION ALL
+SELECT * FROM total_row
+ORDER BY bucket_cents
+"""

@@ -206,3 +206,124 @@ SELECT CAST((cum_before * {HIST_BINS}) // total AS BIGINT) AS bin,
        CAST(SUM(cnt) AS BIGINT) AS n_rows
 FROM binned, total GROUP BY 1
 """
+
+
+# --- Small-file compaction planner -------------------------------------------
+#
+# The OPTIMIZE/bin-packing planner every lakehouse table needs: small
+# files are the dominant 100 TB read-path tax (footer fetch + open cost
+# per file dwarfs scan cost when files are KB-sized), and the fix is a
+# metadata-only plan that packs contiguous small files within each
+# partition into target-sized bins. This operator simulates the file
+# listing (ship-month partitions × 16 write-slot files, byte sizes from
+# row counts), then computes the deterministic contiguous-greedy pack:
+# a file joins bin floor(cum_bytes_before / TARGET) — exactly the
+# size-ordered first-fit Delta's OPTIMIZE uses within a partition.
+#
+# Scale: after the one partial-aggregable rollup that builds the file
+# listing, EVERYTHING runs on file METADATA (a 100 TB table is ~10^5
+# files → ~10^5 rows); the planner never touches data again. The
+# windows are per-partition over ≤|slots| rows. All sizes/bins are
+# integers; the only float is the final round-6 fill ratio.
+
+COMPACT_ROW_BYTES = 120  # estimated encoded bytes per lineitem row
+COMPACT_TARGET = 262_144  # target compacted file size (bytes)
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ym, files_before, small_before, rows, bytes, bins_after,
+    small_after, fill_avg): per ship-month partition, the file count
+    before compaction, how many were small (< TARGET/2), and the
+    bin-packed result — bins, residual small bins, mean fill ratio."""
+    li = typed_table(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ym"),
+        F.pmod(F.col("l_orderkey"), F.lit(16)).alias("slot"),
+    )
+    files = li.groupBy("ym", "slot").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    ).select(
+        "ym",
+        "slot",
+        "n_rows",
+        (F.col("n_rows") * COMPACT_ROW_BYTES).alias("est_bytes"),
+    )
+    binned = files.select(
+        "ym",
+        "n_rows",
+        "est_bytes",
+        F.when(F.col("est_bytes") < COMPACT_TARGET / 2, 1)
+        .otherwise(0)
+        .alias("small"),
+        F.expr(
+            f"coalesce(sum(est_bytes) over (partition by ym order by slot"
+            f" rows between unbounded preceding and 1 preceding), 0)"
+            f" div {COMPACT_TARGET}"
+        ).alias("bin"),
+    )
+    bins = binned.groupBy("ym", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("files_in"),
+        F.sum("n_rows").cast("bigint").alias("rows"),
+        F.sum("est_bytes").cast("bigint").alias("bytes"),
+        F.sum("small").cast("bigint").alias("small_files"),
+    )
+    return (
+        bins.groupBy("ym")
+        .agg(
+            F.sum("files_in").cast("bigint").alias("files_before"),
+            F.sum("small_files").cast("bigint").alias("small_before"),
+            F.sum("rows").cast("bigint").alias("rows"),
+            F.sum("bytes").cast("bigint").alias("bytes"),
+            F.count(F.lit(1)).cast("bigint").alias("bins_after"),
+            F.sum(
+                F.when(F.col("bytes") < COMPACT_TARGET / 2, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("small_after"),
+            F.round(
+                F.sum("bytes").cast("double")
+                / (F.count(F.lit(1)) * F.lit(float(COMPACT_TARGET))),
+                6,
+            ).alias("fill_avg"),
+        )
+        .orderBy("ym")
+    )
+
+
+COMPACTION_PLAN_SQL = f"""
+WITH files AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ym,
+         ((l_orderkey % 16) + 16) % 16 AS slot,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) * {COMPACT_ROW_BYTES} AS est_bytes
+  FROM lineitem GROUP BY 1, 2
+),
+binned AS (
+  SELECT ym, n_rows, est_bytes,
+         CASE WHEN est_bytes < {COMPACT_TARGET} / 2 THEN 1 ELSE 0 END AS small,
+         COALESCE(SUM(est_bytes) OVER (PARTITION BY ym ORDER BY slot
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {COMPACT_TARGET} AS bin
+  FROM files
+),
+bins AS (
+  SELECT ym, bin,
+         CAST(COUNT(*) AS BIGINT) AS files_in,
+         CAST(SUM(n_rows) AS BIGINT) AS rows,
+         CAST(SUM(est_bytes) AS BIGINT) AS bytes,
+         CAST(SUM(small) AS BIGINT) AS small_files
+  FROM binned GROUP BY 1, 2
+)
+SELECT ym,
+       CAST(SUM(files_in) AS BIGINT) AS files_before,
+       CAST(SUM(small_files) AS BIGINT) AS small_before,
+       CAST(SUM(rows) AS BIGINT) AS rows,
+       CAST(SUM(bytes) AS BIGINT) AS bytes,
+       CAST(COUNT(*) AS BIGINT) AS bins_after,
+       CAST(SUM(CASE WHEN bytes < {COMPACT_TARGET} / 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS small_after,
+       round(CAST(SUM(bytes) AS DOUBLE) / (COUNT(*) * {COMPACT_TARGET}.0), 6)
+         AS fill_avg
+FROM bins
+GROUP BY ym
+ORDER BY ym
+"""

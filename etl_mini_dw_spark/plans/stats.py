@@ -1410,3 +1410,174 @@ def gains_lift_chart_sql() -> str:
             ),
         ]
     ) + "\nORDER BY metric, depth"
+
+
+# --- Theil–Sen robust trend --------------------------------------------------
+#
+# The breakdown-resistant counterpart of ``revenue_trend_slope``: OLS
+# bends toward the anomaly days the CUSUM/MAD battery flags (a single
+# promo spike tilts the fitted line), while the Theil–Sen estimator —
+# the MEDIAN of all pairwise slopes (y_j − y_i)/(x_j − x_i) — tolerates
+# up to ~29% arbitrary corruption (Sen 1968). Both slopes are reported
+# per slice so the gap is itself the robustness diagnostic.
+#
+# Exactness: daily revenue is the CUSUM's 10^-4-currency integer; each
+# pairwise slope is kept as the EXACT integer floor((Δy·1000)/Δx) via
+# the pmod floor-division identity (Spark `div` truncates toward zero,
+# DuckDB `//` floors — routing both through (a − pmod(a,b))/b makes the
+# mathematical floor explicit), and the median is an exact lower order
+# statistic read off the slope-value HISTOGRAM (rank (m−1) div 2 + 1 —
+# the boxplot rule; a fixed rank in a sorted multiset is invariant to
+# tie permutations). No float exists before the two final round-6
+# report columns.
+#
+# Scale: the pair join is over the DAILY series — its size is the DATE
+# RANGE squared, not the data size, so it does not grow with corpus
+# rows (2.4k days → ~3M pairs at any SF). The corpus is touched once
+# by the partial-aggregable daily rollup. For decade-scale series the
+# documented swap is sampled pairs (median of a uniform pair sample is
+# a consistent estimator) — same plan, one extra hash filter.
+
+TS_SLOPE_SCALE = 1000  # slope fixed-point: 10^-4 currency units per day × 10^3
+
+
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(slice, n_days, n_pairs, ts_slope, ols_slope): Theil–Sen vs OLS
+    daily-revenue slope (dollars/day), globally and per order-year."""
+    li = typed_table(spark, sf_dir, "lineitem")
+    orders = typed_table(spark, sf_dir, "orders")
+    daily = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            (F.sum(F.expr(_REV)) * 10000)
+            .cast("decimal(38,0)")
+            .cast("bigint")
+            .alias("y")
+        )
+        .select(
+            F.datediff("day", F.lit(_X_EPOCH).cast("date"))
+            .cast("bigint")
+            .alias("x"),
+            F.year("day").cast("string").alias("yr"),
+            "y",
+        )
+    )
+    slices = (
+        daily.select(F.lit("ALL").alias("slice"), "x", "y")
+        .unionByName(daily.select(F.col("yr").alias("slice"), "x", "y"))
+        .localCheckpoint(eager=False)
+    )
+    a = slices.select(
+        F.col("slice"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = slices.select(
+        F.col("slice"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pairs = a.join(F.broadcast(b), "slice").filter(F.col("xa") < F.col("xb"))
+    num = f"(yb - ya) * {TS_SLOPE_SCALE}"
+    den = "(xb - xa)"
+    fp = F.expr(f"(({num}) - pmod(({num}), {den})) div ({den})")
+    hist = (
+        pairs.select("slice", fp.alias("fp"))
+        .groupBy("slice", "fp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wcum = Window.partitionBy("slice").orderBy("fp").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("slice")
+    ranked = hist.select(
+        "slice",
+        "fp",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("m"),
+    )
+    k = ((F.col("m") - 1) / 2).cast("bigint") + 1  # (m-1) div 2 + 1, m >= 1
+    med = ranked.filter(
+        (F.col("cum") - F.col("cnt") < k) & (F.col("cum") >= k)
+    ).select("slice", F.col("fp").alias("ts_fp"), F.col("m").alias("n_pairs"))
+    ols = slices.groupBy("slice").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(10,0)") * F.col("y").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n = F.col("n_days").cast("double")
+    ols_slope = F.round(
+        (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / ((n * F.col("sxx") - F.col("sx") * F.col("sx")) * 1e4),
+        6,
+    )
+    return (
+        ols.join(F.broadcast(med), "slice")
+        .select(
+            "slice",
+            "n_days",
+            "n_pairs",
+            F.round(F.col("ts_fp") / (TS_SLOPE_SCALE * 1e4), 6).alias(
+                "ts_slope"
+            ),
+            ols_slope.alias("ols_slope"),
+        )
+        .orderBy("slice")
+    )
+
+
+THEIL_SEN_SQL = f"""
+WITH daily AS (
+  SELECT CAST(datediff('day', DATE '{_X_EPOCH}', o_orderdate) AS BIGINT) AS x,
+         CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS yr,
+         CAST(CAST(SUM({_REV}) * 10000 AS DECIMAL(38,0)) AS BIGINT) AS y
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_orderdate
+),
+slices AS (
+  SELECT 'ALL' AS slice, x, y FROM daily
+  UNION ALL
+  SELECT yr AS slice, x, y FROM daily
+),
+pairs AS (
+  SELECT a.slice,
+         ((b.y - a.y) * {TS_SLOPE_SCALE}
+          - (((((b.y - a.y) * {TS_SLOPE_SCALE}) % (b.x - a.x)) + (b.x - a.x))
+             % (b.x - a.x))) // (b.x - a.x) AS fp
+  FROM slices a JOIN slices b
+    ON a.slice = b.slice AND a.x < b.x
+),
+hist AS (
+  SELECT slice, fp, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY 1, 2
+),
+ranked AS (
+  SELECT slice, fp, cnt,
+         SUM(cnt) OVER (PARTITION BY slice ORDER BY fp) AS cum,
+         SUM(cnt) OVER (PARTITION BY slice) AS m
+  FROM hist
+),
+med AS (
+  SELECT slice, fp AS ts_fp, m AS n_pairs
+  FROM ranked
+  WHERE cum - cnt < (m - 1) // 2 + 1 AND cum >= (m - 1) // 2 + 1
+),
+ols AS (
+  SELECT slice,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM slices GROUP BY slice
+)
+SELECT o.slice, o.n_days, CAST(m.n_pairs AS BIGINT) AS n_pairs,
+       round(CAST(m.ts_fp AS DOUBLE) / ({TS_SLOPE_SCALE} * 1e4), 6) AS ts_slope,
+       round((o.n_days * o.sxy - o.sx * o.sy)
+             / ((o.n_days * o.sxx - o.sx * o.sx) * 1e4), 6) AS ols_slope
+FROM ols o JOIN med m ON o.slice = m.slice
+ORDER BY o.slice
+"""

@@ -1271,6 +1271,29 @@ _register(
     behavior.TRENDING_PARTS_SQL,
 )
 
+from etl_mini_dw_spark.plans import experiment as _experiment  # noqa: E402
+
+_register(
+    "ext_ab_cuped_lift",
+    _experiment.ab_cuped_lift,
+    _experiment.ab_cuped_lift_sql(),
+)
+_register(
+    "ext_calibration_brier",
+    _experiment.calibration_brier,
+    _experiment.calibration_brier_sql(),
+)
+_register(
+    "ext_theil_sen_trend",
+    _stats.theil_sen_trend,
+    _stats.THEIL_SEN_SQL,
+)
+_register(
+    "ext_compaction_plan",
+    layout.compaction_plan,
+    layout.COMPACTION_PLAN_SQL,
+)
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). The rotation is fully

@@ -1,0 +1,160 @@
+"""CUPED A/B lift + calibration report: independent derivations and
+plan shapes.
+
+The parity suite already pins Spark == DuckDB; these tests pin the
+MATH — both operators are replicated from raw parquet with
+pandas/numpy float arithmetic and must agree to ~1e-5 (the round-6
+outputs), and the CUPED identities (theta minimizes adjusted variance,
+rho2 = achieved variance reduction) are asserted from first
+principles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from etl_mini_dw_spark.functions.sampling import HASH_MOD, HASH_MULT
+from etl_mini_dw_spark.plans import experiment
+
+
+@pytest.fixture(scope="module")
+def cuped_row(spark, sf_dir):
+    return experiment.ab_cuped_lift(spark, sf_dir).collect()[0].asDict()
+
+
+def _units_pandas(sf_dir):
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    cents = np.round(orders.o_totalprice.to_numpy() * 100).astype(np.int64)
+    pre = pd.Timestamp(experiment.PERIOD_CUT)
+    is_pre = orders.o_orderdate.to_numpy() < np.datetime64(pre)
+    per = pd.DataFrame(
+        {
+            "c_custkey": orders.o_custkey,
+            "x": np.where(is_pre, cents, 0),
+            "y": np.where(~is_pre, cents, 0),
+        }
+    ).groupby("c_custkey", as_index=False).sum()
+    units = cust.merge(per, on="c_custkey", how="left").fillna(0)
+    h = (units.c_custkey.to_numpy().astype(np.int64) * HASH_MULT) % HASH_MOD
+    units["arm"] = np.where(h < experiment.AB_ARM_CUT, "A", "B")
+    return units
+
+
+def test_cuped_matches_numpy_reference(cuped_row, sf_dir):
+    u = _units_pandas(sf_dir)
+    x = u.x.to_numpy(dtype=np.float64)
+    y = u.y.to_numpy(dtype=np.float64)
+    a = (u.arm == "A").to_numpy()
+    assert cuped_row["n_a"] == int(a.sum())
+    assert cuped_row["n_b"] == int((~a).sum())
+    mean_y_a, mean_y_b = y[a].mean() / 100, y[~a].mean() / 100
+    assert cuped_row["mean_y_a"] == pytest.approx(mean_y_a, abs=2e-6)
+    assert cuped_row["naive_diff"] == pytest.approx(
+        mean_y_a - mean_y_b, abs=5e-6
+    )
+    n = len(x)
+    cov = n * (x * y).sum() - x.sum() * y.sum()
+    varx = n * (x * x).sum() - x.sum() ** 2
+    vary = n * (y * y).sum() - y.sum() ** 2
+    theta = cov / varx
+    assert cuped_row["theta"] == pytest.approx(theta, abs=2e-6)
+    # the operator derives cuped_diff from the ALREADY-ROUNDED theta and
+    # means (so both engines do identical IEEE arithmetic); mirror that
+    # order here — theta's 1e-6 rounding scales by the ~1e4-dollar
+    # covariate gap, so deriving from the unrounded theta is ~1e-2 off
+    cuped = round(
+        (round(mean_y_a, 6) - round(mean_y_b, 6))
+        - round(theta, 6)
+        * (round(x[a].mean() / 100, 6) - round(x[~a].mean() / 100, 6)),
+        6,
+    )
+    assert cuped_row["cuped_diff"] == pytest.approx(cuped, abs=5e-6)
+    assert cuped_row["rho2"] == pytest.approx(cov**2 / (varx * vary), abs=2e-6)
+
+
+def test_cuped_theta_is_the_variance_minimizer(cuped_row, sf_dir):
+    """Var(y - t*x) over units is a parabola in t minimized at theta;
+    nudging t either way must increase it (first-principles check that
+    the reported theta is the right fit, not just the right formula)."""
+    u = _units_pandas(sf_dir)
+    x = u.x.to_numpy(dtype=np.float64)
+    y = u.y.to_numpy(dtype=np.float64)
+    theta = cuped_row["theta"]
+
+    def adj_var(t):
+        return np.var(y - t * x)
+
+    assert adj_var(theta) <= adj_var(theta * 1.05) + 1e-9
+    assert adj_var(theta) <= adj_var(theta * 0.95) + 1e-9
+    # achieved variance reduction == rho2 (CUPED's defining identity)
+    red = 1 - adj_var(theta) / np.var(y)
+    assert cuped_row["rho2"] == pytest.approx(red, abs=1e-6)
+
+
+def test_calibration_matches_pandas_reference(spark, sf_dir):
+    out = (
+        experiment.calibration_brier(spark, sf_dir)
+        .orderBy("bucket_cents")
+        .toPandas()
+    )
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_discount", "l_returnflag"],
+    )
+    bucket = np.round(li.l_discount.to_numpy() * 100).astype(np.int64)
+    yv = (li.l_returnflag == "R").to_numpy().astype(np.int64)
+    h = (li.l_orderkey.to_numpy().astype(np.int64) * HASH_MULT) % HASH_MOD
+    train = h < experiment.CAL_TRAIN_CUT
+    model = {}
+    for b in np.unique(bucket[train]):
+        m = train & (bucket == b)
+        model[b] = (1_000_000 * int(yv[m].sum())) // int(m.sum())
+    test = ~train & np.isin(bucket, list(model))
+    p6 = np.array([model[b] for b in bucket[test]], dtype=np.int64)
+    yt = yv[test]
+    brier = float(((p6 - yt * 1_000_000) ** 2).sum()) / (1e12 * test.sum())
+    total = out[out.bucket_cents == -1].iloc[0]
+    assert total.n_test == int(test.sum())
+    assert total.brier == pytest.approx(brier, abs=2e-6)
+    # per-bucket reliability rows
+    for b, p in model.items():
+        m = test & (bucket == b)
+        if not m.any():
+            continue
+        row = out[out.bucket_cents == b].iloc[0]
+        assert row.n_test == int(m.sum())
+        assert row.p_pred == pytest.approx(p / 1e6, abs=1e-9)
+        assert row.p_obs == pytest.approx(yv[m].mean(), abs=2e-6)
+    # ECE from the same reference frame
+    num = sum(
+        abs(model[b] * int((test & (bucket == b)).sum())
+            - 1_000_000 * int(yv[test & (bucket == b)].sum()))
+        for b in model
+    )
+    assert total.ece == pytest.approx(num / (1e6 * test.sum()), abs=2e-6)
+
+
+def test_experiment_plan_shapes(spark, sf_dir):
+    import io
+    from contextlib import redirect_stdout
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    p = plan_of(experiment.ab_cuped_lift(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    # corpus reductions stay partial-aggregable (map-side combine)
+    assert p.count("HashAggregate") >= 2, p[:2000]
+    p2 = plan_of(experiment.calibration_brier(spark, sf_dir))
+    assert "CartesianProduct" not in p2
+    assert "BroadcastHashJoin" in p2, p2[:2000]
+    assert "SortMergeJoin" not in p2

@@ -164,3 +164,79 @@ def test_gains_lift_matches_numpy(spark, sf_dir):
         assert abs(r["gains"] - r["cum_pos"] / tot_pos) < 1e-6
         assert abs(r["lift"] - (r["cum_pos"] * tot_n) / (r["cum_n"] * tot_pos)) < 1e-6
     assert got[-1]["gains"] == 1.0 and got[-1]["lift"] == 1.0
+
+
+def _daily_series(sf_dir):
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    rev = np.round(
+        j.l_extendedprice.to_numpy() * (1 - j.l_discount.to_numpy()) * 10000
+    ).astype(np.int64)
+    day = j.o_orderdate.dt.normalize()
+    g = pd.DataFrame({"day": day, "y": rev}).groupby("day", as_index=False).sum()
+    x = (g.day - pd.Timestamp("1992-01-01")).dt.days.to_numpy(np.int64)
+    return x, g.y.to_numpy(np.int64), g.day.dt.year.to_numpy()
+
+
+def _np_theil_sen_fp(x, y, scale=1000):
+    xi, xj = np.triu_indices(len(x), k=1)
+    fp = np.floor_divide((y[xj] - y[xi]) * scale, (x[xj] - x[xi]))
+    fp.sort()
+    m = len(fp)
+    return int(fp[(m - 1) // 2]), m
+
+
+def test_theil_sen_matches_numpy(spark, sf_dir):
+    got = {
+        r["slice"]: r
+        for r in stats.theil_sen_trend(spark, sf_dir).collect()
+    }
+    x, y, yr = _daily_series(sf_dir)
+    fp, m = _np_theil_sen_fp(x, y)
+    assert got["ALL"]["n_days"] == len(x)
+    assert got["ALL"]["n_pairs"] == m
+    assert abs(got["ALL"]["ts_slope"] - fp / 1e7) < 1e-6
+    for year in np.unique(yr):
+        mask = yr == year
+        if mask.sum() < 2:
+            continue
+        fp_y, m_y = _np_theil_sen_fp(x[mask], y[mask])
+        r = got[str(year)]
+        assert r["n_pairs"] == m_y
+        assert abs(r["ts_slope"] - fp_y / 1e7) < 1e-6
+    # OLS cross-check on the ALL slice
+    n = len(x)
+    xs, ys = x.astype(np.float64), y.astype(np.float64)
+    ols = (n * (xs * ys).sum() - xs.sum() * ys.sum()) / (
+        (n * (xs * xs).sum() - xs.sum() ** 2) * 1e4
+    )
+    assert abs(got["ALL"]["ols_slope"] - ols) < 1e-5
+
+
+def test_theil_sen_breakdown_resistance():
+    """The estimator's reason to exist: one corrupted day swings OLS
+    but leaves the pairwise-slope median in place."""
+    rng = np.random.default_rng(7)
+    x = np.arange(200, dtype=np.int64)
+    y = (1000 * x + rng.integers(-500, 500, 200)).astype(np.int64)
+    fp_clean, _ = _np_theil_sen_fp(x, y)
+    y_bad = y.copy()
+    y_bad[199] += 10_000_000  # one promo-spike day at the high-leverage end
+    fp_bad, _ = _np_theil_sen_fp(x, y_bad)
+    # TS moves < 5%; OLS moves > 25%
+    assert abs(fp_bad - fp_clean) / abs(fp_clean) < 0.05
+
+    def ols(yv):
+        n = len(x)
+        xs, ys = x.astype(float), yv.astype(float)
+        return (n * (xs * ys).sum() - xs.sum() * ys.sum()) / (
+            n * (xs * xs).sum() - xs.sum() ** 2
+        )
+
+    assert abs(ols(y_bad) - ols(y)) / abs(ols(y)) > 0.25
