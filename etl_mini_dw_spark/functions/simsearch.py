@@ -626,3 +626,202 @@ SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id, hamming, cosine FROM (
   FROM scored)
 WHERE rank <= {TOP_K}
 """
+
+
+# --- kNN graph construction ---------------------------------------------------
+#
+# The graph-building ingredient under HNSW/NN-descent-style indexes and
+# graph-based semantic clustering: FOR EVERY vector, its top-K cosine
+# neighbors among the sign-LSH-bucket candidates, reduced to the shape
+# report an index builder actually inspects — out-/in-degree histograms
+# (isolated nodes = LSH recall holes; in-degree hubs = skewed buckets),
+# reciprocity (symmetry predicts navigability), and mean edge cosine.
+#
+# Scale: candidate generation is the bucket equi-join (Σ b² bound, the
+# LSH payoff — never corpus²); ranking is a per-source window over
+# ~bucket-sized partitions; the report aggregates are histogram-sized.
+# Bucket id doubles as the storage partition key at 100 TB, so the
+# whole build is per-partition local. Mean cosine is summed as an
+# integer (round-6 cosine × 1e6) — a float sum over 10^5 edges would be
+# reduction-order-dependent.
+
+KNN_K = 5
+
+
+def knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(metric, k, n, ratio): degree histograms ('outdeg'/'indeg' rows,
+    k = degree, n = node count) and summary rows ('edges',
+    'reciprocal_edges', 'mean_cosine') for the K=5 LSH-blocked kNN
+    graph over the embeddings table."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _bucket_expr_spark().alias("bucket"),
+        F.expr(_NORM.format(a="embedding")).alias("nrm"),
+    )
+    a = emb.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("sv"),
+        F.col("nrm").alias("sn"),
+        "bucket",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("dv"),
+        F.col("nrm").alias("dn"),
+        "bucket",
+    )
+    cos = F.round(
+        F.expr(_DOT.format(a="sv", b="dv")) / (F.col("sn") * F.col("dn")), 6
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    edges = (
+        a.join(b, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "src",
+            "dst",
+            F.round(F.col("cosine") * 1e6, 0).cast("bigint").alias("c6"),
+        )
+        .localCheckpoint(eager=False)  # reused by 4 report branches
+    )
+    ids = emb.select(F.col("vec_id").alias("node"))
+    outdeg = (
+        ids.join(edges.groupBy("src").count(), ids.node == F.col("src"), "left")
+        .select(F.coalesce(F.col("count"), F.lit(0)).alias("deg"))
+        .groupBy("deg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.lit("outdeg").alias("metric"),
+            F.col("deg").cast("bigint").alias("k"),
+            "n",
+            F.lit(None).cast("double").alias("ratio"),
+        )
+    )
+    indeg = (
+        ids.join(edges.groupBy("dst").count(), ids.node == F.col("dst"), "left")
+        .select(F.coalesce(F.col("count"), F.lit(0)).alias("deg"))
+        .groupBy("deg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.lit("indeg").alias("metric"),
+            F.col("deg").cast("bigint").alias("k"),
+            "n",
+            F.lit(None).cast("double").alias("ratio"),
+        )
+    )
+    rev = edges.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    summary = edges.join(rev, ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_recip")
+    )
+    totals = edges.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum("c6").cast("bigint").alias("sum_c6"),
+    )
+    srows = (
+        totals.crossJoin(F.broadcast(summary))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("edges").alias("metric"),
+                        F.lit(-1).cast("bigint").alias("k"),
+                        F.col("n_edges").alias("n"),
+                        F.lit(None).cast("double").alias("ratio"),
+                    ),
+                    F.struct(
+                        F.lit("reciprocal_edges").alias("metric"),
+                        F.lit(-1).cast("bigint").alias("k"),
+                        F.col("n_recip").alias("n"),
+                        F.round(
+                            F.col("n_recip")
+                            / F.col("n_edges").cast("double"),
+                            6,
+                        ).alias("ratio"),
+                    ),
+                    F.struct(
+                        F.lit("mean_cosine").alias("metric"),
+                        F.lit(-1).cast("bigint").alias("k"),
+                        F.col("n_edges").alias("n"),
+                        F.round(
+                            F.col("sum_c6")
+                            / (1e6 * F.col("n_edges").cast("double")),
+                            6,
+                        ).alias("ratio"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.metric", "s.k", "s.n", "s.ratio")
+    )
+    return outdeg.unionByName(indeg).unionByName(srows).orderBy("metric", "k")
+
+
+KNN_GRAPH_SQL = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding, {_bucket_expr_sql()} AS bucket,
+         {_NORM_SQL.format(a="embedding")} AS nrm
+  FROM embeddings
+),
+edges AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(round(cosine * 1e6, 0) AS BIGINT) AS c6
+  FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           round({_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+                 / (a.nrm * b.nrm), 6) AS cosine,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round({_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+                            / (a.nrm * b.nrm), 6) DESC, b.vec_id
+           ) AS rank
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  ) WHERE rank <= {KNN_K}
+),
+outdeg AS (
+  SELECT 'outdeg' AS metric, CAST(deg AS BIGINT) AS k,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS ratio
+  FROM (
+    SELECT COALESCE(g.c, 0) AS deg
+    FROM e LEFT JOIN (SELECT src, COUNT(*) AS c FROM edges GROUP BY src) g
+      ON e.vec_id = g.src
+  ) GROUP BY deg
+),
+indeg AS (
+  SELECT 'indeg' AS metric, CAST(deg AS BIGINT) AS k,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS ratio
+  FROM (
+    SELECT COALESCE(g.c, 0) AS deg
+    FROM e LEFT JOIN (SELECT dst, COUNT(*) AS c FROM edges GROUP BY dst) g
+      ON e.vec_id = g.dst
+  ) GROUP BY deg
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(c6) AS BIGINT) AS sum_c6
+  FROM edges
+),
+recip AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_recip
+  FROM edges x
+  WHERE EXISTS (SELECT 1 FROM edges y
+                WHERE y.src = x.dst AND y.dst = x.src)
+)
+SELECT * FROM outdeg
+UNION ALL SELECT * FROM indeg
+UNION ALL
+SELECT 'edges', CAST(-1 AS BIGINT), n_edges, CAST(NULL AS DOUBLE)
+FROM totals
+UNION ALL
+SELECT 'reciprocal_edges', CAST(-1 AS BIGINT), n_recip,
+       round(CAST(n_recip AS DOUBLE) / n_edges, 6)
+FROM totals, recip
+UNION ALL
+SELECT 'mean_cosine', CAST(-1 AS BIGINT), n_edges,
+       round(CAST(sum_c6 AS DOUBLE) / (1e6 * n_edges), 6)
+FROM totals
+ORDER BY metric, k
+"""

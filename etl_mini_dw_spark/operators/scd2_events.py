@@ -184,3 +184,116 @@ SELECT {dim.nk}, {attrs},
        active_to = TIMESTAMP '{HIGH}' AS is_current
 FROM w WHERE NOT tomb
 """
+
+
+# --- Bitemporal as-of matrix --------------------------------------------------
+
+BITEMP_VALID_ASOF = ["1996-06-30", "1997-12-31"]
+
+
+def bitemporal_asof_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(known_at, valid_asof, category, n_keys): the same valid-time
+    snapshot question answered under two TRANSACTION-time states of
+    knowledge — the bitemporal query a mono-temporal SCD2 cannot ask.
+
+    `t1_live_only` is the warehouse as first loaded (only the live
+    rows had arrived — each key one open window, the late-splice
+    scenario's starting state); `t2_full` is after the archive batch
+    splices in (ground-truth event-sourced rebuild, the same derivation
+    `customer_late_splice` lands on). A key whose v1 only came with the
+    archive is MISSING from the t1 reconstruction at an early as-of
+    date and present under t2 — i.e. history itself changes along the
+    tx axis, and the matrix quantifies by how much, per category, plus
+    an ALL rollup row.
+
+    Scale: both reconstructions are the dim-sized event-window
+    derivation (one nk-keyed shuffle each); snapshots are filters plus
+    GROUPING SETS on dim-sized frames. Facts are never touched.
+    Reference parity: extends the reference's SCD2 'current snapshot'
+    views (code/SQL_1_Assignment_2_David_Färm.sql:849) with the
+    transaction-time axis those views lack by construction.
+    """
+    dim = DIMS["customer"]
+    v = staging.src_versions(spark, sf_dir, dim)
+    shaped = staging._warehouse_shape(dim, v)
+    on_time = shaped.filter(F.col("is_current"))
+    t1 = scd2_from_events(events_from_versions(on_time, dim), dim)
+    t2 = scd2_from_events(events_from_versions(shaped, dim), dim)
+    snaps = None
+    for label, wdf in (("t1_live_only", t1), ("t2_full", t2)):
+        for asof in BITEMP_VALID_ASOF:
+            s = wdf.filter(
+                (F.col("active_from") <= _ts(asof))
+                & (F.col("active_to") > _ts(asof))
+            ).select(
+                F.lit(label).alias("known_at"),
+                F.lit(asof).alias("valid_asof"),
+                F.col("customer_category_name").alias("category"),
+            )
+            snaps = s if snaps is None else snaps.unionByName(s)
+    return (
+        snaps.groupingSets(
+            [["known_at", "valid_asof", "category"], ["known_at", "valid_asof"]],
+            "known_at",
+            "valid_asof",
+            "category",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+        .select(
+            "known_at",
+            "valid_asof",
+            F.coalesce(F.col("category"), F.lit("ALL")).alias("category"),
+            "n_keys",
+        )
+        .orderBy("known_at", "valid_asof", "category")
+    )
+
+
+def bitemporal_asof_matrix_sql() -> str:
+    dim = DIMS["customer"]
+    attrs = ", ".join(attr_cols(dim))
+    null_attrs = ", ".join(
+        f"CAST(NULL AS {'INTEGER' if ATTR_TYPES[a] == 'int' else 'VARCHAR'}) AS {a}"
+        for a in attr_cols(dim)
+    )
+    snap_selects = []
+    for label, tbl in (("t1_live_only", "t1"), ("t2_full", "t2")):
+        for asof in BITEMP_VALID_ASOF:
+            snap_selects.append(
+                f"SELECT '{label}' AS known_at, '{asof}' AS valid_asof,"
+                f" customer_category_name AS category FROM {tbl}"
+                f" WHERE active_from <= TIMESTAMP '{asof}'"
+                f" AND active_to > TIMESTAMP '{asof}'"
+            )
+    snaps = "\n  UNION ALL\n  ".join(snap_selects)
+    return f"""
+WITH v AS ({_warehouse_shape_sql(dim, versions_sql(dim))}),
+t1 AS (
+  SELECT {dim.nk}, {attrs}, valid_from AS active_from,
+         TIMESTAMP '{HIGH}' AS active_to
+  FROM v WHERE is_current
+),
+ev AS (
+  SELECT {dim.nk}, {attrs}, valid_from AS event_ts, FALSE AS tomb FROM v
+  UNION ALL
+  SELECT {dim.nk}, {null_attrs}, MAX(valid_to) AS event_ts, TRUE AS tomb
+  FROM v GROUP BY {dim.nk} HAVING MAX(valid_to) < TIMESTAMP '{HIGH}'
+),
+t2 AS (
+  SELECT {dim.nk}, {attrs}, event_ts AS active_from, active_to FROM (
+    SELECT *, COALESCE(LEAD(event_ts) OVER (PARTITION BY {dim.nk}
+                                            ORDER BY event_ts, tomb),
+                       TIMESTAMP '{HIGH}') AS active_to
+    FROM ev
+  ) WHERE NOT tomb
+),
+snaps AS (
+  {snaps}
+)
+SELECT known_at, valid_asof, COALESCE(category, 'ALL') AS category,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM snaps
+GROUP BY GROUPING SETS ((known_at, valid_asof, category),
+                        (known_at, valid_asof))
+ORDER BY known_at, valid_asof, category
+"""

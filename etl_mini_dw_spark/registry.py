@@ -1293,6 +1293,19 @@ _register(
     layout.compaction_plan,
     layout.COMPACTION_PLAN_SQL,
 )
+_register(
+    "ext_knn_graph_stats",
+    simsearch.knn_graph_stats,
+    simsearch.KNN_GRAPH_SQL,
+)
+
+from etl_mini_dw_spark.operators import scd2_events as _scd2ev  # noqa: E402
+
+_register(
+    "ext_bitemporal_asof_matrix",
+    _scd2ev.bitemporal_asof_matrix,
+    _scd2ev.bitemporal_asof_matrix_sql(),
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

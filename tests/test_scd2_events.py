@@ -91,3 +91,26 @@ def test_untouched_keys_pass_through_unchanged(spark, sf_dir):
     others_before = _rows(windows.filter(F.col(dim.nk) != one_key), dim)
     others_after = _rows(corrected.filter(F.col(dim.nk) != one_key), dim)
     assert others_before == others_after
+
+
+def test_bitemporal_matrix_semantics(spark, sf_dir):
+    """The tx axis must actually change history: at the early valid
+    as-of, the live-only reconstruction (t1) is missing every key whose
+    early versions only arrived with the archive batch, so its ALL
+    count is strictly below t2's; per-category counts never exceed
+    their t2 counterpart at that as-of. And each (known_at, valid_asof)
+    group's ALL row equals the sum of its category rows."""
+    from etl_mini_dw_spark.operators import scd2_events
+
+    rows = scd2_events.bitemporal_asof_matrix(spark, sf_dir).collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r.known_at, r.valid_asof), {})[r.category] = r.n_keys
+    early = scd2_events.BITEMP_VALID_ASOF[0]
+    for key, cats in by.items():
+        assert cats["ALL"] == sum(v for c, v in cats.items() if c != "ALL")
+    t1_early = by[("t1_live_only", early)]
+    t2_early = by[("t2_full", early)]
+    assert t1_early["ALL"] < t2_early["ALL"]
+    for c, v in t1_early.items():
+        assert v <= t2_early.get(c, 0) or c == "ALL"
