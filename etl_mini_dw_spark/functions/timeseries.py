@@ -187,3 +187,183 @@ SELECT g.user_id,
        h.n_events IS NULL AS is_gap
 FROM grid g LEFT JOIN hourly h USING (user_id, hour)
 """
+
+
+# --- Forecast backtest --------------------------------------------------------
+#
+# The model-selection harness a forecasting pipeline runs before
+# trusting any method: walk forward over the monthly revenue series and
+# score each candidate on the months it did NOT see. Three standard
+# baselines (naive = last month, seasonal-naive = same month last year,
+# drift = last month + the mean 12-month step) — every production
+# forecast must beat these or it ships nothing.
+#
+# Exactness: monthly revenue is integer cents; the drift step and the
+# per-month absolute-percentage errors are exact floor divisions
+# (pmod identity), so MAPE/bias come from pure-integer sums with one
+# final round-6 division. Lags are resolved by IDX EQUI-JOINS, not
+# window lag(): lag(12) silently reads the 12th PRIOR ROW, which is
+# only "a year ago" if no month is missing — the join form is
+# gap-proof and identical on both engines.
+#
+# Scale: one partial-aggregable (region, month) rollup touches the
+# corpus; everything after runs on the ~|regions × months| series
+# frame. Walk-forward length adds rows to the series joins, never
+# corpus passes.
+
+FC_SCALE = 1_000_000  # APE fixed point: 1e-6
+
+
+def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(region, method, n_months, mape, bias): walk-forward backtest of
+    naive / seasonal-naive / drift monthly revenue forecasts."""
+    li = typed_table(spark, sf_dir, "lineitem")
+    orders = typed_table(spark, sf_dir, "orders")
+    cust = typed_table(spark, sf_dir, "customer")
+    nation = typed_table(spark, sf_dir, "nation")
+    region = typed_table(spark, sf_dir, "region")
+    monthly = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region"),
+            (
+                (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate")
+            )
+            .cast("bigint")
+            .alias("idx"),
+        )
+        .agg(
+            (F.sum(F.expr("l_extendedprice * (1 - l_discount)")) * 100)
+            .cast("decimal(38,0)")
+            .cast("bigint")
+            .alias("y")
+        )
+        .localCheckpoint(eager=False)  # tiny series frame, joined 4 ways
+    )
+
+    def lagged(k: int, name: str):
+        return monthly.select(
+            "region",
+            (F.col("idx") + k).alias("idx"),
+            F.col("y").alias(name),
+        )
+
+    base = (
+        monthly.join(F.broadcast(lagged(1, "y1")), ["region", "idx"])
+        .join(F.broadcast(lagged(12, "y12")), ["region", "idx"])
+        .join(F.broadcast(lagged(13, "y13")), ["region", "idx"])
+        .filter(F.col("y") > 0)
+    )
+    fc = base.select(
+        "region",
+        "y",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("naive").alias("method"), F.col("y1").alias("yhat")
+                ),
+                F.struct(
+                    F.lit("seasonal_naive").alias("method"),
+                    F.col("y12").alias("yhat"),
+                ),
+                F.struct(
+                    F.lit("drift").alias("method"),
+                    (
+                        F.col("y1")
+                        + F.expr(
+                            "((y1 - y13) - pmod(y1 - y13, 12)) div 12"
+                        )
+                    ).alias("yhat"),
+                ),
+            )
+        ).alias("f"),
+    ).select(
+        "region",
+        F.col("f.method").alias("method"),
+        "y",
+        F.col("f.yhat").alias("yhat"),
+    )
+    scored = fc.select(
+        "region",
+        "method",
+        "y",
+        F.expr(
+            f"(abs(y - yhat) * {FC_SCALE}"
+            f" - pmod(abs(y - yhat) * {FC_SCALE}, y)) div y"
+        ).alias("ape6"),
+        (F.col("yhat") - F.col("y")).alias("err"),
+    )
+    return (
+        scored.groupBy("region", "method")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_months"),
+            F.sum("ape6").cast("bigint").alias("sum_ape6"),
+            F.sum("err").cast("bigint").alias("sum_err"),
+            F.sum("y").cast("bigint").alias("sum_y"),
+        )
+        .select(
+            "region",
+            "method",
+            "n_months",
+            F.round(
+                F.col("sum_ape6")
+                / (F.lit(float(FC_SCALE)) * F.col("n_months")),
+                6,
+            ).alias("mape"),
+            F.round(F.col("sum_err") / F.col("sum_y").cast("double"), 6).alias(
+                "bias"
+            ),
+        )
+        .orderBy("region", "method")
+    )
+
+
+FORECAST_BACKTEST_SQL = f"""
+WITH monthly AS (
+  SELECT r_name AS region,
+         CAST((EXTRACT(year FROM o_orderdate) - 1995) * 12
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS idx,
+         CAST(CAST(SUM(l_extendedprice * (1 - l_discount)) * 100
+              AS DECIMAL(38,0)) AS BIGINT) AS y
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT m.region, m.y, a.y AS y1, b.y AS y12, c.y AS y13
+  FROM monthly m
+  JOIN monthly a ON a.region = m.region AND a.idx = m.idx - 1
+  JOIN monthly b ON b.region = m.region AND b.idx = m.idx - 12
+  JOIN monthly c ON c.region = m.region AND c.idx = m.idx - 13
+  WHERE m.y > 0
+),
+fc AS (
+  SELECT region, y, 'naive' AS method, y1 AS yhat FROM base
+  UNION ALL
+  SELECT region, y, 'seasonal_naive', y12 FROM base
+  UNION ALL
+  SELECT region, y, 'drift',
+         y1 + ((y1 - y13) - ((((y1 - y13) % 12) + 12) % 12)) // 12
+  FROM base
+),
+scored AS (
+  SELECT region, method, y,
+         (abs(y - yhat) * {FC_SCALE}
+          - ((((abs(y - yhat) * {FC_SCALE}) % y) + y) % y)) // y AS ape6,
+         yhat - y AS err
+  FROM fc
+)
+SELECT region, method,
+       CAST(COUNT(*) AS BIGINT) AS n_months,
+       round(CAST(SUM(ape6) AS DOUBLE) / ({FC_SCALE}.0 * COUNT(*)), 6) AS mape,
+       round(CAST(SUM(err) AS DOUBLE) / SUM(y), 6) AS bias
+FROM scored
+GROUP BY region, method
+ORDER BY region, method
+"""

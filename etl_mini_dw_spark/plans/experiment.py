@@ -387,3 +387,231 @@ UNION ALL
 SELECT * FROM total_row
 ORDER BY bucket_cents
 """
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence encoding + information value
+#
+# The credit-scoring / feature-engineering standard for turning a
+# categorical feature into a model-ready monotone score: per bucket,
+# WOE = ln(share of positives / share of negatives), with Laplace
+# smoothing so empty cells stay finite; the Information Value
+# IV = sum_b (p_pos_b - p_neg_b) * WOE_b summarizes the feature's
+# predictive power (<0.02 useless, >0.3 strong).
+#
+# Portability: the ln argument is assembled as ONE exact rational from
+# BIGINT counts ((pos_b+1)(neg+K)) / ((neg_b+1)(pos+K)) — products stay
+# under 2^53 so the doubles are exact — and ln is a single libm call on
+# an identical double (the −ln(hhi) precedent), rounded to 6. IV is
+# derived from the already-rounded shares and WOEs.
+#
+# Scale: one partial-aggregable groupBy on the ~11 bucket keys; the
+# global totals are a 1-row reduce folded back by broadcast.
+
+
+def woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket_cents, n, pos, p_pos, p_neg, woe, iv): WOE table for the
+    discount buckets against the returned-flag label, with the feature's
+    information value on the TOTAL row (bucket -1)."""
+    li = typed_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_discount") * 100).cast("int").alias("bucket_cents"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    per = li.groupBy("bucket_cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    tot = per.agg(
+        F.sum("pos").cast("bigint").alias("tpos"),
+        F.sum(F.col("n") - F.col("pos")).cast("bigint").alias("tneg"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    neg = F.col("n") - F.col("pos")
+    woe = F.round(
+        F.log(
+            ((F.col("pos") + 1) * (F.col("tneg") + F.col("k"))).cast("double")
+            / ((neg + 1) * (F.col("tpos") + F.col("k"))).cast("double")
+        ),
+        6,
+    )
+    buckets = j.select(
+        "bucket_cents",
+        "n",
+        "pos",
+        F.round((F.col("pos") + 1) / (F.col("tpos") + F.col("k")).cast("double"), 6).alias("p_pos"),
+        F.round((neg + 1) / (F.col("tneg") + F.col("k")).cast("double"), 6).alias("p_neg"),
+        woe.alias("woe"),
+        F.lit(None).cast("double").alias("iv"),
+    )
+    iv_row = buckets.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("pos"),
+        F.round(
+            F.sum((F.col("p_pos") - F.col("p_neg")) * F.col("woe")), 6
+        ).alias("iv"),
+    ).select(
+        F.lit(-1).cast("int").alias("bucket_cents"),
+        "n",
+        "pos",
+        F.lit(None).cast("double").alias("p_pos"),
+        F.lit(None).cast("double").alias("p_neg"),
+        F.lit(None).cast("double").alias("woe"),
+        "iv",
+    )
+    return buckets.unionByName(iv_row).orderBy("bucket_cents")
+
+
+def woe_encoding_sql() -> str:
+    return """
+WITH per AS (
+  SELECT CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS INTEGER) AS bucket_cents,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS tpos,
+         CAST(SUM(n - pos) AS BIGINT) AS tneg,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM per
+),
+buckets AS (
+  SELECT bucket_cents, n, pos,
+         round(CAST(pos + 1 AS DOUBLE) / (tpos + k), 6) AS p_pos,
+         round(CAST(n - pos + 1 AS DOUBLE) / (tneg + k), 6) AS p_neg,
+         round(ln(CAST((pos + 1) * (tneg + k) AS DOUBLE)
+                  / ((n - pos + 1) * (tpos + k))), 6) AS woe,
+         CAST(NULL AS DOUBLE) AS iv
+  FROM per, tot
+)
+SELECT * FROM buckets
+UNION ALL
+SELECT CAST(-1 AS INTEGER), CAST(SUM(n) AS BIGINT), CAST(SUM(pos) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       round(SUM((p_pos - p_neg) * woe), 6)
+FROM buckets
+ORDER BY bucket_cents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences by segment
+#
+# The quasi-experimental companion of the CUPED readout: with the same
+# hash-assigned arms and pre/post periods, DiD = (post_A − pre_A) −
+# (post_B − pre_B) per market segment cancels both the arm-level and
+# the period-level fixed effects — the readout an experimenter checks
+# for heterogeneous treatment effects (and, under a null assignment
+# like this deterministic hash, for covariate balance: DiD should
+# hover near zero in every segment).
+#
+# Scale: one (arm, segment) aggregate over the per-customer rollup —
+# adding segments adds groups, never passes; derived cells come from
+# already-rounded per-group means.
+
+
+def did_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(segment, n_a, n_b, pre_diff, post_diff, did): per-segment
+    difference-in-differences of mean customer revenue (dollars), plus
+    an ALL row."""
+    cust = typed_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    orders = typed_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") < PERIOD_CUT,
+                    (F.col("o_totalprice") * 100).cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") >= PERIOD_CUT,
+                    (F.col("o_totalprice") * 100).cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).alias("y"),
+        )
+    )
+    units = cust.join(per_cust, "c_custkey", "left").select(
+        "segment",
+        F.when(
+            F.pmod(F.col("c_custkey") * F.lit(HASH_MULT), F.lit(HASH_MOD))
+            < AB_ARM_CUT,
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    a = F.col("arm") == "A"
+    g = (
+        units.groupingSets([["segment"], []], "segment")
+        .agg(
+            F.sum(F.when(a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+            F.sum(F.when(~a, 1).otherwise(0)).cast("bigint").alias("n_b"),
+            F.sum(F.when(a, F.col("x")).otherwise(0)).cast("bigint").alias("sx_a"),
+            F.sum(F.when(~a, F.col("x")).otherwise(0)).cast("bigint").alias("sx_b"),
+            F.sum(F.when(a, F.col("y")).otherwise(0)).cast("bigint").alias("sy_a"),
+            F.sum(F.when(~a, F.col("y")).otherwise(0)).cast("bigint").alias("sy_b"),
+        )
+    )
+    mxa = F.round(F.col("sx_a") / (100.0 * F.col("n_a")), 6)
+    mxb = F.round(F.col("sx_b") / (100.0 * F.col("n_b")), 6)
+    mya = F.round(F.col("sy_a") / (100.0 * F.col("n_a")), 6)
+    myb = F.round(F.col("sy_b") / (100.0 * F.col("n_b")), 6)
+    return (
+        g.select(
+            F.coalesce(F.col("segment"), F.lit("ALL")).alias("segment"),
+            "n_a",
+            "n_b",
+            F.round(mxa - mxb, 6).alias("pre_diff"),
+            F.round(mya - myb, 6).alias("post_diff"),
+            F.round((mya - myb) - (mxa - mxb), 6).alias("did"),
+        )
+        .orderBy("segment")
+    )
+
+
+def did_by_segment_sql() -> str:
+    return f"""
+WITH per_cust AS (
+  SELECT c.c_custkey, c.c_mktsegment AS segment,
+         CASE WHEN (c.c_custkey * {HASH_MULT}) % {HASH_MOD} < {AB_ARM_CUT}
+              THEN 'A' ELSE 'B' END AS arm,
+         COALESCE(SUM(CASE WHEN o.o_orderdate < TIMESTAMP '{PERIOD_CUT}'
+             THEN CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+             ELSE 0 END), 0) AS x,
+         COALESCE(SUM(CASE WHEN o.o_orderdate >= TIMESTAMP '{PERIOD_CUT}'
+             THEN CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+             ELSE 0 END), 0) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2, 3
+),
+g AS (
+  SELECT segment,
+         CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 'A' THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+         CAST(SUM(CASE WHEN arm = 'B' THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+         CAST(SUM(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+         CAST(SUM(CASE WHEN arm = 'B' THEN y ELSE 0 END) AS BIGINT) AS sy_b
+  FROM per_cust
+  GROUP BY GROUPING SETS ((segment), ())
+)
+SELECT COALESCE(segment, 'ALL') AS segment, n_a, n_b,
+       round(round(CAST(sx_a AS DOUBLE) / (100.0 * n_a), 6)
+             - round(CAST(sx_b AS DOUBLE) / (100.0 * n_b), 6), 6) AS pre_diff,
+       round(round(CAST(sy_a AS DOUBLE) / (100.0 * n_a), 6)
+             - round(CAST(sy_b AS DOUBLE) / (100.0 * n_b), 6), 6) AS post_diff,
+       round((round(CAST(sy_a AS DOUBLE) / (100.0 * n_a), 6)
+              - round(CAST(sy_b AS DOUBLE) / (100.0 * n_b), 6))
+             - (round(CAST(sx_a AS DOUBLE) / (100.0 * n_a), 6)
+                - round(CAST(sx_b AS DOUBLE) / (100.0 * n_b), 6)), 6) AS did
+FROM g
+ORDER BY segment
+"""

@@ -1307,6 +1307,24 @@ _register(
     _scd2ev.bitemporal_asof_matrix_sql(),
 )
 
+from etl_mini_dw_spark.functions import timeseries as _tseries  # noqa: E402
+
+_register(
+    "ext_forecast_backtest",
+    _tseries.forecast_backtest,
+    _tseries.FORECAST_BACKTEST_SQL,
+)
+_register(
+    "ext_woe_encoding",
+    _experiment.woe_encoding,
+    _experiment.woe_encoding_sql(),
+)
+_register(
+    "ext_did_by_segment",
+    _experiment.did_by_segment,
+    _experiment.did_by_segment_sql(),
+)
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). The rotation is fully

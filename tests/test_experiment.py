@@ -158,3 +158,106 @@ def test_experiment_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in p2
     assert "BroadcastHashJoin" in p2, p2[:2000]
     assert "SortMergeJoin" not in p2
+
+
+def test_woe_matches_pandas_and_iv_identity(spark, sf_dir):
+    out = experiment.woe_encoding(spark, sf_dir).toPandas()
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_discount", "l_returnflag"]
+    )
+    bucket = np.round(li.l_discount.to_numpy() * 100).astype(np.int64)
+    y = (li.l_returnflag == "R").to_numpy().astype(np.int64)
+    ks = np.unique(bucket)
+    k = len(ks)
+    tpos, tneg = int(y.sum()), int((1 - y).sum())
+    iv = 0.0
+    for b in ks:
+        m = bucket == b
+        pos, neg = int(y[m].sum()), int((1 - y[m]).sum())
+        row = out[out.bucket_cents == b].iloc[0]
+        woe = np.log(((pos + 1) * (tneg + k)) / ((neg + 1) * (tpos + k)))
+        assert row.woe == pytest.approx(woe, abs=2e-6)
+        p_pos, p_neg = (pos + 1) / (tpos + k), (neg + 1) / (tneg + k)
+        assert row.p_pos == pytest.approx(p_pos, abs=2e-6)
+        iv += (round(p_pos, 6) - round(p_neg, 6)) * round(woe, 6)
+    total = out[out.bucket_cents == -1].iloc[0]
+    assert total.iv == pytest.approx(iv, abs=5e-6)
+    # WOE sign tracks whether the bucket is positive-enriched
+    for _, row in out[out.bucket_cents >= 0].iterrows():
+        assert (row.woe > 0) == (row.p_pos > row.p_neg) or row.woe == 0
+
+
+def test_forecast_backtest_matches_pandas(spark, sf_dir):
+    from etl_mini_dw_spark.functions import timeseries
+
+    out = timeseries.forecast_backtest(spark, sf_dir).toPandas()
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_custkey"],
+    )
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    j = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    cents = np.round(
+        j.l_extendedprice.to_numpy() * (1 - j.l_discount.to_numpy()) * 100
+    ).astype(np.int64)
+    idx = (j.o_orderdate.dt.year - 1995) * 12 + j.o_orderdate.dt.month
+    m = (
+        pd.DataFrame({"region": j.r_name, "idx": idx, "y": cents})
+        .groupby(["region", "idx"], as_index=False)
+        .sum()
+    )
+    for reg in m.region.unique():
+        s = dict(zip(m[m.region == reg].idx, m[m.region == reg].y))
+        errs = {"naive": [], "seasonal_naive": [], "drift": []}
+        for i, yv in s.items():
+            if yv <= 0 or any(i - k not in s for k in (1, 12, 13)):
+                continue
+            y1, y12, y13 = s[i - 1], s[i - 12], s[i - 13]
+            fc = {
+                "naive": y1,
+                "seasonal_naive": y12,
+                "drift": y1 + (y1 - y13) // 12,
+            }
+            for meth, yh in fc.items():
+                errs[meth].append((abs(yv - yh) * 1_000_000) // yv)
+        for meth, es in errs.items():
+            row = out[(out.region == reg) & (out.method == meth)].iloc[0]
+            assert row.n_months == len(es)
+            assert row.mape == pytest.approx(
+                sum(es) / (1e6 * len(es)), abs=2e-6
+            )
+
+
+def test_did_all_row_consistent_with_cuped(cuped_row, spark, sf_dir):
+    """Cross-operator consistency: the DiD ALL row must reproduce the
+    CUPED readout's naive_diff as its post_diff and the covariate-mean
+    gap as its pre_diff (same units, same arms, same periods)."""
+    did = experiment.did_by_segment(spark, sf_dir).toPandas()
+    allrow = did[did.segment == "ALL"].iloc[0]
+    assert allrow.n_a == cuped_row["n_a"] and allrow.n_b == cuped_row["n_b"]
+    assert allrow.post_diff == pytest.approx(cuped_row["naive_diff"], abs=2e-6)
+    assert allrow.pre_diff == pytest.approx(
+        cuped_row["mean_x_a"] - cuped_row["mean_x_b"], abs=2e-6
+    )
+    assert allrow.did == pytest.approx(
+        round(allrow.post_diff - allrow.pre_diff, 6), abs=2e-6
+    )
+    # segment rows tile the population
+    segs = did[did.segment != "ALL"]
+    assert int(segs.n_a.sum()) == cuped_row["n_a"]
+    assert int(segs.n_b.sum()) == cuped_row["n_b"]
