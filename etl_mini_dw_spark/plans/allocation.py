@@ -153,3 +153,161 @@ FROM per_order
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# --- Neyman sampling allocation -----------------------------------------------
+#
+# Survey-sampling design (Neyman 1934): given a fixed audit/labeling
+# budget of SAMPLE_BUDGET units, allocate per-stratum sample sizes
+# ∝ n_h·σ_h — strata that are large AND internally variable get more
+# budget, which minimizes the variance of the stratified mean. The
+# proportional allocation (∝ n_h) is reported beside it; the gap is the
+# value of knowing the variances. The integerization reuses the penny
+# allocator's largest-remainder rule, so Σ alloc == SAMPLE_BUDGET
+# exactly on both engines.
+#
+# Portability: σ_h comes from exact DECIMAL(38,0)/HUGEINT moment sums;
+# the ONE sqrt runs on an identical double and is rounded to 6 before
+# being re-scaled into an exact integer weight — after that point every
+# comparison (quota floors, remainder ranking) is pure integer, so the
+# allocation cannot flip on a float knife-edge.
+#
+# Scale: per-customer rollup (one o_custkey shuffle) + one
+# (stratum)-keyed aggregate; the allocation itself runs on |strata|
+# rows.
+
+SAMPLE_BUDGET = 1000
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(segment, n_h, sigma, alloc_neyman, alloc_prop): variance-optimal
+    vs proportional allocation of SAMPLE_BUDGET audit samples across
+    market segments; both columns sum to the budget exactly."""
+    cust = typed_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    orders = typed_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("bigint")).alias("y")
+    )
+    units = cust.join(per_cust, "c_custkey", "left").select(
+        "segment", F.coalesce(F.col("y"), F.lit(0)).alias("y")
+    )
+    yd = F.col("y").cast("decimal(19,0)")
+    strata = units.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
+    )
+    var_num = (
+        F.col("n_h").cast("decimal(10,0)") * F.col("syy")
+        - F.col("sy").cast("decimal(19,0)") * F.col("sy").cast("decimal(19,0)")
+    ).cast("double")
+    sigma = F.when(
+        var_num > 0,
+        F.round(F.sqrt(var_num) / (F.col("n_h") * 100.0), 6),
+    ).otherwise(F.lit(0.0))
+    weighted = strata.select(
+        "segment",
+        "n_h",
+        sigma.alias("sigma"),
+        # integer Neyman weight: round-6 sigma re-scaled — exact on both
+        # engines (explicit round before the cast: DuckDB's double→BIGINT
+        # cast rounds where Spark truncates)
+        (F.round(sigma * 1e6, 0).cast("bigint") * F.col("n_h")).alias("w"),
+    ).localCheckpoint(eager=False)
+
+    def largest_remainder(df: DataFrame, wcol: str, out: str) -> DataFrame:
+        tot = df.agg(F.sum(wcol).cast("bigint").alias("w_tot"))
+        j = df.crossJoin(F.broadcast(tot))
+        quota = j.select(
+            "segment",
+            F.expr(
+                f"({SAMPLE_BUDGET} * {wcol}"
+                f" - pmod({SAMPLE_BUDGET} * {wcol}, w_tot)) div w_tot"
+            ).alias("base"),
+            F.expr(f"pmod({SAMPLE_BUDGET} * {wcol}, w_tot)").alias("r"),
+        )
+        wsum = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        wrank = Window.orderBy(F.col("r").desc(), F.col("segment"))
+        return quota.select(
+            "segment",
+            (
+                F.col("base")
+                + F.when(
+                    F.row_number().over(wrank)
+                    <= F.lit(SAMPLE_BUDGET) - F.sum("base").over(wsum),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(out),
+        )
+    ney = largest_remainder(weighted, "w", "alloc_neyman")
+    prop = largest_remainder(weighted, "n_h", "alloc_prop")
+    return (
+        weighted.select("segment", "n_h", "sigma")
+        .join(F.broadcast(ney), "segment")
+        .join(F.broadcast(prop), "segment")
+        .orderBy("segment")
+    )
+
+
+def _lr_sql(weight: str, out: str) -> str:
+    return f"""
+  SELECT segment,
+         CAST(base + CASE WHEN rnk <= {SAMPLE_BUDGET} - base_sum
+                          THEN 1 ELSE 0 END AS BIGINT) AS {out}
+  FROM (
+    SELECT segment, base, r,
+           row_number() OVER (ORDER BY r DESC, segment) AS rnk,
+           SUM(base) OVER () AS base_sum
+    FROM (
+      SELECT segment,
+             ({SAMPLE_BUDGET} * {weight}
+              - ((({SAMPLE_BUDGET} * {weight}) % w_tot + w_tot) % w_tot))
+               // w_tot AS base,
+             ((({SAMPLE_BUDGET} * {weight}) % w_tot + w_tot) % w_tot) AS r
+      FROM weighted, (SELECT SUM({weight}) AS w_tot FROM weighted)
+    )
+  )
+"""
+
+
+NEYMAN_ALLOCATION_SQL = f"""
+WITH per_cust AS (
+  SELECT c.c_custkey, c.c_mktsegment AS segment,
+         COALESCE(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)), 0) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+strata AS (
+  SELECT segment,
+         CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM per_cust GROUP BY segment
+),
+weighted AS MATERIALIZED (
+  SELECT segment, n_h,
+         CASE WHEN n_h * syy - CAST(sy AS HUGEINT) * sy > 0
+              THEN round(sqrt(CAST(n_h * syy - CAST(sy AS HUGEINT) * sy
+                                   AS DOUBLE)) / (n_h * 100.0), 6)
+              ELSE 0.0 END AS sigma,
+         CAST(round(CASE WHEN n_h * syy - CAST(sy AS HUGEINT) * sy > 0
+              THEN round(sqrt(CAST(n_h * syy - CAST(sy AS HUGEINT) * sy
+                                   AS DOUBLE)) / (n_h * 100.0), 6)
+              ELSE 0.0 END * 1e6, 0) AS BIGINT) * n_h AS w
+  FROM strata
+),
+ney AS ({_lr_sql("w", "alloc_neyman")}),
+prop AS ({_lr_sql("n_h", "alloc_prop")})
+SELECT w.segment, w.n_h, w.sigma, ney.alloc_neyman, prop.alloc_prop
+FROM weighted w
+JOIN ney ON ney.segment = w.segment
+JOIN prop ON prop.segment = w.segment
+ORDER BY w.segment
+"""

@@ -1325,6 +1325,19 @@ _register(
     _experiment.did_by_segment_sql(),
 )
 
+from etl_mini_dw_spark.plans import privacy as _privacy  # noqa: E402
+
+_register(
+    "ext_k_anonymity_report",
+    _privacy.k_anonymity_report,
+    _privacy.K_ANONYMITY_SQL,
+)
+_register(
+    "ext_neyman_allocation",
+    _alloc.neyman_allocation,
+    _alloc.NEYMAN_ALLOCATION_SQL,
+)
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). The rotation is fully
