@@ -1337,6 +1337,11 @@ _register(
     _alloc.neyman_allocation,
     _alloc.NEYMAN_ALLOCATION_SQL,
 )
+_register(
+    "ext_streaming_hdr_quantiles",
+    ev.streaming_hdr_quantiles,
+    ev.streaming_hdr_sql(),
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

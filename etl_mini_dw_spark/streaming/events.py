@@ -1134,3 +1134,165 @@ SELECT p.user_id, p.exact_count, CAST(MIN(s.c) AS BIGINT) AS cms_estimate,
 FROM probes p JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
 GROUP BY p.user_id, p.exact_count
 """
+
+
+# --- Streaming HDR-histogram maintenance (topology #13) ----------------------
+
+HDR_STREAM_BATCHES = 3
+
+
+def streaming_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the HDR quantile histogram — the second
+    VALUE-CHECKED streaming sketch (with the CMS grid; the HLL twin
+    stays rows-only). Event values are integer cents; the log-spaced
+    bucket lower bound is pure shift arithmetic, so the streamed
+    (lb, cnt) histogram replays bit-identically in DuckDB.
+
+    Topology: events in 3 micro-batches → update-mode (lb, cnt)
+    aggregation → exactly-once keyed MERGE into the stored histogram.
+    Integer cell counts are order/batching-invariant, so the streamed
+    store ≡ the one-shot batch histogram (pinned in
+    tests/test_approx_sketches.py) — the property that lets per-shard
+    quantile tables merge incrementally at 100 TB. The report reads 5
+    quantiles off the STREAMED histogram against the exact order
+    statistics of the batch table: (quantile, rank, exact_c, est_c,
+    rel_err), with the DDSketch guarantee rel_err ∈ (−2^−5, 0].
+    """
+    _ensure_session_confs(spark)
+    import tempfile
+
+    from etl_mini_dw_spark.etl.store import IdempotentForeachBatch, ParquetStore
+    from etl_mini_dw_spark.plans.sketches import (
+        HDR_QSPECS,
+        _hdr_lb_expr,
+    )
+
+    landing = _split_landing_dir(sf_dir, HDR_STREAM_BATCHES)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    hist = (
+        stream.select(
+            (F.col("value").cast("decimal(14,2)") * 100)
+            .cast("bigint")
+            .alias("v")
+        )
+        .filter(F.col("v") > 0)
+        .groupBy(F.expr(_hdr_lb_expr("v")).alias("lb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    store = ParquetStore(tempfile.mkdtemp(prefix="stream_hdr_store_"))
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_hdr_ckpt_")
+
+    def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        store.merge_upsert(spark, batch_df, "hdr_hist", keys=["lb"])
+
+    sink = IdempotentForeachBatch(
+        tempfile.mkdtemp(prefix="stream_hdr_commits_"), _merge_batch
+    )
+    q = (
+        hist.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    sketch = store.read(spark, "hdr_hist")
+    wcum = Window.orderBy("lb").rowsBetween(Window.unboundedPreceding, 0)
+    cum_hist = sketch.select("lb", F.sum("cnt").over(wcum).alias("cum"))
+    vals = (
+        typed_table(spark, sf_dir, "events")
+        .select((F.col("value") * 100).cast("bigint").alias("v"))
+        .filter(F.col("v") > 0)
+    )
+    by_v = vals.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum_v = by_v.select("v", F.sum("cnt").over(wv).alias("cum"))
+    n = vals.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranks = None
+    for label, num, den in HDR_QSPECS:
+        r = n.select(
+            F.lit(label).alias("quantile"),
+            F.expr(f"((n - 1) * {num}) div {den} + 1")
+            .cast("bigint")
+            .alias("rank"),
+        )
+        ranks = r if ranks is None else ranks.unionByName(r)
+    est = (
+        cum_hist.crossJoin(F.broadcast(ranks))
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("quantile", "rank")
+        .agg(F.min("lb").alias("est_c"))
+    )
+    exact = (
+        cum_v.crossJoin(F.broadcast(ranks))
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("quantile")
+        .agg(F.min("v").alias("exact_c"))
+    )
+    return (
+        est.join(exact, "quantile")
+        .select(
+            "quantile",
+            "rank",
+            "exact_c",
+            "est_c",
+            F.round(
+                (F.col("est_c") - F.col("exact_c")).cast("double")
+                / F.col("exact_c").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("quantile")
+    )
+
+
+def streaming_hdr_sql() -> str:
+    """Oracle: the batch HDR pipeline over events.value — valid because
+    integer (lb, cnt) cells make streamed ≡ batch (pinned in pytest)."""
+    from etl_mini_dw_spark.plans.sketches import HDR_QSPECS, HDR_SUB_BITS
+
+    s = f"greatest(length(bin(v)) - 1 - {HDR_SUB_BITS}, 0)"
+    lb = f"((v >> ({s})) << ({s}))"
+    specs = "\nUNION ALL\n".join(
+        f"SELECT '{label}' AS quantile,"
+        f" CAST(((n - 1) * {num}) // {den} + 1 AS BIGINT) AS rank FROM n"
+        for label, num, den in HDR_QSPECS
+    )
+    return f"""
+WITH vals AS MATERIALIZED (
+  SELECT CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS v
+  FROM events
+  WHERE CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) > 0
+),
+cum_hist AS MATERIALIZED (
+  SELECT lb, SUM(cnt) OVER (ORDER BY lb) AS cum FROM (
+    SELECT {lb} AS lb, CAST(COUNT(*) AS BIGINT) AS cnt FROM vals GROUP BY 1)
+),
+cum_v AS MATERIALIZED (
+  SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM (
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM vals GROUP BY 1)
+),
+n AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+ranks AS MATERIALIZED ({specs}),
+est AS (
+  SELECT quantile, rank, MIN(lb) AS est_c
+  FROM cum_hist, ranks WHERE cum >= rank GROUP BY 1, 2
+),
+exact AS (
+  SELECT quantile, MIN(v) AS exact_c
+  FROM cum_v, ranks WHERE cum >= rank GROUP BY 1
+)
+SELECT e.quantile, e.rank, x.exact_c, e.est_c,
+       round(CAST(e.est_c - x.exact_c AS DOUBLE)
+             / CAST(x.exact_c AS DOUBLE), 6) AS rel_err
+FROM est e JOIN exact x ON x.quantile = e.quantile
+ORDER BY e.quantile
+"""
