@@ -1410,3 +1410,200 @@ FROM scored
 ORDER BY exact_jaccard DESC, doc_a, doc_b
 LIMIT 50
 """
+
+
+# --- Winnowing fingerprints (MOSS) --------------------------------------------
+#
+# Eighth dedup candidate family: WINNOWED substring fingerprints
+# (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS algorithm).
+# Where `dup_ngram_coverage` asks "how much of this doc is duplicated
+# anywhere", winnowing produces a SPARSE, position-robust fingerprint
+# SET per document — from every window of WINNOW_W consecutive k-gram
+# hashes, keep the minimum (rightmost on ties) — with the guarantee
+# that any shared substring of length ≥ k + W − 1 contributes at least
+# one shared fingerprint. Matching is then an inverted-index join over
+# ~|positions|/W selected fingerprints instead of all positions.
+#
+# The rightmost-min tie rule is encoded arithmetically so both engines
+# agree bit-for-bit: key = hash·2^20 + (2^20 − 1 − p) — minimizing key
+# minimizes the hash and, among ties, maximizes the position (doc
+# positions are « 2^20; the gram hash is the repo's standard 28-bit md5
+# integer). Over-common fingerprints (document frequency > WINNOW_DFCAP)
+# are dropped before pairing, MOSS's own boilerplate guard, which also
+# bounds the inverted-index join at Σ df² with df ≤ cap.
+
+WINNOW_K = 5  # gram width (tokens)
+WINNOW_W = 4  # winnowing window (grams) -> guarantee length K + W - 1 = 8
+WINNOW_DFCAP = 50  # drop fingerprints shared by more docs than this
+WINNOW_POS_BITS = 20  # doc positions < 2^20 (fixture docs are ~1e2 tokens)
+
+
+def winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, shared_fp, fp_a, fp_b, sim): top-25 document pairs
+    by shared winnowed fingerprints (≥ 2), with fingerprint-set sizes
+    and Jaccard-style similarity of the fingerprint sets.
+
+    Scale: selection is per-doc window work over gram positions (map
+    side after one doc-keyed shuffle); the pair join is inverted-index
+    keyed on fingerprint hash with df ≤ WINNOW_DFCAP, so candidate
+    volume is Σ df² ≤ cap·|fingerprints| — never all-pairs. The gram
+    arrays are lazily checkpointed ahead of the explode
+    (Generate-collapse trap, CLAUDE.md).
+    """
+    sel = _winnow_fingerprints(spark, sf_dir)
+    sel = sel.localCheckpoint(eager=False)  # reused: df-cap, sizes, pairs
+    keep = (
+        sel.groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .filter(F.col("df") <= WINNOW_DFCAP)
+        .select("fp")
+    )
+    idx = sel.join(keep, "fp")
+    sizes = idx.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fp")
+    )
+    a = idx.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = idx.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= 2)
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"),
+                                     F.col("n_fp").alias("fp_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"),
+                                     F.col("n_fp").alias("fp_b"))),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fp",
+            "fp_a",
+            "fp_b",
+            F.round(
+                F.col("shared_fp")
+                / (F.col("fp_a") + F.col("fp_b") - F.col("shared_fp")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("sim"),
+        )
+        .orderBy(F.col("shared_fp").desc(), "doc_a", "doc_b")
+        .limit(25)
+    )
+
+
+def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp): the distinct winnowed fingerprint set per document
+    (selection stage only — no df cap, no pairing)."""
+    from pyspark.sql import Window
+
+    pos_mod = 1 << WINNOW_POS_BITS
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    grams_arr = (
+        docs.filter(F.size("toks") >= WINNOW_K + WINNOW_W - 1)
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, size(toks) - {WINNOW_K}),"
+                f" p -> struct(CAST(p AS BIGINT) AS p,"
+                f" CAST(conv(substr(md5(concat_ws(' ',"
+                f" slice(toks, p + 1, {WINNOW_K}))), 1, 7), 16, 10)"
+                f" AS BIGINT) AS h))"
+            ).alias("grams"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    g = grams_arr.select("doc_id", F.explode("grams").alias("s")).select(
+        "doc_id",
+        F.col("s.p").alias("p"),
+        (
+            F.col("s.h") * pos_mod + (F.lit(pos_mod - 1) - F.col("s.p"))
+        ).alias("key"),
+    )
+    wdoc = Window.partitionBy("doc_id")
+    wlead = wdoc.orderBy("p").rowsBetween(0, WINNOW_W - 1)
+    sel = (
+        g.select(
+            "doc_id",
+            "p",
+            F.min("key").over(wlead).alias("kmin"),
+            F.max("p").over(wdoc).alias("pmax"),
+        )
+        .filter(F.col("p") + (WINNOW_W - 1) <= F.col("pmax"))
+        .select(
+            "doc_id",
+            F.expr(f"kmin div {pos_mod}").alias("fp"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+WINNOWING_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(toks) - {WINNOW_K} + 1),
+           i -> struct_pack(p := CAST(i AS BIGINT),
+                            h := ('0x' || substr(md5(array_to_string(
+                              toks[CAST(i AS INT) + 1 :
+                                   CAST(i AS INT) + {WINNOW_K}], ' ')),
+                              1, 7))::BIGINT))) AS s
+  FROM d WHERE len(toks) >= {WINNOW_K + WINNOW_W - 1}
+),
+g AS MATERIALIZED (
+  SELECT doc_id, s.p AS p,
+         s.h * {1 << WINNOW_POS_BITS}
+           + ({(1 << WINNOW_POS_BITS) - 1} - s.p) AS key
+  FROM g0
+),
+sel AS MATERIALIZED (
+  SELECT DISTINCT doc_id, kmin // {1 << WINNOW_POS_BITS} AS fp
+  FROM (
+    SELECT doc_id, p,
+           MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW
+                          AND {WINNOW_W - 1} FOLLOWING) AS kmin,
+           MAX(p) OVER (PARTITION BY doc_id) AS pmax
+    FROM g
+  ) WHERE p + {WINNOW_W - 1} <= pmax
+),
+keep AS (
+  SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) <= {WINNOW_DFCAP}
+),
+idx AS MATERIALIZED (
+  SELECT s.doc_id, s.fp FROM sel s JOIN keep USING (fp)
+),
+sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM idx GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_fp
+  FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT p.doc_a, p.doc_b, p.shared_fp,
+       sa.n_fp AS fp_a, sb.n_fp AS fp_b,
+       round(CAST(p.shared_fp AS DOUBLE)
+             / (sa.n_fp + sb.n_fp - p.shared_fp), 6) AS sim
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+ORDER BY p.shared_fp DESC, p.doc_a, p.doc_b
+LIMIT 25
+"""

@@ -1342,6 +1342,11 @@ _register(
     ev.streaming_hdr_quantiles,
     ev.streaming_hdr_sql(),
 )
+_register(
+    "ext_winnowing_matches",
+    dedup.winnowing_matches,
+    dedup.WINNOWING_SQL,
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

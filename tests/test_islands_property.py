@@ -51,3 +51,45 @@ def test_island_union_matches_bruteforce(spark):
     }
     for cid, ps in cases:
         assert got[cid] == _brute_union(ps), (cid, ps, got[cid], _brute_union(ps))
+
+
+def test_winnowing_guarantee(spark, sf_dir):
+    """Schleimer et al.'s correctness property: every document pair
+    sharing a contiguous run of >= K + W - 1 tokens must share at least
+    one WINNOWED fingerprint — found independently in pandas, checked
+    against the operator's selection stage."""
+    import pandas as pd
+
+    from etl_mini_dw_spark.functions import dedup
+
+    span = dedup.WINNOW_K + dedup.WINNOW_W - 1
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    grams = {}
+    for _, r in docs.iterrows():
+        toks = r.text.split(" ")
+        grams[r.doc_id] = {
+            " ".join(toks[i : i + span]) for i in range(len(toks) - span + 1)
+        }
+    inv = {}
+    for d, gs in grams.items():
+        for g in gs:
+            inv.setdefault(g, []).append(d)
+    sharing_pairs = {
+        (a, b)
+        for ds in inv.values()
+        if len(ds) > 1
+        for i, a in enumerate(ds)
+        for b in ds[i + 1 :]
+    }
+    assert sharing_pairs, "fixture sanity: some span-sharing pair exists"
+    fps = (
+        dedup._winnow_fingerprints(spark, sf_dir)
+        .toPandas()
+        .groupby("doc_id")
+        .fp.apply(set)
+        .to_dict()
+    )
+    for a, b in sharing_pairs:
+        shared = fps.get(a, set()) & fps.get(b, set())
+        assert shared, (a, b)
