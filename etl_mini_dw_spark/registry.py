@@ -1347,6 +1347,11 @@ _register(
     dedup.winnowing_matches,
     dedup.WINNOWING_SQL,
 )
+_register(
+    "ext_fact_diff_drilldown",
+    _diff.fact_diff_drilldown,
+    _diff.fact_diff_drilldown_sql(),
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

@@ -78,3 +78,23 @@ def test_kcore_trace_monotone_and_valid(spark, sf_dir):
     if sf_dir.rstrip("/").endswith("sf0.001"):
         assert rows[0]["n_nodes"] == rows[-1]["n_nodes"]
         assert rows[0]["n_edges"] == rows[-1]["n_edges"]
+
+
+def test_drilldown_localizes_geometrically(spark, sf_dir):
+    """The Merkle recovery path must (a) find exactly the one dropped
+    row (the min sales_id), and (b) shrink the rescan set geometrically
+    level over level — that shrinkage IS the 100 TB argument."""
+    from etl_mini_dw_spark.operators import fact
+    from etl_mini_dw_spark.plans import diff
+
+    rows = {r["level"]: r for r in diff.fact_diff_drilldown(spark, sf_dir).collect()}
+    n_total = fact.fact_initial(spark, sf_dir).count()
+    vid = fact.fact_initial(spark, sf_dir).agg({"sales_id": "min"}).collect()[0][0]
+    assert rows["rescan"]["rows_diff"] == 1
+    assert rows["rescan"]["diff_sales_id"] == vid
+    # exactly one bucket mismatches at each level (single corrupted row)
+    assert rows["l1"]["mismatched"] == 1
+    assert rows["l2"]["mismatched"] == 1
+    # geometric shrinkage: each level touches far less than the last
+    assert rows["l2"]["rows_scanned"] < n_total / 16
+    assert rows["rescan"]["rows_scanned"] < rows["l2"]["rows_scanned"] / 8
