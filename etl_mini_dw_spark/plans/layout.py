@@ -327,3 +327,160 @@ FROM bins
 GROUP BY ym
 ORDER BY ym
 """
+
+
+# --- Layout pruning tradeoff: Z-order vs single-key sort ----------------------
+#
+# The quantified version of the zonemap story: WHY Z-order. A layout
+# sorted on partkey alone gives perfect pruning for partkey probes and
+# ZERO pruning for suppkey probes; the bit-interleaved Z-layout spends
+# a little of the first to buy a lot of the second (each point probe
+# touches ~sqrt-ish of the bins on EITHER axis). This operator builds
+# both layouts' per-bin zone maps over the same rows, replays a
+# deterministic point-probe workload on each axis against each zone
+# map, and reports the average fraction of bins a probe cannot skip —
+# the exact number a reader's skipping predicate sees.
+#
+# All integer arithmetic (probe values are exact lattice points of the
+# key range; interval tests are BIGINT comparisons); the only float is
+# the final round-6 fraction. Scale: the zone maps are |bins|-row
+# frames off one partial-aggregable pass; the probe replay is a
+# |probes| × |bins| broadcast nested loop over 64-row frames.
+
+PRUNE_PROBES = 16
+
+
+def layout_pruning_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(layout, probe_axis, n_probes, avg_bins_touched, frac): expected
+    zonemap pruning for point probes on each key under a Z-ordered vs a
+    partkey-sorted 64-file layout of the same lineitem rows."""
+    li = typed_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % (1 << Z_BITS)).alias("x"),
+        (F.col("l_suppkey") % (1 << Z_BITS)).alias("y"),
+    )
+    keyed = li.withColumn("zkey", F.expr(_Z_EXPR))
+    bounds = keyed.agg(
+        F.min("zkey").alias("zmin"),
+        F.max("zkey").alias("zmax"),
+        F.min("x").alias("xmin"),
+        F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"),
+        F.max("y").alias("ymax"),
+    )
+    binned = keyed.crossJoin(F.broadcast(bounds)).select(
+        "x",
+        "y",
+        "xmin",
+        "xmax",
+        "ymin",
+        "ymax",
+        F.expr(f"((zkey - zmin) * {Z_BINS}) div (zmax - zmin + 1)").alias(
+            "bin_z"
+        ),
+        F.expr(f"((x - xmin) * {Z_BINS}) div (xmax - xmin + 1)").alias(
+            "bin_s"
+        ),
+    )
+    zonemaps = None
+    for layout, bincol in (("zorder", "bin_z"), ("partkey_sort", "bin_s")):
+        zm = binned.groupBy(F.col(bincol).alias("bin")).agg(
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        ).select(F.lit(layout).alias("layout"), "*")
+        zonemaps = zm if zonemaps is None else zonemaps.unionByName(zm)
+    probes = None
+    for axis, lo, hi in (("x", "xmin", "xmax"), ("y", "ymin", "ymax")):
+        p = bounds.select(
+            F.lit(axis).alias("probe_axis"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {PRUNE_PROBES - 1}),"
+                    f" i -> {lo} + (CAST(i AS BIGINT) * ({hi} - {lo}))"
+                    f" div {PRUNE_PROBES})"
+                )
+            ).alias("p"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    hit = (
+        zonemaps.crossJoin(F.broadcast(probes))
+        .filter(
+            (
+                (F.col("probe_axis") == "x")
+                & (F.col("min_x") <= F.col("p"))
+                & (F.col("p") <= F.col("max_x"))
+            )
+            | (
+                (F.col("probe_axis") == "y")
+                & (F.col("min_y") <= F.col("p"))
+                & (F.col("p") <= F.col("max_y"))
+            )
+        )
+        .groupBy("layout", "probe_axis")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("bins_hit"))
+    )
+    return hit.select(
+        "layout",
+        "probe_axis",
+        F.lit(PRUNE_PROBES).cast("bigint").alias("n_probes"),
+        F.round(F.col("bins_hit") / float(PRUNE_PROBES), 6).alias(
+            "avg_bins_touched"
+        ),
+        F.round(
+            F.col("bins_hit") / float(PRUNE_PROBES * Z_BINS), 6
+        ).alias("frac"),
+    ).orderBy("layout", "probe_axis")
+
+
+def layout_pruning_tradeoff_sql() -> str:
+    z_expr_sql = _Z_EXPR  # same integer expression parses in DuckDB
+    return f"""
+WITH keyed AS MATERIALIZED (
+  SELECT x, y, {z_expr_sql} AS zkey FROM (
+    SELECT ((l_partkey % {1 << Z_BITS}) + {1 << Z_BITS}) % {1 << Z_BITS} AS x,
+           ((l_suppkey % {1 << Z_BITS}) + {1 << Z_BITS}) % {1 << Z_BITS} AS y
+    FROM lineitem)
+),
+bounds AS (
+  SELECT MIN(zkey) AS zmin, MAX(zkey) AS zmax,
+         MIN(x) AS xmin, MAX(x) AS xmax,
+         MIN(y) AS ymin, MAX(y) AS ymax
+  FROM keyed
+),
+binned AS (
+  SELECT x, y,
+         ((zkey - zmin) * {Z_BINS}) // (zmax - zmin + 1) AS bin_z,
+         ((x - xmin) * {Z_BINS}) // (xmax - xmin + 1) AS bin_s
+  FROM keyed, bounds
+),
+zonemaps AS (
+  SELECT 'zorder' AS layout, bin_z AS bin,
+         MIN(x) AS min_x, MAX(x) AS max_x,
+         MIN(y) AS min_y, MAX(y) AS max_y
+  FROM binned GROUP BY bin_z
+  UNION ALL
+  SELECT 'partkey_sort', bin_s,
+         MIN(x), MAX(x), MIN(y), MAX(y)
+  FROM binned GROUP BY bin_s
+),
+probes AS (
+  SELECT 'x' AS probe_axis,
+         xmin + (CAST(i AS BIGINT) * (xmax - xmin)) // {PRUNE_PROBES} AS p
+  FROM bounds, range(0, {PRUNE_PROBES}) t(i)
+  UNION ALL
+  SELECT 'y', ymin + (CAST(i AS BIGINT) * (ymax - ymin)) // {PRUNE_PROBES}
+  FROM bounds, range(0, {PRUNE_PROBES}) t(i)
+)
+SELECT z.layout, pr.probe_axis,
+       CAST({PRUNE_PROBES} AS BIGINT) AS n_probes,
+       round(CAST(COUNT(*) AS DOUBLE) / {PRUNE_PROBES}, 6)
+         AS avg_bins_touched,
+       round(CAST(COUNT(*) AS DOUBLE) / ({PRUNE_PROBES} * {Z_BINS}), 6)
+         AS frac
+FROM zonemaps z JOIN probes pr
+  ON (pr.probe_axis = 'x' AND z.min_x <= pr.p AND pr.p <= z.max_x)
+  OR (pr.probe_axis = 'y' AND z.min_y <= pr.p AND pr.p <= z.max_y)
+GROUP BY z.layout, pr.probe_axis
+ORDER BY z.layout, pr.probe_axis
+"""

@@ -1352,6 +1352,11 @@ _register(
     _diff.fact_diff_drilldown,
     _diff.fact_diff_drilldown_sql(),
 )
+_register(
+    "ext_layout_pruning_tradeoff",
+    layout.layout_pruning_tradeoff,
+    layout.layout_pruning_tradeoff_sql(),
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

@@ -56,3 +56,19 @@ def test_compaction_greedy_rule_replay(spark, sf_dir):
         bins.add(cum // layout.COMPACT_TARGET)
         cum += int(n) * layout.COMPACT_ROW_BYTES
     assert int(plan[plan.ym == ym].bins_after.iloc[0]) == len(bins)
+
+
+def test_layout_pruning_tradeoff_shape(spark, sf_dir):
+    """The reason Z-order exists, as numbers: a partkey sort prunes
+    partkey probes perfectly and suppkey probes not at all; Z-order
+    prunes BOTH axes well below full scan."""
+    rows = {
+        (r.layout, r.probe_axis): r
+        for r in layout.layout_pruning_tradeoff(spark, sf_dir).collect()
+    }
+    assert rows[("partkey_sort", "x")].frac <= 0.05
+    assert rows[("partkey_sort", "y")].frac >= 0.95
+    assert rows[("zorder", "x")].frac <= 0.10
+    assert rows[("zorder", "y")].frac <= 0.50
+    # and z-order strictly beats the sort on the unsorted axis
+    assert rows[("zorder", "y")].frac < rows[("partkey_sort", "y")].frac
