@@ -920,3 +920,154 @@ FROM ranked JOIN part ON p_partkey = l_partkey
 WHERE trend_rank <= {TREND_TOP_K}
 ORDER BY trend_rank
 """
+
+
+# --- Markov stationary distribution ------------------------------------------
+#
+# Composes the transition matrix (`event_transitions`) with the repo's
+# integer power-iteration discipline (pagerank/power_iteration rules):
+# the stationary distribution pi = pi.P of the user-journey Markov
+# chain answers "where does a session SETTLE long-run", which the raw
+# edge counts and the empirical visit share both misstate when the
+# chain mixes slowly. Eight unrolled matvec rounds in 2^20 fixed point
+# — every product/division is an exact BIGINT floor (pmod identity),
+# renormalized to the fixed scale each round, so the fit is bit-
+# identical on any partitioning and in the DuckDB oracle (whose
+# iterative CTE chain is AS MATERIALIZED — the exponential-inlining
+# trap, CLAUDE.md).
+#
+# Scale: the corpus is touched ONCE by the transition rollup; every
+# round is a |types|²-row join. Gap vs the empirical to-share is the
+# slow-mixing diagnostic.
+
+MARKOV_ROUNDS = 8
+MARKOV_SCALE = 1 << 20  # keeps w_raw*SCALE and w*c inside int64 at any sf
+
+
+def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, pi, empirical_share, gap): stationary distribution
+    of the event-type transition chain vs the empirical visit share."""
+    trans = event_transitions(spark, sf_dir).select(
+        F.col("from_type").alias("i"),
+        F.col("to_type").alias("j"),
+        F.col("n_transitions").cast("bigint").alias("c"),
+    )
+    trans = trans.localCheckpoint(eager=False)  # reused every round
+    r = trans.groupBy("i").agg(F.sum("c").cast("bigint").alias("r"))
+    base = trans.join(F.broadcast(r), "i")
+    states = trans.select(F.col("i").alias("t")).union(
+        trans.select(F.col("j").alias("t"))
+    ).distinct()
+    k = states.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    w = states.crossJoin(F.broadcast(k)).select(
+        F.col("t").alias("i"),
+        F.expr(f"({MARKOV_SCALE} - pmod({MARKOV_SCALE}, k)) div k")
+        .cast("bigint")
+        .alias("w"),
+    )
+    for _ in range(MARKOV_ROUNDS):
+        stepped = (
+            base.join(F.broadcast(w), "i")
+            .select(
+                F.col("j"),
+                F.expr("((w * c) - pmod(w * c, r)) div r").alias("m"),
+            )
+            .groupBy("j")
+            .agg(F.sum("m").cast("bigint").alias("w_raw"))
+        )
+        tot = stepped.agg(F.sum("w_raw").cast("bigint").alias("tot"))
+        w = (
+            stepped.crossJoin(F.broadcast(tot))
+            .select(
+                F.col("j").alias("i"),
+                F.expr(
+                    f"((w_raw * {MARKOV_SCALE})"
+                    f" - pmod(w_raw * {MARKOV_SCALE}, tot)) div tot"
+                )
+                .cast("bigint")
+                .alias("w"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    emp = (
+        typed_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("i"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    emp_tot = emp.agg(F.sum("n").cast("bigint").alias("n_tot"))
+    out = (
+        w.join(emp, "i")
+        .crossJoin(F.broadcast(emp_tot))
+        .select(
+            F.col("i").alias("event_type"),
+            F.round(F.col("w") / float(MARKOV_SCALE), 6).alias("pi"),
+            F.round(F.col("n") / F.col("n_tot").cast("double"), 6).alias(
+                "empirical_share"
+            ),
+        )
+    )
+    return out.select(
+        "event_type",
+        "pi",
+        "empirical_share",
+        F.round(F.col("pi") - F.col("empirical_share"), 6).alias("gap"),
+    ).orderBy("event_type")
+
+
+def markov_stationary_sql() -> str:
+    fd = "(({a}) - ((({a}) % ({b}) + ({b})) % ({b}))) // ({b})"
+    rounds = []
+    prev = "w0"
+    for n in range(1, MARKOV_ROUNDS + 1):
+        step = fd.format(a="w.w * b.c", b="b.r")
+        renorm = fd.format(a=f"w_raw * {MARKOV_SCALE}", b="tot")
+        rounds.append(
+            f"""s{n} AS MATERIALIZED (
+  SELECT b.j, CAST(SUM({step}) AS BIGINT) AS w_raw
+  FROM base b JOIN {prev} w ON w.i = b.i GROUP BY b.j
+),
+t{n} AS MATERIALIZED (SELECT CAST(SUM(w_raw) AS BIGINT) AS tot FROM s{n}),
+w{n} AS MATERIALIZED (
+  SELECT j AS i, CAST({renorm} AS BIGINT) AS w FROM s{n}, t{n}
+)"""
+        )
+        prev = f"w{n}"
+    chain = ",\n".join(rounds)
+    init = fd.format(a=str(MARKOV_SCALE), b="k")
+    return f"""
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+           FROM events),
+pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS i,
+         event_type AS j
+  FROM e
+),
+trans AS MATERIALIZED (
+  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs WHERE i IS NOT NULL GROUP BY 1, 2
+),
+base AS MATERIALIZED (
+  SELECT t.i, t.j, t.c, r.r
+  FROM trans t JOIN (SELECT i, CAST(SUM(c) AS BIGINT) AS r
+                     FROM trans GROUP BY i) r ON r.i = t.i
+),
+states AS (SELECT DISTINCT i AS t FROM (SELECT i FROM trans
+                                        UNION ALL SELECT j FROM trans)),
+kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+w0 AS MATERIALIZED (
+  SELECT t AS i, CAST({init} AS BIGINT) AS w FROM states, kk
+),
+{chain},
+emp AS (
+  SELECT event_type AS i, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1
+),
+emp_tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot FROM emp)
+SELECT w.i AS event_type,
+       round(CAST(w.w AS DOUBLE) / {MARKOV_SCALE}, 6) AS pi,
+       round(CAST(emp.n AS DOUBLE) / emp_tot.n_tot, 6) AS empirical_share,
+       round(round(CAST(w.w AS DOUBLE) / {MARKOV_SCALE}, 6)
+             - round(CAST(emp.n AS DOUBLE) / emp_tot.n_tot, 6), 6) AS gap
+FROM w{MARKOV_ROUNDS} w JOIN emp ON emp.i = w.i, emp_tot
+ORDER BY event_type
+"""

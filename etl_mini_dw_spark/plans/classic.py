@@ -578,3 +578,118 @@ WHERE s_suppkey IN (
   HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 50)
 ORDER BY s_name
 """
+
+
+# --- Pareto skyline (catalog frontier) ----------------------------------------
+#
+# The skyline operator (Börzsönyi et al., ICDE 2001): parts that are
+# not DOMINATED — no other part is both cheaper (retail price) and more
+# sold (lifetime quantity). The classic O(n log n) 2-D sweep becomes
+# two windows: collapse to per-price max quantity, then a part is on
+# the skyline iff its quantity equals its price-group max AND strictly
+# exceeds the running max over all strictly-cheaper prices. All
+# comparisons are exact integers (price cents, quantity hundredths).
+#
+# Scale: one partkey rollup (partial-aggregable) + broadcast part join;
+# the sweep windows run over |distinct prices| rows. The skyline is the
+# recommendation/catalog "efficient frontier" primitive.
+
+
+def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p_partkey, price_c, qty_c, skyline_size): the cheapest-and-
+    best-selling frontier, first 50 parts by ascending price (partkey
+    tie-break), with the full frontier size on every row."""
+    from pyspark.sql import Window
+
+    li = typed_table(spark, sf_dir, "lineitem")
+    part = typed_table(spark, sf_dir, "part")
+    sold = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        (F.sum("l_quantity") * 100).cast("decimal(38,0)").cast("bigint").alias("qty_c")
+    )
+    base = sold.join(
+        F.broadcast(
+            part.select(
+                "p_partkey",
+                (F.col("p_retailprice") * 100).cast("bigint").alias("price_c"),
+            )
+        ),
+        "p_partkey",
+    )
+    wprice = Window.partitionBy("price_c")
+    wsweep = Window.orderBy("price_c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    per_price = base.select(
+        "p_partkey",
+        "price_c",
+        "qty_c",
+        F.max("qty_c").over(wprice).alias("price_max"),
+    )
+    price_maxes = (
+        per_price.select("price_c", "price_max")
+        .distinct()
+        .select(
+            "price_c",
+            "price_max",
+            F.coalesce(
+                F.max("price_max").over(wsweep), F.lit(-1)
+            ).alias("cheaper_max"),
+        )
+    )
+    skyline = (
+        per_price.join(F.broadcast(price_maxes.select("price_c", "cheaper_max")), "price_c")
+        .filter(
+            (F.col("qty_c") == F.col("price_max"))
+            & (F.col("qty_c") > F.col("cheaper_max"))
+        )
+        .select("p_partkey", "price_c", "qty_c")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        skyline.select(
+            "p_partkey",
+            "price_c",
+            "qty_c",
+            F.count(F.lit(1)).over(wall).cast("bigint").alias("skyline_size"),
+        )
+        .orderBy("price_c", "p_partkey")
+        .limit(50)
+    )
+
+
+PARETO_SKYLINE_SQL = """
+WITH sold AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100
+              AS DECIMAL(38,0)) AS BIGINT) AS qty_c
+  FROM lineitem GROUP BY 1
+),
+base AS (
+  SELECT s.p_partkey, s.qty_c,
+         CAST(CAST(p.p_retailprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+           AS price_c
+  FROM sold s JOIN part p ON p.p_partkey = s.p_partkey
+),
+per_price AS (
+  SELECT *, MAX(qty_c) OVER (PARTITION BY price_c) AS price_max FROM base
+),
+price_maxes AS (
+  SELECT price_c,
+         COALESCE(MAX(price_max) OVER (ORDER BY price_c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+           AS cheaper_max
+  FROM (SELECT DISTINCT price_c, price_max FROM per_price)
+),
+skyline AS (
+  SELECT b.p_partkey, b.price_c, b.qty_c
+  FROM per_price b JOIN price_maxes m ON m.price_c = b.price_c
+  WHERE b.qty_c = b.price_max AND b.qty_c > m.cheaper_max
+)
+SELECT p_partkey, price_c, qty_c,
+       CAST(COUNT(*) OVER () AS BIGINT) AS skyline_size
+FROM skyline
+ORDER BY price_c, p_partkey
+LIMIT 50
+"""

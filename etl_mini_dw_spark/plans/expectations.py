@@ -326,3 +326,101 @@ SELECT c.digit, c.n,
 FROM counts c CROSS JOIN total t LEFT JOIN expect e ON c.digit = e.digit
 ORDER BY c.digit
 """
+
+
+# --- Split-hash uniformity audit ----------------------------------------------
+#
+# Everything downstream of the repo's deterministic multiplicative hash
+# (train/cal/test splits, A/B arms, reservoir/PPS sampling, leakage-free
+# splits) silently assumes the hash spreads keys uniformly. This audit
+# MEASURES that: bucket the hash of each unit key into 100 cells and
+# report the chi-square statistic against uniform plus the max/min cell
+# loads. chi2 = 100·Σo²/n − n — derived purely from integer counts (the
+# usual E = n/100 form needs no float until the final division). With
+# 99 degrees of freedom, chi2 ≳ 150 means the splits are biased and
+# every hash-split experiment inherits that bias.
+#
+# Scale: one partial-aggregable groupBy per audited key; the report is
+# 100 cells per key.
+
+HASH_AUDIT_CELLS = 100
+
+
+def hash_uniformity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(unit_key, n, cells, chi2, min_cell, max_cell, max_over_min):
+    uniformity of the repo's split hash over its three unit keys."""
+    from etl_mini_dw_spark.functions.sampling import HASH_MOD, HASH_MULT
+
+    cell_w = HASH_MOD // HASH_AUDIT_CELLS
+    specs = [
+        ("customer.c_custkey", "customer", "c_custkey"),
+        ("orders.o_orderkey", "orders", "o_orderkey"),
+        ("documents.doc_id", "documents", "doc_id"),
+    ]
+    out = None
+    for label, tbl, key in specs:
+        t = typed_table(spark, sf_dir, tbl).select(
+            (
+                F.pmod(F.col(key) * F.lit(HASH_MULT), F.lit(HASH_MOD))
+                / F.lit(cell_w)
+            )
+            .cast("bigint")
+            .alias("cell")
+        )
+        cells = t.groupBy("cell").agg(
+            F.count(F.lit(1)).cast("bigint").alias("o")
+        )
+        row = cells.agg(
+            F.sum("o").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("cells"),
+            F.sum(F.col("o") * F.col("o")).cast("bigint").alias("sumsq"),
+            F.min("o").cast("bigint").alias("min_cell"),
+            F.max("o").cast("bigint").alias("max_cell"),
+        ).select(
+            F.lit(label).alias("unit_key"),
+            "n",
+            "cells",
+            F.round(
+                F.lit(HASH_AUDIT_CELLS) * F.col("sumsq")
+                / F.col("n").cast("double")
+                - F.col("n"),
+                6,
+            ).alias("chi2"),
+            "min_cell",
+            "max_cell",
+            F.round(
+                F.col("max_cell") / F.col("min_cell").cast("double"), 6
+            ).alias("max_over_min"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("unit_key")
+
+
+def hash_uniformity_audit_sql() -> str:
+    from etl_mini_dw_spark.functions.sampling import HASH_MOD, HASH_MULT
+
+    cell_w = HASH_MOD // HASH_AUDIT_CELLS
+    arms = []
+    for label, tbl, key in (
+        ("customer.c_custkey", "customer", "c_custkey"),
+        ("orders.o_orderkey", "orders", "o_orderkey"),
+        ("documents.doc_id", "documents", "doc_id"),
+    ):
+        arms.append(f"""
+SELECT '{label}' AS unit_key, n, cells,
+       round({HASH_AUDIT_CELLS} * CAST(sumsq AS DOUBLE) / n - n, 6) AS chi2,
+       min_cell, max_cell,
+       round(CAST(max_cell AS DOUBLE) / min_cell, 6) AS max_over_min
+FROM (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS cells,
+         CAST(SUM(o * o) AS BIGINT) AS sumsq,
+         CAST(MIN(o) AS BIGINT) AS min_cell,
+         CAST(MAX(o) AS BIGINT) AS max_cell
+  FROM (
+    SELECT (({key} * {HASH_MULT}) % {HASH_MOD}) // {cell_w} AS cell,
+           CAST(COUNT(*) AS BIGINT) AS o
+    FROM {tbl} GROUP BY 1
+  )
+)""")
+    return "\nUNION ALL\n".join(arms) + "\nORDER BY unit_key"

@@ -1357,6 +1357,21 @@ _register(
     layout.layout_pruning_tradeoff,
     layout.layout_pruning_tradeoff_sql(),
 )
+_register(
+    "ext_markov_stationary",
+    behavior.markov_stationary,
+    behavior.markov_stationary_sql(),
+)
+_register(
+    "ext_hash_uniformity_audit",
+    expectations.hash_uniformity_audit,
+    expectations.hash_uniformity_audit_sql(),
+)
+_register(
+    "ext_pareto_skyline_parts",
+    classic.pareto_skyline_parts,
+    classic.PARETO_SKYLINE_SQL,
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

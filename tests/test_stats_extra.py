@@ -240,3 +240,93 @@ def test_theil_sen_breakdown_resistance():
         )
 
     assert abs(ols(y_bad) - ols(y)) / abs(ols(y)) > 0.25
+
+
+def test_markov_stationary_is_a_fixed_point(spark, sf_dir):
+    """pi must satisfy pi = pi.P of the empirical transition matrix (to
+    within the 2^-20 fixed-point granularity x 8 rounds), sum to ~1,
+    and match numpy power iteration from the same counts."""
+    from etl_mini_dw_spark.plans import behavior
+
+    out = {r.event_type: r for r in behavior.markov_stationary(spark, sf_dir).collect()}
+    trans = behavior.event_transitions(spark, sf_dir).collect()
+    types = sorted(out)
+    idx = {t: i for i, t in enumerate(types)}
+    P = np.zeros((len(types), len(types)))
+    for r in trans:
+        P[idx[r.from_type], idx[r.to_type]] = r.n_transitions
+    P = P / P.sum(axis=1, keepdims=True)
+    pi = np.array([out[t].pi for t in types])
+    assert abs(pi.sum() - 1.0) < 1e-4
+    # fixed point: one more step moves pi by at most the accumulated
+    # fixed-point error budget
+    assert np.abs(pi @ P - pi).max() < 5e-4
+    # and numpy power iteration from uniform lands on the same vector
+    v = np.full(len(types), 1.0 / len(types))
+    for _ in range(50):
+        v = v @ P
+    assert np.abs(v - pi).max() < 5e-4
+
+
+def test_pareto_skyline_matches_numpy(spark, sf_dir):
+    """Every reported part is non-dominated, and the frontier equals a
+    brute-force O(n^2)-free pandas sweep from raw parquet."""
+    from etl_mini_dw_spark.plans import classic
+
+    got = classic.pareto_skyline_parts(spark, sf_dir).toPandas()
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+    )
+    part = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice"]
+    )
+    qty = (
+        li.assign(q=np.round(li.l_quantity.to_numpy() * 100).astype(np.int64))
+        .groupby("l_partkey").q.sum()
+    )
+    base = part.assign(
+        price=np.round(part.p_retailprice.to_numpy() * 100).astype(np.int64)
+    )
+    base = base[base.p_partkey.isin(qty.index)]
+    base["q"] = base.p_partkey.map(qty)
+    base = base.sort_values(["price", "p_partkey"]).reset_index(drop=True)
+    frontier = []
+    for price, grp in base.groupby("price", sort=True):
+        mx = grp.q.max()
+        cheaper = base[base.price < price]
+        cmax = cheaper.q.max() if len(cheaper) else -1
+        if mx > cmax:
+            frontier.extend(
+                grp[grp.q == mx].p_partkey.tolist()
+            )
+    frontier = sorted(
+        frontier,
+        key=lambda k: (int(base[base.p_partkey == k].price.iloc[0]), k),
+    )
+    assert got.skyline_size.nunique() == 1
+    assert int(got.skyline_size.iloc[0]) == len(frontier)
+    assert got.p_partkey.tolist() == frontier[: len(got)]
+    # non-dominance holds for every reported row
+    for _, r in got.iterrows():
+        dominators = base[
+            ((base.price < r.price_c) & (base.q >= r.qty_c))
+            | ((base.price <= r.price_c) & (base.q > r.qty_c))
+        ]
+        assert dominators.empty
+
+
+def test_hash_uniformity_identity(spark, sf_dir):
+    from etl_mini_dw_spark.functions.sampling import HASH_MOD, HASH_MULT
+    from etl_mini_dw_spark.plans import expectations as exp
+
+    rows = {r.unit_key: r for r in exp.hash_uniformity_audit(spark, sf_dir).collect()}
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    cells = (
+        (cust.c_custkey.to_numpy().astype(np.int64) * HASH_MULT) % HASH_MOD
+    ) // (HASH_MOD // exp.HASH_AUDIT_CELLS)
+    o = pd.Series(cells).value_counts().to_numpy()
+    r = rows["customer.c_custkey"]
+    assert r.n == len(cust)
+    chi2 = exp.HASH_AUDIT_CELLS * float((o.astype(np.int64) ** 2).sum()) / len(cust) - len(cust)
+    assert abs(r.chi2 - chi2) < 1e-4
+    assert r.min_cell == int(o.min()) and r.max_cell == int(o.max())
