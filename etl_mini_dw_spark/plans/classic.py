@@ -693,3 +693,161 @@ FROM skyline
 ORDER BY price_c, p_partkey
 LIMIT 50
 """
+
+
+# --- ABC-XYZ inventory classification -----------------------------------------
+#
+# The supply-chain planning matrix: ABC ranks parts by revenue
+# contribution (A = heads until 80% cumulative share, B to 95%, C the
+# tail — the Pareto op's cutoffs turned into a classifier) and XYZ
+# grades demand VARIABILITY from the weekly series (X steady CV ≤ 0.5,
+# Y ≤ 1.0, Z erratic). Planners stock A-X items deep and make C-Z
+# items to order; the 3×3 census is the portfolio health readout.
+#
+# Portability: both classifications are decided by PURE INTEGER
+# comparisons — cumulative revenue share via cross-multiplication
+# (cum·100 ≤ total·80), and CV thresholds via the identity
+# CV² = (n_w·Σq² − T²)/T², so X ⇔ 4·(n_w·Σq² − T²) ≤ T² — no rounded
+# float ever gates a class boundary.
+#
+# Scale: two partial-aggregable per-part rollups; the ABC cumulative
+# window runs over |parts| rows (the one global step — swap for
+# range-partitioned prefix sums at catalog scales beyond one executor's
+# sort buffer, same note as the Pareto curve).
+
+
+def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(abc, xyz, n_parts, revenue_share): the 3×3 ABC-XYZ census of
+    all parts with any sales, revenue share per cell rounded-6."""
+    from pyspark.sql import Window
+
+    li = typed_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(F.expr("l_extendedprice * (1 - l_discount)")) * 10000)
+        .cast("decimal(38,0)")
+        .cast("bigint")
+        .alias("r")
+    )
+    wcum = Window.orderBy(F.col("r").desc(), F.col("pk")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    abc = rev.select(
+        "pk",
+        "r",
+        F.sum("r").over(wcum).alias("cum"),
+        F.sum("r").over(wall).alias("tot"),
+    ).select(
+        "pk",
+        "r",
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+        "tot",
+    )
+    weekly = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.expr(
+            "(datediff(l_shipdate, DATE '1992-01-01')"
+            " - pmod(datediff(l_shipdate, DATE '1992-01-01'), 7)) div 7"
+        ).alias("wk"),
+    ).agg((F.sum("l_quantity") * 100).cast("decimal(38,0)").cast("bigint").alias("q"))
+    n_weeks = weekly.select("wk").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("nw")
+    )
+    xyz = (
+        weekly.groupBy("pk")
+        .agg(
+            F.sum("q").cast("decimal(19,0)").alias("t"),
+            F.sum(
+                F.col("q").cast("decimal(19,0)") * F.col("q").cast("decimal(19,0)")
+            ).cast("decimal(38,0)").alias("sq2"),
+        )
+        .crossJoin(F.broadcast(n_weeks))
+        .select(
+            "pk",
+            # var_num = n_w * Σq² − T²  (DECIMAL(38,0) exact)
+            (
+                F.col("nw").cast("decimal(10,0)") * F.col("sq2")
+                - F.col("t") * F.col("t")
+            ).alias("vn"),
+            (F.col("t") * F.col("t")).alias("t2"),
+        )
+        .select(
+            "pk",
+            F.when(F.col("vn") * 4 <= F.col("t2"), "X")
+            .when(F.col("vn") <= F.col("t2"), "Y")
+            .otherwise("Z")
+            .alias("xyz"),
+        )
+    )
+    return (
+        abc.join(xyz, "pk")
+        .groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(
+                F.sum("r").cast("double") / F.max("tot").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc", "xyz")
+    )
+
+
+ABC_XYZ_SQL = """
+WITH rev AS (
+  SELECT l_partkey AS pk,
+         CAST(CAST(SUM(l_extendedprice * (1 - l_discount)) * 10000
+              AS DECIMAL(38,0)) AS BIGINT) AS r
+  FROM lineitem GROUP BY 1
+),
+abc AS (
+  SELECT pk, r,
+         CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+              WHEN cum * 100 <= tot * 95 THEN 'B'
+              ELSE 'C' END AS abc,
+         tot
+  FROM (
+    SELECT pk, r,
+           SUM(r) OVER (ORDER BY r DESC, pk
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(r) OVER () AS tot
+    FROM rev
+  )
+),
+weekly AS (
+  SELECT l_partkey AS pk,
+         (datediff('day', DATE '1992-01-01', l_shipdate)
+          - ((datediff('day', DATE '1992-01-01', l_shipdate) % 7 + 7) % 7))
+           // 7 AS wk,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100
+              AS DECIMAL(38,0)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+nw AS (SELECT CAST(COUNT(DISTINCT wk) AS BIGINT) AS nw FROM weekly),
+xyz AS (
+  SELECT pk,
+         CASE WHEN vn * 4 <= t2 THEN 'X'
+              WHEN vn <= t2 THEN 'Y'
+              ELSE 'Z' END AS xyz
+  FROM (
+    SELECT pk,
+           nw * sq2 - CAST(t AS HUGEINT) * t AS vn,
+           CAST(t AS HUGEINT) * t AS t2
+    FROM (
+      SELECT pk, CAST(SUM(q) AS BIGINT) AS t,
+             SUM(CAST(q AS HUGEINT) * q) AS sq2
+      FROM weekly GROUP BY pk
+    ), nw
+  )
+)
+SELECT a.abc, x.xyz,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       round(CAST(SUM(a.r) AS DOUBLE) / MAX(a.tot), 6) AS revenue_share
+FROM abc a JOIN xyz x ON x.pk = a.pk
+GROUP BY a.abc, x.xyz
+ORDER BY a.abc, x.xyz
+"""

@@ -615,3 +615,145 @@ SELECT COALESCE(segment, 'ALL') AS segment, n_a, n_b,
 FROM g
 ORDER BY segment
 """
+
+
+# ---------------------------------------------------------------------------
+# Minimal detectable effect (experiment design / power)
+#
+# The design-side companion of the CUPED/DiD readouts: BEFORE running a
+# test, what's the smallest revenue lift this population can detect at
+# alpha = 0.05 (two-sided) and 80% power?
+#     MDE = (z_{0.975} + z_{0.80}) * sqrt(sigma^2 * (1/n_a + 1/n_b))
+# The z constants are 6-dp literals (identical on both engines); sigma
+# comes from exact integer moment sums with ONE gated sqrt; everything
+# derived uses already-rounded components. Segments whose variance is
+# zero report NULL MDE.
+#
+# Scale: same one-pass (arm x segment) sufficient-statistics shape as
+# the DiD readout.
+
+Z_975 = 1.959964  # two-sided alpha = 0.05
+Z_80 = 0.841621  # power = 0.80
+
+
+def mde_power_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(segment, n_a, n_b, mean_y, sigma, mde_abs, mde_rel): minimal
+    detectable absolute/relative lift of post-period customer revenue
+    per market segment (+ ALL), at alpha=0.05 / power=0.80."""
+    cust = typed_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    orders = typed_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(
+            F.when(
+                F.col("o_orderdate") >= PERIOD_CUT,
+                (F.col("o_totalprice") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("y")
+    )
+    units = cust.join(per_cust, "c_custkey", "left").select(
+        "segment",
+        F.when(
+            F.pmod(F.col("c_custkey") * F.lit(HASH_MULT), F.lit(HASH_MOD))
+            < AB_ARM_CUT,
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    a = F.col("arm") == "A"
+    yd = F.col("y").cast("decimal(19,0)")
+    g = units.groupingSets([["segment"], []], "segment").agg(
+        F.sum(F.when(a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~a, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
+    )
+    n = (F.col("n_a") + F.col("n_b")).cast("decimal(10,0)")
+    var_num = (
+        n * F.col("syy")
+        - F.col("sy").cast("decimal(19,0)") * F.col("sy").cast("decimal(19,0)")
+    ).cast("double")
+    nn = (F.col("n_a") + F.col("n_b")).cast("double")
+    sigma = F.when(
+        var_num > 0, F.round(F.sqrt(var_num) / (nn * 100.0), 6)
+    )
+    mean_y = F.round(F.col("sy") / (100.0 * nn), 6)
+    base = g.select(
+        F.coalesce(F.col("segment"), F.lit("ALL")).alias("segment"),
+        "n_a",
+        "n_b",
+        mean_y.alias("mean_y"),
+        sigma.alias("sigma"),
+    )
+    mde = F.round(
+        F.lit(Z_975 + Z_80)
+        * F.col("sigma")
+        * F.sqrt(1.0 / F.col("n_a") + 1.0 / F.col("n_b")),
+        6,
+    )
+    return base.select(
+        "segment",
+        "n_a",
+        "n_b",
+        "mean_y",
+        "sigma",
+        mde.alias("mde_abs"),
+        F.when(
+            F.col("mean_y") > 0,
+            F.round(
+                F.round(
+                    F.lit(Z_975 + Z_80)
+                    * F.col("sigma")
+                    * F.sqrt(1.0 / F.col("n_a") + 1.0 / F.col("n_b")),
+                    6,
+                )
+                / F.col("mean_y"),
+                6,
+            ),
+        ).alias("mde_rel"),
+    ).orderBy("segment")
+
+
+def mde_power_report_sql() -> str:
+    zsum = Z_975 + Z_80
+    return f"""
+WITH per_cust AS (
+  SELECT c.c_custkey, c.c_mktsegment AS segment,
+         CASE WHEN (c.c_custkey * {HASH_MULT}) % {HASH_MOD} < {AB_ARM_CUT}
+              THEN 'A' ELSE 'B' END AS arm,
+         COALESCE(SUM(CASE WHEN o.o_orderdate >= TIMESTAMP '{PERIOD_CUT}'
+             THEN CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+             ELSE 0 END), 0) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2, 3
+),
+g AS (
+  SELECT segment,
+         CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM per_cust GROUP BY GROUPING SETS ((segment), ())
+),
+m AS (
+  SELECT COALESCE(segment, 'ALL') AS segment, n_a, n_b,
+         round(CAST(sy AS DOUBLE) / (100.0 * (n_a + n_b)), 6) AS mean_y,
+         CASE WHEN (n_a + n_b) * syy - CAST(sy AS HUGEINT) * sy > 0
+              THEN round(sqrt(CAST((n_a + n_b) * syy
+                                   - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+                         / ((n_a + n_b) * 100.0), 6)
+         END AS sigma
+  FROM g
+)
+SELECT segment, n_a, n_b, mean_y, sigma,
+       round({zsum} * sigma * sqrt(1.0 / n_a + 1.0 / n_b), 6) AS mde_abs,
+       CASE WHEN mean_y > 0
+            THEN round(round({zsum} * sigma
+                             * sqrt(1.0 / n_a + 1.0 / n_b), 6) / mean_y, 6)
+       END AS mde_rel
+FROM m
+ORDER BY segment
+"""

@@ -1372,6 +1372,16 @@ _register(
     classic.pareto_skyline_parts,
     classic.PARETO_SKYLINE_SQL,
 )
+_register(
+    "ext_mde_power_report",
+    _experiment.mde_power_report,
+    _experiment.mde_power_report_sql(),
+)
+_register(
+    "ext_abc_xyz_matrix",
+    classic.abc_xyz_matrix,
+    classic.ABC_XYZ_SQL,
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

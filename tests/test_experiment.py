@@ -261,3 +261,69 @@ def test_did_all_row_consistent_with_cuped(cuped_row, spark, sf_dir):
     segs = did[did.segment != "ALL"]
     assert int(segs.n_a.sum()) == cuped_row["n_a"]
     assert int(segs.n_b.sum()) == cuped_row["n_b"]
+
+
+def test_mde_formula_matches_numpy(spark, sf_dir):
+    out = {r.segment: r for r in experiment.mde_power_report(spark, sf_dir).collect()}
+    u = _units_pandas(sf_dir)
+    y = u.y.to_numpy(np.float64)
+    a = (u.arm == "A").to_numpy()
+    r = out["ALL"]
+    assert r.n_a == int(a.sum()) and r.n_b == int((~a).sum())
+    sigma = np.sqrt(((y - y.mean()) ** 2).mean()) / 100
+    assert r.sigma == pytest.approx(sigma, rel=1e-6)
+    mde = (experiment.Z_975 + experiment.Z_80) * round(sigma, 6) * np.sqrt(
+        1 / r.n_a + 1 / r.n_b
+    )
+    assert r.mde_abs == pytest.approx(mde, abs=2e-6)
+    assert r.mde_rel == pytest.approx(
+        round(r.mde_abs / r.mean_y, 6), abs=2e-6
+    )
+    # sanity: a detectable effect shrinks with sqrt(n) — ALL (largest n)
+    # must have the smallest relative MDE among segments of same scale
+    assert r.mde_abs < min(
+        v.mde_abs for k, v in out.items() if k != "ALL"
+    )
+
+
+def test_abc_xyz_census_identities(spark, sf_dir):
+    from etl_mini_dw_spark.plans import classic
+
+    out = classic.abc_xyz_matrix(spark, sf_dir).toPandas()
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_quantity",
+                 "l_shipdate"],
+    )
+    n_parts_sold = li.l_partkey.nunique()
+    assert int(out.n_parts.sum()) == n_parts_sold
+    assert abs(out.revenue_share.sum() - 1.0) < 1e-4
+    # ABC replication in pandas (exact integer revenue, same tie order)
+    rev = (
+        li.assign(
+            r=np.round(
+                li.l_extendedprice.to_numpy()
+                * (1 - li.l_discount.to_numpy())
+                * 10000
+            ).astype(np.int64)
+        )
+        .groupby("l_partkey").r.sum()
+        .reset_index()
+        .sort_values(["r", "l_partkey"], ascending=[False, True])
+    )
+    tot = int(rev.r.sum())
+    cum = rev.r.cumsum()
+    abc = np.where(cum * 100 <= tot * 80, "A",
+                   np.where(cum * 100 <= tot * 95, "B", "C"))
+    ref_counts = pd.Series(abc).value_counts()
+    got_counts = out.groupby("abc").n_parts.sum()
+    for cls in ("A", "B", "C"):
+        assert int(got_counts.get(cls, 0)) == int(ref_counts.get(cls, 0))
+    # A captures at least as much revenue per part as C (Pareto shape)
+    ga = out[out.abc == "A"]
+    gc = out[out.abc == "C"]
+    if not ga.empty and not gc.empty:
+        assert (
+            ga.revenue_share.sum() / ga.n_parts.sum()
+            > gc.revenue_share.sum() / gc.n_parts.sum()
+        )
