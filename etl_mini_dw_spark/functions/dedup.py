@@ -1607,3 +1607,113 @@ JOIN sizes sb ON sb.doc_id = p.doc_b
 ORDER BY p.shared_fp DESC, p.doc_a, p.doc_b
 LIMIT 25
 """
+
+
+# --- Dedup threshold sweep -----------------------------------------------------
+#
+# The operating-point chooser: before committing a corpus to ONE
+# Jaccard cutoff, sweep the verified LSH candidates across the standard
+# thresholds and read off how many pairs fire and what fraction of the
+# corpus gets flagged at each. The knee of this curve (pairs exploding
+# while flagged-docs saturates) is where boilerplate starts matching —
+# the number teams actually argue about when tuning dedup.
+#
+# Cost: rides the SAME memoized shingle/minhash pipeline and candidate
+# set as `ngram_jaccard_pairs` — the sweep itself is a tiny cross join
+# of |candidates| × |thresholds| and two rollups. Comparing round-6
+# jaccards against 2-dp literals is engine-identical (the doubles are
+# identical on both sides).
+
+SWEEP_THRESHOLDS = ["0.50", "0.70", "0.80", "0.90", "0.95"]
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(threshold, n_pairs, n_docs_flagged, frac_docs): near-dup pair
+    and flagged-document counts at each candidate Jaccard cutoff."""
+    arrs = _shingle_arrays(spark, sf_dir)
+    cands = lsh_candidate_pairs(spark, sf_dir)
+    common = F.size(F.array_intersect("arr_a", "arr_b"))
+    scored = (
+        cands.join(
+            arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a")),
+            "doc_a",
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b")),
+            "doc_b",
+        )
+        .withColumn("common", common)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common").cast("double")
+                / (
+                    F.size("arr_a") + F.size("arr_b") - F.col("common")
+                ).cast("double"),
+                6,
+            ).alias("j"),
+        )
+        .localCheckpoint(eager=False)  # reused per threshold
+    )
+    ths = None
+    for t in SWEEP_THRESHOLDS:
+        tt = F.lit(float(t))
+        hits = scored.filter(F.col("j") >= tt)
+        pairs_n = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        docs_n = (
+            hits.select(F.explode(F.array("doc_a", "doc_b")).alias("d"))
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_flagged"))
+        )
+        row = pairs_n.crossJoin(F.broadcast(docs_n)).select(
+            F.lit(t).alias("threshold"), "n_pairs", "n_docs_flagged"
+        )
+        ths = row if ths is None else ths.unionByName(row)
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_corpus")
+    )
+    return (
+        ths.crossJoin(F.broadcast(n_docs))
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_docs_flagged",
+            F.round(
+                F.col("n_docs_flagged") / F.col("n_corpus").cast("double"), 6
+            ).alias("frac_docs"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def dedup_threshold_sweep_sql() -> str:
+    arms = []
+    for t in SWEEP_THRESHOLDS:
+        arms.append(f"""
+SELECT '{t}' AS threshold,
+       CAST((SELECT COUNT(*) FROM scored WHERE j >= {t}) AS BIGINT) AS n_pairs,
+       CAST((SELECT COUNT(DISTINCT d) FROM (
+           SELECT doc_a AS d FROM scored WHERE j >= {t}
+           UNION ALL
+           SELECT doc_b FROM scored WHERE j >= {t})) AS BIGINT)
+         AS n_docs_flagged""")
+    return f"""
+WITH arrs AS ({_SHINGLE_ARRAYS_SQL}),
+cands AS ({LSH_PAIRS_SQL}),
+scored AS MATERIALIZED (
+  SELECT c.doc_a, c.doc_b,
+         round(CAST(len(list_intersect(aa.sh_arr, ab.sh_arr)) AS DOUBLE)
+               / (len(aa.sh_arr) + len(ab.sh_arr)
+                  - len(list_intersect(aa.sh_arr, ab.sh_arr))), 6) AS j
+  FROM cands c
+  JOIN arrs aa ON aa.doc_id = c.doc_a
+  JOIN arrs ab ON ab.doc_id = c.doc_b
+),
+n_corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM documents),
+sweep AS ({' UNION ALL '.join(arms)})
+SELECT s.threshold, s.n_pairs, s.n_docs_flagged,
+       round(CAST(s.n_docs_flagged AS DOUBLE) / n.n_corpus, 6) AS frac_docs
+FROM sweep s, n_corpus n
+ORDER BY s.threshold
+"""

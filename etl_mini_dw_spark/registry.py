@@ -1382,6 +1382,11 @@ _register(
     classic.abc_xyz_matrix,
     classic.ABC_XYZ_SQL,
 )
+_register(
+    "ext_dedup_threshold_sweep",
+    dedup.dedup_threshold_sweep,
+    dedup.dedup_threshold_sweep_sql(),
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

@@ -195,3 +195,48 @@ def test_shapley_efficiency_and_bounds(spark, sf_dir):
     assert sum(r["shapley_x24"] for r in rows) == 24 * lift
     for r in rows:
         assert 0 <= r["shapley_x24"] <= 24 * lift, r
+
+
+def test_threshold_sweep_consistent_with_neardup_pairs(spark, sf_dir):
+    """Sweep counts must be monotone non-increasing in the threshold,
+    and the cell at the registered JACCARD_THRESHOLD must equal the
+    (unlimited) count behind ext_ngram_jaccard_neardups."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_dw_spark.functions import dedup
+
+    rows = dedup.dedup_threshold_sweep(spark, sf_dir).collect()
+    ts = [float(r.threshold) for r in rows]
+    assert ts == sorted(ts)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_docs_flagged >= b.n_docs_flagged
+        assert a.frac_docs >= b.frac_docs
+    at = {float(r.threshold): r for r in rows}
+    t0 = float(dedup.JACCARD_THRESHOLD)
+    if t0 in at:
+        # rebuild the unlimited verified-pair count at the registered cutoff
+        arrs = dedup._shingle_arrays(spark, sf_dir)
+        cands = dedup.lsh_candidate_pairs(spark, sf_dir)
+        common = F.size(F.array_intersect("arr_a", "arr_b"))
+        n = (
+            cands.join(
+                arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a")),
+                "doc_a",
+            )
+            .join(
+                arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b")),
+                "doc_b",
+            )
+            .withColumn("common", common)
+            .filter(
+                F.round(
+                    F.col("common").cast("double")
+                    / (F.size("arr_a") + F.size("arr_b") - F.col("common")).cast("double"),
+                    6,
+                )
+                >= t0
+            )
+            .count()
+        )
+        assert at[t0].n_pairs == n
