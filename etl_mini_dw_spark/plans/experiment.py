@@ -757,3 +757,182 @@ SELECT segment, n_a, n_b, mean_y, sigma,
 FROM m
 ORDER BY segment
 """
+
+
+# ---------------------------------------------------------------------------
+# Post-stratified lift
+#
+# The observational-causal member of the family: weight the per-stratum
+# arm differences by stratum population share,
+#     lift_ps = sum_s (n_s / N) * (ybar_As - ybar_Bs),
+# with strata defined on the PRE-period covariate (log-2 revenue bands
+# via the HDR bitlen trick — integer, engine-exact, and meaningful for
+# the heavy-tailed revenue distribution; stratum 0 = no pre-period
+# activity). Under a fair random assignment it agrees with the naive
+# diff up to noise; under a CONFOUNDED assignment it removes the bias
+# the naive diff absorbs — the estimator a platform falls back to when
+# an experiment's arms drifted out of balance.
+#
+# Scale: one (stratum, arm) aggregate over the per-unit rollup.
+
+
+def poststratified_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stratum, n_a, n_b, mean_diff, weight, contrib): per-stratum arm
+    difference of post-period revenue, stratum weight, and weighted
+    contribution; TOTAL row (stratum -1) carries the post-stratified
+    lift in `contrib` beside the naive diff in `mean_diff`."""
+    cust = typed_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = typed_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(
+            F.when(
+                F.col("o_orderdate") < PERIOD_CUT,
+                (F.col("o_totalprice") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("o_orderdate") >= PERIOD_CUT,
+                (F.col("o_totalprice") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("y"),
+    )
+    units = cust.join(per_cust, "c_custkey", "left").select(
+        F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        F.when(
+            F.pmod(F.col("c_custkey") * F.lit(HASH_MULT), F.lit(HASH_MOD))
+            < AB_ARM_CUT,
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+    ).select(
+        # stratum = bitlen of pre-period cents (0 for x = 0)
+        F.when(F.col("x") > 0, F.length(F.bin("x")))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("stratum"),
+        "arm",
+        "y",
+    )
+    a = F.col("arm") == "A"
+    g = units.groupBy("stratum").agg(
+        F.sum(F.when(a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~a, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(a, F.col("y")).otherwise(0)).cast("bigint").alias("sy_a"),
+        F.sum(F.when(~a, F.col("y")).otherwise(0)).cast("bigint").alias("sy_b"),
+    )
+    tot = g.agg(
+        (F.sum("n_a") + F.sum("n_b")).cast("bigint").alias("n_tot"),
+        F.sum("sy_a").cast("bigint").alias("sy_a_t"),
+        F.sum("sy_b").cast("bigint").alias("sy_b_t"),
+        F.sum("n_a").cast("bigint").alias("n_a_t"),
+        F.sum("n_b").cast("bigint").alias("n_b_t"),
+    )
+    # strata with one empty arm contribute nothing (no within-stratum diff)
+    both = g.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    mean_diff = F.round(
+        F.round(F.col("sy_a") / (100.0 * F.col("n_a")), 6)
+        - F.round(F.col("sy_b") / (100.0 * F.col("n_b")), 6),
+        6,
+    )
+    strata = both.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_a",
+        "n_b",
+        mean_diff.alias("mean_diff"),
+        F.round(
+            (F.col("n_a") + F.col("n_b")) / F.col("n_tot").cast("double"), 6
+        ).alias("weight"),
+    ).select(
+        "stratum",
+        "n_a",
+        "n_b",
+        "mean_diff",
+        "weight",
+        F.round(F.col("mean_diff") * F.col("weight"), 6).alias("contrib"),
+    )
+    total = strata.agg(
+        F.round(F.sum("contrib"), 6).alias("ps_lift"),
+        F.sum("n_a").cast("bigint").alias("n_a"),
+        F.sum("n_b").cast("bigint").alias("n_b"),
+        F.round(F.sum("weight"), 6).alias("weight"),
+    ).crossJoin(F.broadcast(tot)).select(
+        F.lit(-1).cast("bigint").alias("stratum"),
+        "n_a",
+        "n_b",
+        F.round(
+            F.round(F.col("sy_a_t") / (100.0 * F.col("n_a_t")), 6)
+            - F.round(F.col("sy_b_t") / (100.0 * F.col("n_b_t")), 6),
+            6,
+        ).alias("mean_diff"),
+        "weight",
+        F.col("ps_lift").alias("contrib"),
+    )
+    return strata.unionByName(total).orderBy("stratum")
+
+
+def poststratified_lift_sql() -> str:
+    return f"""
+WITH per_cust AS (
+  SELECT c.c_custkey,
+         COALESCE(SUM(CASE WHEN o.o_orderdate < TIMESTAMP '{PERIOD_CUT}'
+             THEN CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+             ELSE 0 END), 0) AS x,
+         COALESCE(SUM(CASE WHEN o.o_orderdate >= TIMESTAMP '{PERIOD_CUT}'
+             THEN CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+             ELSE 0 END), 0) AS y,
+         CASE WHEN (c.c_custkey * {HASH_MULT}) % {HASH_MOD} < {AB_ARM_CUT}
+              THEN 'A' ELSE 'B' END AS arm
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 4
+),
+units AS (
+  SELECT CASE WHEN x > 0 THEN CAST(length(bin(x)) AS BIGINT)
+              ELSE 0 END AS stratum,
+         arm, y
+  FROM per_cust
+),
+g AS MATERIALIZED (
+  SELECT stratum,
+         CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+         CAST(SUM(CASE WHEN arm = 'B' THEN y ELSE 0 END) AS BIGINT) AS sy_b
+  FROM units GROUP BY stratum
+),
+tot AS (
+  SELECT CAST(SUM(n_a) + SUM(n_b) AS BIGINT) AS n_tot,
+         CAST(SUM(sy_a) AS BIGINT) AS sy_a_t,
+         CAST(SUM(sy_b) AS BIGINT) AS sy_b_t,
+         CAST(SUM(n_a) AS BIGINT) AS n_a_t,
+         CAST(SUM(n_b) AS BIGINT) AS n_b_t
+  FROM g
+),
+strata AS (
+  SELECT stratum, n_a, n_b,
+         round(round(CAST(sy_a AS DOUBLE) / (100.0 * n_a), 6)
+               - round(CAST(sy_b AS DOUBLE) / (100.0 * n_b), 6), 6)
+           AS mean_diff,
+         round(CAST(n_a + n_b AS DOUBLE) / n_tot, 6) AS weight
+  FROM g, tot
+  WHERE n_a > 0 AND n_b > 0
+),
+srows AS (
+  SELECT stratum, n_a, n_b, mean_diff, weight,
+         round(mean_diff * weight, 6) AS contrib
+  FROM strata
+)
+SELECT * FROM srows
+UNION ALL
+SELECT CAST(-1 AS BIGINT),
+       CAST((SELECT SUM(n_a) FROM srows) AS BIGINT),
+       CAST((SELECT SUM(n_b) FROM srows) AS BIGINT),
+       round(round(CAST(sy_a_t AS DOUBLE) / (100.0 * n_a_t), 6)
+             - round(CAST(sy_b_t AS DOUBLE) / (100.0 * n_b_t), 6), 6),
+       round((SELECT SUM(weight) FROM srows), 6),
+       round((SELECT SUM(contrib) FROM srows), 6)
+FROM tot
+ORDER BY stratum
+"""

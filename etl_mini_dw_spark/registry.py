@@ -1387,6 +1387,11 @@ _register(
     dedup.dedup_threshold_sweep,
     dedup.dedup_threshold_sweep_sql(),
 )
+_register(
+    "ext_poststratified_lift",
+    _experiment.poststratified_lift,
+    _experiment.poststratified_lift_sql(),
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

@@ -327,3 +327,24 @@ def test_abc_xyz_census_identities(spark, sf_dir):
             ga.revenue_share.sum() / ga.n_parts.sum()
             > gc.revenue_share.sum() / gc.n_parts.sum()
         )
+
+
+def test_poststratified_lift_identities(cuped_row, spark, sf_dir):
+    """TOTAL.contrib must equal the stratum-weighted diff; under the
+    (fair) hash assignment the PS estimate lands near the naive diff;
+    the TOTAL mean_diff reproduces the CUPED naive_diff."""
+    out = experiment.poststratified_lift(spark, sf_dir).toPandas()
+    total = out[out.stratum == -1].iloc[0]
+    strata = out[out.stratum != -1]
+    assert total.contrib == pytest.approx(
+        round(float(strata.contrib.sum()), 6), abs=2e-6
+    )
+    assert total.mean_diff == pytest.approx(cuped_row["naive_diff"], abs=2e-6)
+    # fair assignment: PS and naive estimates agree within the scale of
+    # the naive diff itself (both are noisy estimates of the same zero
+    # true effect; they share the same units)
+    assert abs(total.contrib - total.mean_diff) < max(
+        2 * abs(total.mean_diff), 1.0
+    )
+    # weights are population shares of the covered strata
+    assert 0.99 <= strata.weight.sum() <= 1.000001
