@@ -851,3 +851,143 @@ FROM abc a JOIN xyz x ON x.pk = a.pk
 GROUP BY a.abc, x.xyz
 ORDER BY a.abc, x.xyz
 """
+
+
+# --- Global sales opportunity (TPC-H Q22 shape) --------------------------------
+#
+# The classic correlated-anti pattern: customers with ABOVE-AVERAGE
+# positive account balance and NO ORDER since DORMANT_CUT are the
+# dormant high-value accounts, rolled up per nation (this fixture's
+# every customer has ordered at least once, so Q22's literal
+# "never ordered" is empty — the recent-window variant keeps the query
+# shape AND a non-trivial answer). Re-expresses TPC-H Q22's
+# three signature moves on this schema (no phone column, so the
+# "country code" grouping key is the actual nation): a scalar subquery
+# feeding a filter (reference P11), a NOT EXISTS anti-join (reference
+# J5/J6), and the final aggregate. Exact-decimal balance sums.
+#
+# Scale: the average is a 1-row broadcast; the anti-join is keyed on
+# custkey against the orders projection (semi-join sized, co-
+# partitionable); one nation rollup.
+
+
+DORMANT_CUT = "2000-01-01"  # dormant = no order on/after this date
+
+
+def sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nation, n_custs, total_acctbal): dormant above-average-balance
+    customers per nation — the Q22 report."""
+    cust = typed_table(spark, sf_dir, "customer")
+    orders = typed_table(spark, sf_dir, "orders")
+    nation = typed_table(spark, sf_dir, "nation")
+    # exact above-average comparison via cross-multiplication: the two
+    # engines' AVG(decimal) types differ (Spark DECIMAL(18,6), DuckDB
+    # DOUBLE), so `bal > avg` could flip on a boundary customer —
+    # `bal * n_pos > sum_pos` is pure exact arithmetic on both
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum((F.col("c_acctbal") * 100).cast("bigint")).alias("sum_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pos"),
+    )
+    hot = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(
+            (F.col("c_acctbal") * 100).cast("bigint") * F.col("n_pos")
+            > F.col("sum_pos")
+        )
+        .join(
+            orders.filter(F.col("o_orderdate") >= DORMANT_CUT)
+            .select(F.col("o_custkey").alias("c_custkey"))
+            .distinct(),
+            "c_custkey",
+            "left_anti",
+        )
+    )
+    return (
+        hot.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+            F.sum("c_acctbal")
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
+SALES_OPPORTUNITY_SQL = """
+WITH ab AS (
+  SELECT CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT))
+              AS BIGINT) AS sum_pos,
+         CAST(COUNT(*) AS BIGINT) AS n_pos
+  FROM customer WHERE CAST(c_acctbal AS DECIMAL(14,2)) > 0
+)
+SELECT n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DECIMAL(38,2))
+            AS DOUBLE) AS total_acctbal
+FROM customer c
+JOIN nation ON c.c_nationkey = n_nationkey, ab
+WHERE CAST(CAST(c.c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT) * ab.n_pos
+      > ab.sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n_name
+ORDER BY nation
+"""
+
+
+# --- Promotion revenue under a disjunctive predicate (TPC-H Q19 shape) ---------
+#
+# The OR-of-ANDs predicate battery: three (brand-band, size-range,
+# quantity-range) arms unioned by OR — the shape that exercises an
+# optimizer's disjunction handling (each arm is selective, their union
+# is not a simple conjunction, and the part-side conditions should
+# still broadcast-prune before the join). Revenue stays exact DECIMAL.
+
+
+def promo_revenue_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_lines, revenue) matched by any of three
+    brand/size/quantity arm predicates."""
+    li = typed_table(spark, sf_dir, "lineitem")
+    part = typed_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    arm1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity").between(1, 15))
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(5, 20))
+        & (F.col("l_quantity").between(10, 25))
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(10, 40))
+        & (F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(arm1 | arm2 | arm3).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.expr("l_extendedprice * (1 - l_discount)"))
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+PROMO_DISJUNCTION_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2))))
+            AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND CAST(l_quantity AS DECIMAL(12,2)) BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+       AND CAST(l_quantity AS DECIMAL(12,2)) BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+       AND CAST(l_quantity AS DECIMAL(12,2)) BETWEEN 20 AND 40)
+"""

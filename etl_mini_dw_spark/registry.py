@@ -1392,6 +1392,16 @@ _register(
     _experiment.poststratified_lift,
     _experiment.poststratified_lift_sql(),
 )
+_register(
+    "ext_sales_opportunity",
+    classic.sales_opportunity,
+    classic.SALES_OPPORTUNITY_SQL,
+)
+_register(
+    "ext_promo_revenue_disjunction",
+    classic.promo_revenue_disjunction,
+    classic.PROMO_DISJUNCTION_SQL,
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

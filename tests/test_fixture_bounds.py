@@ -49,3 +49,29 @@ def test_order_and_ship_dates_inside_dim_range(sf_dir):
         f"{sf_dir}: order/ship dates [{lo}, {hi}] escape DimDate range "
         f"[{start}, {end}] — the role-playing inner join would drop rows"
     )
+
+
+def test_dormant_window_is_populated(spark, sf_dir):
+    """ext_sales_opportunity's premise: this fixture has customers whose
+    LAST order predates DORMANT_CUT (every customer has ordered at least
+    once, so the literal Q22 'never ordered' would be empty — pinned
+    here so a fixture change resurfaces the assumption)."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_dw_spark.plans.classic import DORMANT_CUT
+    from etl_mini_dw_spark.sources.tables import typed_table
+
+    orders = typed_table(spark, sf_dir, "orders")
+    last = orders.groupBy("o_custkey").agg(F.max("o_orderdate").alias("mx"))
+    n_dormant = last.filter(F.col("mx") < DORMANT_CUT).count()
+    n_never = (
+        typed_table(spark, sf_dir, "customer")
+        .join(
+            orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+            "c_custkey",
+            "left_anti",
+        )
+        .count()
+    )
+    assert n_never == 0  # the literal Q22 predicate IS empty here
+    assert n_dormant > 0  # the recent-window variant is not
