@@ -604,3 +604,155 @@ SELECT e.quantile, e.rank, x.exact_c, e.est_c,
 FROM est e JOIN exact x ON x.quantile = e.quantile
 ORDER BY e.quantile
 """
+
+
+# --- HDR sketch rollup: monthly shards → quarterly quantiles -------------------
+#
+# The stored-sketch pattern AS A QUERY: build the (lb, cnt) HDR
+# histogram PER ORDER-MONTH (the shard grain a 100 TB table would
+# persist next to each partition), merge months into quarters by plain
+# cell addition — the mergeability the sketch family exists for — and
+# read the quarterly p95 off the merged histogram against the exact
+# per-quarter order statistic. The whole point: the quarterly readout
+# never touches row data, only ≤2k-cell shard histograms, and the
+# measured rel_err stays inside the DDSketch bound (−2^−5, 0].
+
+HDR_ROLLUP_Q = ("p95", 19, 20)
+
+
+def hdr_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(quarter, n_orders, n_months_merged, exact_p95_c, est_p95_c,
+    rel_err): quarterly o_totalprice p95 read from MERGED monthly HDR
+    histograms vs the exact order statistic."""
+    orders = typed_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.concat(
+            F.year("o_orderdate").cast("string"),
+            F.lit("-Q"),
+            F.quarter("o_orderdate").cast("string"),
+        ).alias("quarter"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        (F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    ).localCheckpoint(eager=False)
+    monthly = vals.groupBy(
+        "quarter", "month", F.expr(_hdr_lb_expr("v")).alias("lb")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # merge = cell-wise addition of the month shards inside each quarter
+    merged = monthly.groupBy("quarter", "lb").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    months = monthly.select("quarter", "month").distinct().groupBy(
+        "quarter"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_months_merged"))
+    wq = Window.partitionBy("quarter").orderBy("lb").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum_hist = merged.select(
+        "quarter", "lb", F.sum("cnt").over(wq).alias("cum")
+    )
+    n = vals.groupBy("quarter").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    _, num, den = HDR_ROLLUP_Q
+    ranks = n.select(
+        "quarter",
+        "n_orders",
+        F.expr(f"((n_orders - 1) * {num}) div {den} + 1")
+        .cast("bigint")
+        .alias("rank"),
+    )
+    est = (
+        cum_hist.join(F.broadcast(ranks), "quarter")
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("quarter", "n_orders")
+        .agg(F.min("lb").alias("est_p95_c"))
+    )
+    by_v = vals.groupBy("quarter", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wv = Window.partitionBy("quarter").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum_v = by_v.select("quarter", "v", F.sum("cnt").over(wv).alias("cum"))
+    exact = (
+        cum_v.join(F.broadcast(ranks), "quarter")
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("quarter")
+        .agg(F.min("v").alias("exact_p95_c"))
+    )
+    return (
+        est.join(exact, "quarter")
+        .join(F.broadcast(months), "quarter")
+        .select(
+            "quarter",
+            "n_orders",
+            "n_months_merged",
+            "exact_p95_c",
+            "est_p95_c",
+            F.round(
+                (F.col("est_p95_c") - F.col("exact_p95_c")).cast("double")
+                / F.col("exact_p95_c").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("quarter")
+    )
+
+
+def hdr_monthly_rollup_sql() -> str:
+    s = f"greatest(length(bin(v)) - 1 - {HDR_SUB_BITS}, 0)"
+    lb = f"((v >> ({s})) << ({s}))"
+    _, num, den = HDR_ROLLUP_Q
+    return f"""
+WITH vals AS MATERIALIZED (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) || '-Q'
+           || CAST(EXTRACT(quarter FROM o_orderdate) AS VARCHAR) AS quarter,
+         strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS v
+  FROM orders
+),
+monthly AS (
+  SELECT quarter, month, {lb} AS lb, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM vals GROUP BY 1, 2, 3
+),
+merged AS MATERIALIZED (
+  SELECT quarter, lb, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM monthly GROUP BY 1, 2
+),
+months AS (
+  SELECT quarter, CAST(COUNT(DISTINCT month) AS BIGINT) AS n_months_merged
+  FROM monthly GROUP BY quarter
+),
+ranks AS MATERIALIZED (
+  SELECT quarter, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(((COUNT(*) - 1) * {num}) // {den} + 1 AS BIGINT) AS rank
+  FROM vals GROUP BY quarter
+),
+cum_hist AS (
+  SELECT quarter, lb, SUM(cnt) OVER (PARTITION BY quarter ORDER BY lb) AS cum
+  FROM merged
+),
+est AS (
+  SELECT h.quarter, r.n_orders, MIN(h.lb) AS est_p95_c
+  FROM cum_hist h JOIN ranks r ON r.quarter = h.quarter
+  WHERE h.cum >= r.rank GROUP BY 1, 2
+),
+cum_v AS (
+  SELECT quarter, v, SUM(cnt) OVER (PARTITION BY quarter ORDER BY v) AS cum
+  FROM (SELECT quarter, v, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM vals GROUP BY 1, 2)
+),
+exact AS (
+  SELECT c.quarter, MIN(c.v) AS exact_p95_c
+  FROM cum_v c JOIN ranks r ON r.quarter = c.quarter
+  WHERE c.cum >= r.rank GROUP BY 1
+)
+SELECT e.quarter, e.n_orders, m.n_months_merged,
+       x.exact_p95_c, e.est_p95_c,
+       round(CAST(e.est_p95_c - x.exact_p95_c AS DOUBLE)
+             / CAST(x.exact_p95_c AS DOUBLE), 6) AS rel_err
+FROM est e
+JOIN exact x ON x.quarter = e.quarter
+JOIN months m ON m.quarter = e.quarter
+ORDER BY e.quarter
+"""

@@ -1581,3 +1581,115 @@ SELECT o.slice, o.n_days, CAST(m.n_pairs AS BIGINT) AS n_pairs,
 FROM ols o JOIN med m ON o.slice = m.slice
 ORDER BY o.slice
 """
+
+
+# --- Categorical drift (PSI + chi-square) --------------------------------------
+#
+# The PSI gate for CATEGORICAL columns: the numeric PSI report buckets
+# by decile boundaries, but priority/flag/status mixes drift too, and a
+# category's share moving from 19% to 22% is invisible to any numeric
+# test. Same construction, categories as the buckets: PSI =
+# Σ (p_b − p_a)·ln(p_b / p_a) with Laplace smoothing, plus the
+# two-sample chi-square on the same cells (folded zero-cell form of the
+# chi2 battery). Shares are exact-count rationals; one ln per category
+# on an identical double (the WOE precedent), round-6.
+#
+# Scale: one (column, category, slice) partial-aggregable rollup per
+# audited column; report is |categories|-sized.
+
+
+CAT_DRIFT_COLS = [
+    ("orders.o_orderpriority", "orders", "o_orderpriority", "o_orderdate"),
+    ("lineitem.l_returnflag", "lineitem", "l_returnflag", "l_shipdate"),
+    ("lineitem.l_linestatus", "lineitem", "l_linestatus", "l_shipdate"),
+]
+
+
+def categorical_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(metric, n_cats, n_a, n_b, psi, chi2): category-mix drift of
+    priority/flag/status columns across the PSI_CUTOFF time slice."""
+    out = None
+    for label, tbl, col, split in CAT_DRIFT_COLS:
+        t = typed_table(spark, sf_dir, tbl).select(
+            F.col(col).alias("cat"),
+            (F.col(split) < PSI_CUTOFF).alias("is_a"),
+        )
+        cells = t.groupBy("cat").agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("a"),
+            F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("b"),
+        )
+        tot = cells.agg(
+            F.sum("a").cast("bigint").alias("na"),
+            F.sum("b").cast("bigint").alias("nb"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+        )
+        j = cells.crossJoin(F.broadcast(tot))
+        # Laplace-smoothed shares as exact rationals; ONE ln per category
+        pa = (F.col("a") + 1).cast("double") / (F.col("na") + F.col("k")).cast("double")
+        pb = (F.col("b") + 1).cast("double") / (F.col("nb") + F.col("k")).cast("double")
+        psi_term = F.round((pb - pa) * F.log(pb / pa), 6)
+        # chi2 on the pooled-expectation form: E_a = n_a*(a+b)/(na+nb)
+        ea = (
+            (F.col("a") + F.col("b")).cast("double")
+            * F.col("na").cast("double")
+            / (F.col("na") + F.col("nb")).cast("double")
+        )
+        eb = (
+            (F.col("a") + F.col("b")).cast("double")
+            * F.col("nb").cast("double")
+            / (F.col("na") + F.col("nb")).cast("double")
+        )
+        chi_term = F.round(
+            (F.col("a") - ea) * (F.col("a") - ea) / ea
+            + (F.col("b") - eb) * (F.col("b") - eb) / eb,
+            6,
+        )
+        row = j.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cats"),
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.round(F.sum(psi_term), 6).alias("psi"),
+            F.round(F.sum(chi_term), 6).alias("chi2"),
+        ).select(F.lit(label).alias("metric"), "n_cats", "n_a", "n_b", "psi", "chi2")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("metric")
+
+
+def categorical_drift_report_sql() -> str:
+    arms = []
+    for label, tbl, col, split in CAT_DRIFT_COLS:
+        arms.append(f"""
+SELECT '{label}' AS metric,
+       CAST(COUNT(*) AS BIGINT) AS n_cats,
+       CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b,
+       round(SUM(round((CAST(b + 1 AS DOUBLE) / (nb + k)
+                        - CAST(a + 1 AS DOUBLE) / (na + k))
+                       * ln((CAST(b + 1 AS DOUBLE) / (nb + k))
+                            / (CAST(a + 1 AS DOUBLE) / (na + k))), 6)), 6)
+         AS psi,
+       round(SUM(round(
+           (a - CAST(a + b AS DOUBLE) * na / (na + nb))
+             * (a - CAST(a + b AS DOUBLE) * na / (na + nb))
+             / (CAST(a + b AS DOUBLE) * na / (na + nb))
+           + (b - CAST(a + b AS DOUBLE) * nb / (na + nb))
+             * (b - CAST(a + b AS DOUBLE) * nb / (na + nb))
+             / (CAST(a + b AS DOUBLE) * nb / (na + nb)), 6)), 6) AS chi2
+FROM (
+  SELECT cat,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS b
+  FROM (SELECT {col} AS cat, {split} < TIMESTAMP '{PSI_CUTOFF}' AS is_a
+        FROM {tbl})
+  GROUP BY cat
+), (
+  SELECT CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+         CAST(COUNT(DISTINCT {col}) AS BIGINT) AS k
+  FROM (SELECT {col}, {split} < TIMESTAMP '{PSI_CUTOFF}' AS is_a FROM {tbl})
+)""")
+    return "\nUNION ALL\n".join(arms) + "\nORDER BY metric"

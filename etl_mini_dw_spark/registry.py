@@ -1402,6 +1402,16 @@ _register(
     classic.promo_revenue_disjunction,
     classic.PROMO_DISJUNCTION_SQL,
 )
+_register(
+    "ext_hdr_monthly_rollup",
+    sketches.hdr_monthly_rollup,
+    sketches.hdr_monthly_rollup_sql(),
+)
+_register(
+    "ext_categorical_drift",
+    _stats.categorical_drift_report,
+    _stats.categorical_drift_report_sql(),
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

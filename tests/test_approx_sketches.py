@@ -389,3 +389,17 @@ def test_streaming_hdr_hist_equals_batch_hist(spark, sf_dir):
         != F.coalesce(F.col("cnt_p"), F.lit(-1))
     )
     assert diff.count() == 0
+
+
+def test_hdr_monthly_rollup_honors_the_bound(spark, sf_dir):
+    """Quarterly p95 read from MERGED monthly histograms must honor the
+    DDSketch bound per quarter, never overestimate, and the merge must
+    cover every month of the quarter."""
+    from etl_mini_dw_spark.plans import sketches
+
+    rows = sketches.hdr_monthly_rollup(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["est_p95_c"] <= r["exact_p95_c"]
+        assert -1.0 / (1 << sketches.HDR_SUB_BITS) < r["rel_err"] <= 0.0
+        assert 1 <= r["n_months_merged"] <= 3

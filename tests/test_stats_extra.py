@@ -330,3 +330,33 @@ def test_hash_uniformity_identity(spark, sf_dir):
     chi2 = exp.HASH_AUDIT_CELLS * float((o.astype(np.int64) ** 2).sum()) / len(cust) - len(cust)
     assert abs(r.chi2 - chi2) < 1e-4
     assert r.min_cell == int(o.min()) and r.max_cell == int(o.max())
+
+
+def test_categorical_drift_identities(spark, sf_dir):
+    """PSI terms recomputed in numpy from raw counts; PSI >= 0 by
+    Gibbs' inequality-adjacent convexity of (q-p)ln(q/p) termwise."""
+    rows = {r.metric: r for r in stats.categorical_drift_report(spark, sf_dir).collect()}
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_orderdate"]
+    )
+    is_a = orders.o_orderdate < pd.Timestamp(stats.PSI_CUTOFF)
+    cats = sorted(orders.o_orderpriority.unique())
+    k = len(cats)
+    na, nb = int(is_a.sum()), int((~is_a).sum())
+    psi = 0.0
+    chi2 = 0.0
+    for c in cats:
+        a = int(((orders.o_orderpriority == c) & is_a).sum())
+        b = int(((orders.o_orderpriority == c) & ~is_a).sum())
+        pa, pb = (a + 1) / (na + k), (b + 1) / (nb + k)
+        psi += round((pb - pa) * np.log(pb / pa), 6)
+        ea = (a + b) * na / (na + nb)
+        eb = (a + b) * nb / (na + nb)
+        chi2 += round((a - ea) ** 2 / ea + (b - eb) ** 2 / eb, 6)
+    r = rows["orders.o_orderpriority"]
+    assert r.n_cats == k and r.n_a == na and r.n_b == nb
+    assert abs(r.psi - psi) < 5e-6
+    assert abs(r.chi2 - chi2) < 5e-6
+    for r in rows.values():
+        assert r.psi >= -1e-9  # every (q-p)ln(q/p) term is nonnegative
+        assert r.chi2 >= 0
