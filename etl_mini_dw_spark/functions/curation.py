@@ -83,3 +83,189 @@ SELECT doc_id, lang, quality_score,
                                      ORDER BY quality_score, doc_id) AS INTEGER) AS decile
 FROM scored
 """
+
+
+# --- Quality-signal agreement ---------------------------------------------------
+#
+# The curation layer runs TWO independent quality signals — the
+# heuristic length/punctuation score and the bigram-LM surprisal — and
+# quietly assumes they point the same way. This operator measures that:
+# quintile each signal (ntile BOUNDARIES are a pure function of the
+# value multiset, so re-bucketing both engines by the boundary rule is
+# portable — the gains/PSI discipline), cross-tabulate, and report the
+# tile-index Pearson correlation (exact integer sufficient statistics
+# over tile pairs) plus the best-quality ∩ lowest-surprisal overlap.
+# Agreement should be NEGATIVE correlation (high quality ↔ low
+# surprisal); a near-zero readout means the two filters are pruning
+# different documents and the pipeline's effective filter is their
+# union, not their intersection — worth knowing before tightening
+# either knob.
+#
+# Scale: two per-doc map passes (one rides the memoized word frame),
+# ntile boundary derivation over value histograms, one 25-cell rollup.
+
+QS_TILES = 5
+
+
+def quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(kind, q_tile, s_tile, n, value): 'cell' rows = the 5×5 quintile
+    cross-tab of quality score vs avg surprisal; 'tile_corr' row =
+    Pearson r of the tile indices; 'top_overlap' row = share of
+    best-quality-tile docs that are also in the lowest-surprisal tile."""
+    from pyspark.sql import Window
+
+    from etl_mini_dw_spark.functions import lm
+    from etl_mini_dw_spark.functions.text import quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).select("doc_id", quality_score_col().alias("q"))
+    sur = lm.lm_surprisal_score(spark, sf_dir).select(
+        "doc_id",
+        # exact integer surprisal key: floor(1e6 * sum / n)
+        F.expr(
+            "((surprisal_sum * 1000000)"
+            " - pmod(surprisal_sum * 1000000, n_bigrams)) div n_bigrams"
+        ).alias("s"),
+    )
+    base = docs.join(sur, "doc_id").localCheckpoint(eager=False)
+
+    def tiles(col: str, alias: str) -> DataFrame:
+        tile = F.ntile(QS_TILES).over(Window.orderBy(col))
+        bounds = (
+            base.select(F.col(col).alias("val"), tile.alias("tile"))
+            .filter(F.col("tile") < QS_TILES)
+            .groupBy("tile")
+            .agg(F.max("val").alias("b"))
+            .agg(F.array_sort(F.collect_list("b")).alias("barr"))
+        )
+        return base.crossJoin(F.broadcast(bounds)).select(
+            "doc_id",
+            (
+                F.lit(QS_TILES)
+                - F.size(F.expr(f"filter(barr, x -> x < {col})"))
+            )
+            .cast("bigint")
+            .alias(alias),
+        )
+
+    tiled = tiles("q", "q_tile").join(tiles("s", "s_tile"), "doc_id")
+    tiled = tiled.localCheckpoint(eager=False)
+    cells = tiled.groupBy("q_tile", "s_tile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select(
+        F.lit("cell").alias("kind"),
+        "q_tile",
+        "s_tile",
+        "n",
+        F.lit(None).cast("double").alias("value"),
+    )
+    stats = tiled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q_tile").cast("bigint").alias("sq"),
+        F.sum("s_tile").cast("bigint").alias("ss"),
+        F.sum(F.col("q_tile") * F.col("q_tile")).cast("bigint").alias("sqq"),
+        F.sum(F.col("s_tile") * F.col("s_tile")).cast("bigint").alias("sss"),
+        F.sum(F.col("q_tile") * F.col("s_tile")).cast("bigint").alias("sqs"),
+    )
+    nn = F.col("n").cast("double")
+    cov = nn * F.col("sqs") - F.col("sq") * F.col("ss")
+    vq = nn * F.col("sqq") - F.col("sq") * F.col("sq")
+    vs = nn * F.col("sss") - F.col("ss") * F.col("ss")
+    corr_row = stats.select(
+        F.lit("tile_corr").alias("kind"),
+        F.lit(-1).cast("bigint").alias("q_tile"),
+        F.lit(-1).cast("bigint").alias("s_tile"),
+        "n",
+        F.when((vq > 0) & (vs > 0), F.round(cov / F.sqrt(vq * vs), 6)).alias(
+            "value"
+        ),
+    )
+    top = tiled.filter(F.col("q_tile") == QS_TILES).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_best"),
+        F.sum(F.when(F.col("s_tile") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_both"),
+    ).select(
+        F.lit("top_overlap").alias("kind"),
+        F.lit(-1).cast("bigint").alias("q_tile"),
+        F.lit(-1).cast("bigint").alias("s_tile"),
+        F.col("n_best").alias("n"),
+        F.round(F.col("n_both") / F.col("n_best").cast("double"), 6).alias(
+            "value"
+        ),
+    )
+    return cells.unionByName(corr_row).unionByName(top).orderBy(
+        "kind", "q_tile", "s_tile"
+    )
+
+
+def quality_signal_agreement_sql() -> str:
+    from etl_mini_dw_spark.functions.lm import LM_SURPRISAL_SQL
+    from etl_mini_dw_spark.functions.text import QUALITY_SQL
+
+    def tile_sql(col: str, alias: str) -> str:
+        return f"""
+  SELECT doc_id,
+         CAST({QS_TILES} - len(list_filter(
+             (SELECT barr FROM bounds_{alias}), x -> x < {col}))
+           AS BIGINT) AS {alias}
+  FROM base
+"""
+
+    return f"""
+WITH sur AS ({LM_SURPRISAL_SQL}),
+base AS MATERIALIZED (
+  SELECT d.doc_id,
+         {QUALITY_SQL} AS q,
+         ((s.surprisal_sum * 1000000)
+          - (((s.surprisal_sum * 1000000) % s.n_bigrams + s.n_bigrams)
+             % s.n_bigrams)) // s.n_bigrams AS s
+  FROM documents d JOIN sur s ON s.doc_id = d.doc_id
+),
+bounds_q_tile AS MATERIALIZED (
+  SELECT list_sort(list(b)) AS barr FROM (
+    SELECT tile, MAX(q) AS b FROM (
+      SELECT q, ntile({QS_TILES}) OVER (ORDER BY q) AS tile FROM base)
+    WHERE tile < {QS_TILES} GROUP BY tile)
+),
+bounds_s_tile AS MATERIALIZED (
+  SELECT list_sort(list(b)) AS barr FROM (
+    SELECT tile, MAX(s) AS b FROM (
+      SELECT s, ntile({QS_TILES}) OVER (ORDER BY s) AS tile FROM base)
+    WHERE tile < {QS_TILES} GROUP BY tile)
+),
+qt AS ({tile_sql("q", "q_tile")}),
+st AS ({tile_sql("s", "s_tile")}),
+tiled AS MATERIALIZED (
+  SELECT qt.doc_id, qt.q_tile, st.s_tile
+  FROM qt JOIN st ON st.doc_id = qt.doc_id
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q_tile) AS BIGINT) AS sq,
+         CAST(SUM(s_tile) AS BIGINT) AS ss,
+         CAST(SUM(q_tile * q_tile) AS BIGINT) AS sqq,
+         CAST(SUM(s_tile * s_tile) AS BIGINT) AS sss,
+         CAST(SUM(q_tile * s_tile) AS BIGINT) AS sqs
+  FROM tiled
+)
+SELECT 'cell' AS kind, q_tile, s_tile,
+       CAST(COUNT(*) AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS value
+FROM tiled GROUP BY q_tile, s_tile
+UNION ALL
+SELECT 'tile_corr', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), n,
+       CASE WHEN (n * sqq - sq * sq) > 0 AND (n * sss - ss * ss) > 0
+            THEN round((CAST(n AS DOUBLE) * sqs - CAST(sq AS DOUBLE) * ss)
+                       / sqrt((CAST(n AS DOUBLE) * sqq - CAST(sq AS DOUBLE) * sq)
+                              * (CAST(n AS DOUBLE) * sss - CAST(ss AS DOUBLE) * ss)), 6)
+       END
+FROM stats
+UNION ALL
+SELECT 'top_overlap', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       round(CAST(SUM(CASE WHEN s_tile = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6)
+FROM tiled WHERE q_tile = {QS_TILES}
+ORDER BY kind, q_tile, s_tile
+"""

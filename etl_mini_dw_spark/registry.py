@@ -1412,6 +1412,11 @@ _register(
     _stats.categorical_drift_report,
     _stats.categorical_drift_report_sql(),
 )
+_register(
+    "ext_quality_signal_agreement",
+    curation.quality_signal_agreement,
+    curation.quality_signal_agreement_sql(),
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

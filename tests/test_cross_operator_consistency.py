@@ -240,3 +240,28 @@ def test_threshold_sweep_consistent_with_neardup_pairs(spark, sf_dir):
             .count()
         )
         assert at[t0].n_pairs == n
+
+
+def test_quality_signal_agreement_identities(spark, sf_dir):
+    """Cross-tab tiles the joined population; tile marginals are
+    near-balanced (ntile property); the corr row's n equals the cell
+    total; top_overlap is a valid share."""
+    from etl_mini_dw_spark.functions import curation
+
+    out = curation.quality_signal_agreement(spark, sf_dir).toPandas()
+    cells = out[out.kind == "cell"]
+    n_total = int(cells.n.sum())
+    corr = out[out.kind == "tile_corr"].iloc[0]
+    assert int(corr.n) == n_total
+    assert corr.value is None or -1.0 <= corr.value <= 1.0
+    # marginals tile the joined population (ties can unbalance tiles —
+    # re-bucketing by boundary value sends ALL ties to one tile — so
+    # only coverage and label-range are invariant)
+    for axis in ("q_tile", "s_tile"):
+        marg = cells.groupby(axis).n.sum()
+        assert int(marg.sum()) == n_total
+        assert set(marg.index) <= set(range(1, curation.QS_TILES + 1))
+        assert (marg > 0).all()
+    top = out[out.kind == "top_overlap"].iloc[0]
+    assert 0.0 <= top.value <= 1.0
+    assert 0 < int(top.n) <= n_total
