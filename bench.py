@@ -120,6 +120,33 @@ FLOORS = {
     "ext_penny_allocation_audit": 2.59,
     "ext_conformal_coverage": 2.47,
     "ext_trending_parts": 1.44,
+    # round-5 session 2 (min-of-3 isolated, 2026-08-15, load ~1)
+    "ext_ab_cuped_lift": 1.26,
+    "ext_calibration_brier": 1.38,
+    "ext_theil_sen_trend": 11.01,  # date-range^2 pair histogram (sf-invariant)
+    "ext_compaction_plan": 0.80,
+    "ext_knn_graph_stats": 2.27,
+    "ext_bitemporal_asof_matrix": 2.01,
+    "ext_forecast_backtest": 1.70,
+    "ext_woe_encoding": 0.60,
+    "ext_did_by_segment": 0.68,
+    "ext_k_anonymity_report": 1.41,
+    "ext_neyman_allocation": 1.02,
+    "ext_streaming_hdr_quantiles": 5.14,  # streaming fixture (3 batches + ckpt)
+    "ext_winnowing_matches": 1.68,
+    "ext_fact_diff_drilldown": 6.52,  # builds + row-hashes the fact table once
+    "ext_layout_pruning_tradeoff": 0.90,
+    "ext_markov_stationary": 3.73,
+    "ext_hash_uniformity_audit": 0.58,
+    "ext_pareto_skyline_parts": 0.86,
+    "ext_mde_power_report": 0.64,
+    "ext_abc_xyz_matrix": 1.32,
+    "ext_dedup_threshold_sweep": 1.62,  # warm staged frames
+    "ext_poststratified_lift": 1.16,
+    "ext_sales_opportunity": 0.61,
+    "ext_promo_revenue_disjunction": 0.83,
+    "ext_hdr_monthly_rollup": 1.47,
+    "ext_categorical_drift": 1.22,
 }
 
 
