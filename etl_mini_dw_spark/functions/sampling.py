@@ -660,3 +660,145 @@ SELECT b.source, b.n_train, b.n_test,
        round(CAST(COALESCE(l.n_leaky_train, 0) AS DOUBLE) / b.n_train, 6) AS leak_frac
 FROM base b LEFT JOIN leaky l USING (source)
 """
+
+
+# --- N-gram novelty rate --------------------------------------------------------
+#
+# The generalization-side twin of the contamination report: of the
+# n-grams in the held-out split, what fraction was NEVER seen in the
+# training split? Low novelty means the eval set mostly re-tests
+# memorized surface forms (its scores will overstate generalization);
+# per-source novelty localizes which slice of the corpus is too
+# self-similar to hold out from. Uses the repo's deterministic doc-hash
+# split, 5-gram grain shared with the contamination op.
+#
+# Scale: gram frames are one partial-aggregable distinct per side; the
+# unseen test is ONE anti-join keyed on the gram (at 100 TB the join
+# key becomes the 64-bit gram hash — same note as dup_ngram_coverage;
+# exact strings here keep the oracle collision-free).
+
+NOVELTY_N = 5
+NOVELTY_TRAIN_CUT = 800_000  # doc-hash < cut -> train, else heldout
+
+
+def ngram_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_test_grams, n_novel, novelty): distinct held-out
+    5-grams never seen in train, per source plus an ALL row."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.pmod(F.col("doc_id") * F.lit(HASH_MULT), F.lit(HASH_MOD)).alias("h"),
+    )
+    grams_arr = (
+        docs.filter(F.size("toks") >= NOVELTY_N)
+        .select(
+            "source",
+            (F.col("h") < NOVELTY_TRAIN_CUT).alias("is_train"),
+            F.expr(
+                f"transform(sequence(0, size(toks) - {NOVELTY_N}),"
+                f" p -> concat_ws(' ', slice(toks, p + 1, {NOVELTY_N})))"
+            ).alias("grams"),
+        )
+        .localCheckpoint(eager=False)  # Generate-collapse trap
+    )
+    g = grams_arr.select(
+        "source", "is_train", F.explode("grams").alias("gram")
+    )
+    train_grams = (
+        g.filter(F.col("is_train")).select("gram").distinct()
+    )
+    test_grams = (
+        g.filter(~F.col("is_train")).select("source", "gram").distinct()
+    )
+    novel = test_grams.join(train_grams, "gram", "left_anti")
+    per_src = (
+        test_grams.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_test_grams"))
+        .join(
+            novel.groupBy("source").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_novel")
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_test_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        )
+    )
+    # ALL row over DISTINCT grams corpus-wide (not the per-source sum —
+    # a gram held out in two sources counts once)
+    all_test = test_grams.select("gram").distinct()
+    all_row = (
+        all_test.agg(F.count(F.lit(1)).cast("bigint").alias("n_test_grams"))
+        .crossJoin(
+            F.broadcast(
+                all_test.join(train_grams, "gram", "left_anti").agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_novel")
+                )
+            )
+        )
+        .select(F.lit("ALL").alias("source"), "n_test_grams", "n_novel")
+    )
+    return (
+        per_src.unionByName(all_row)
+        .select(
+            "source",
+            "n_test_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel") / F.col("n_test_grams").cast("double"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("source")
+    )
+
+
+def ngram_novelty_report_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks,
+         (doc_id * {HASH_MULT}) % {HASH_MOD} AS h
+  FROM documents
+),
+g0 AS (
+  SELECT source, h < {NOVELTY_TRAIN_CUT} AS is_train,
+         unnest(list_transform(range(0, len(toks) - {NOVELTY_N} + 1),
+           i -> array_to_string(
+             toks[CAST(i AS INT) + 1 : CAST(i AS INT) + {NOVELTY_N}], ' ')))
+           AS gram
+  FROM d WHERE len(toks) >= {NOVELTY_N}
+),
+train_grams AS MATERIALIZED (
+  SELECT DISTINCT gram FROM g0 WHERE is_train
+),
+test_grams AS MATERIALIZED (
+  SELECT DISTINCT source, gram FROM g0 WHERE NOT is_train
+),
+novel AS MATERIALIZED (
+  SELECT t.source, t.gram FROM test_grams t
+  WHERE NOT EXISTS (SELECT 1 FROM train_grams x WHERE x.gram = t.gram)
+),
+per_src AS (
+  SELECT t.source,
+         CAST(COUNT(*) AS BIGINT) AS n_test_grams,
+         CAST(COALESCE(MAX(nv.n), 0) AS BIGINT) AS n_novel
+  FROM test_grams t
+  LEFT JOIN (SELECT source, COUNT(*) AS n FROM novel GROUP BY source) nv
+    ON nv.source = t.source
+  GROUP BY t.source
+),
+all_row AS (
+  SELECT 'ALL' AS source,
+         CAST((SELECT COUNT(DISTINCT gram) FROM test_grams) AS BIGINT)
+           AS n_test_grams,
+         CAST((SELECT COUNT(*) FROM (
+             SELECT DISTINCT gram FROM novel)) AS BIGINT) AS n_novel
+)
+SELECT source, n_test_grams, n_novel,
+       round(CAST(n_novel AS DOUBLE) / n_test_grams, 6) AS novelty
+FROM (SELECT * FROM per_src UNION ALL SELECT * FROM all_row)
+ORDER BY source
+"""

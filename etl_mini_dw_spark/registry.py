@@ -1417,6 +1417,11 @@ _register(
     curation.quality_signal_agreement,
     curation.quality_signal_agreement_sql(),
 )
+_register(
+    "ext_ngram_novelty",
+    sampling.ngram_novelty_report,
+    sampling.ngram_novelty_report_sql(),
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

@@ -265,3 +265,39 @@ def test_quality_signal_agreement_identities(spark, sf_dir):
     top = out[out.kind == "top_overlap"].iloc[0]
     assert 0.0 <= top.value <= 1.0
     assert 0 < int(top.n) <= n_total
+
+
+def test_ngram_novelty_matches_pandas(spark, sf_dir):
+    """Novelty recomputed from raw parquet with python sets; ALL row
+    counts distinct grams once even when shared across sources."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_mini_dw_spark.functions import sampling
+
+    out = {r.source: r for r in sampling.ngram_novelty_report(spark, sf_dir).collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+    h = (docs.doc_id.to_numpy().astype(np.int64) * sampling.HASH_MULT) % sampling.HASH_MOD
+    train_set = set()
+    test_by_src: dict = {}
+    for (did, src, text), ht in zip(docs.itertuples(index=False), h):
+        toks = text.split(" ")
+        grams = {
+            " ".join(toks[i : i + sampling.NOVELTY_N])
+            for i in range(len(toks) - sampling.NOVELTY_N + 1)
+        }
+        if ht < sampling.NOVELTY_TRAIN_CUT:
+            train_set |= grams
+        else:
+            test_by_src.setdefault(src, set()).update(grams)
+    all_test = set().union(*test_by_src.values()) if test_by_src else set()
+    for src, grams in test_by_src.items():
+        r = out[src]
+        novel = len(grams - train_set)
+        assert r.n_test_grams == len(grams)
+        assert r.n_novel == novel
+        assert abs(r.novelty - novel / len(grams)) < 2e-6
+    r = out["ALL"]
+    assert r.n_test_grams == len(all_test)
+    assert r.n_novel == len(all_test - train_set)
