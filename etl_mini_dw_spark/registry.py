@@ -1422,6 +1422,11 @@ _register(
     sampling.ngram_novelty_report,
     sampling.ngram_novelty_report_sql(),
 )
+_register(
+    "ext_streaming_bloom_membership",
+    ev.streaming_bloom_membership,
+    ev.streaming_bloom_sql(),
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

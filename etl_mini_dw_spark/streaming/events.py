@@ -1296,3 +1296,223 @@ SELECT e.quantile, e.rank, x.exact_c, e.est_c,
 FROM est e JOIN exact x ON x.quantile = e.quantile
 ORDER BY e.quantile
 """
+
+
+# --- Streaming Bloom-filter maintenance (topology #14) -------------------------
+
+BLOOM_STREAM_BATCHES = 3
+BLOOM_ABSENT_PROBES = 50
+BLOOM_PRESENT_PROBES = 20
+
+
+def streaming_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of a user-membership Bloom filter — the
+    THIRD value-checked streaming sketch (CMS counts, HDR quantiles,
+    now set membership). bit_or is order/batching-invariant, so the
+    streamed (word, bits) table is BIT-IDENTICAL to the one-shot batch
+    filter and replays exactly in DuckDB.
+
+    Topology: events in 3 micro-batches → update-mode per-word bit_or →
+    exactly-once keyed MERGE into the stored filter. The report probes
+    the STREAMED filter with the ``BLOOM_PRESENT_PROBES`` most active
+    users (the no-false-negative guarantee: all must test positive) and
+    ``BLOOM_ABSENT_PROBES`` user ids beyond the id range (the measured
+    false-positive rate): (probe_kind, n_probes, n_positive, rate).
+    """
+    _ensure_session_confs(spark)
+    import tempfile
+
+    from etl_mini_dw_spark.etl.store import IdempotentForeachBatch, ParquetStore
+    from etl_mini_dw_spark.functions.sampling import BLOOM_BITS, BLOOM_WORD
+
+    h1 = "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 7), 16, 10) AS BIGINT)"
+    h2 = "CAST(conv(substr(md5(CAST(user_id AS STRING)), 9, 7), 16, 10) AS BIGINT)"
+
+    def word_bits(df: DataFrame) -> DataFrame:
+        hashed = df.select(
+            F.expr(h1).alias("h1"), F.expr(h2).alias("h2")
+        )
+        return (
+            hashed.select(
+                F.explode(
+                    F.array(
+                        F.pmod(F.col("h1"), F.lit(BLOOM_BITS)),
+                        F.pmod(F.col("h1") + F.col("h2"), F.lit(BLOOM_BITS)),
+                    )
+                ).alias("pos")
+            )
+            .select(
+                F.expr(f"pos div {BLOOM_WORD}").cast("int").alias("word"),
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST(pos % {BLOOM_WORD} AS INT))"
+                ).alias("mask"),
+            )
+            .groupBy("word")
+            .agg(F.expr("bit_or(mask)").alias("bits"))
+        )
+
+    landing = _split_landing_dir(sf_dir, BLOOM_STREAM_BATCHES)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    filt = word_bits(stream.select("user_id"))
+    store = ParquetStore(tempfile.mkdtemp(prefix="stream_bloom_store_"))
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_bloom_ckpt_")
+
+    def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        # update mode emits the cumulative bit_or of every touched word
+        store.merge_upsert(spark, batch_df, "bloom_words", keys=["word"])
+
+    sink = IdempotentForeachBatch(
+        tempfile.mkdtemp(prefix="stream_bloom_commits_"), _merge_batch
+    )
+    q = (
+        filt.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    sketch = store.read(spark, "bloom_words")
+    ev = typed_table(spark, sf_dir, "events")
+    present = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(BLOOM_PRESENT_PROBES)
+        .select("user_id", F.lit("present").alias("probe_kind"))
+    )
+    max_user = ev.agg(F.max("user_id").alias("mx"))
+    absent = max_user.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, {BLOOM_ABSENT_PROBES}),"
+                f" i -> mx + CAST(i AS BIGINT))"
+            )
+        ).alias("user_id"),
+        F.lit("absent").alias("probe_kind"),
+    )
+    probes = present.unionByName(absent).select(
+        "probe_kind",
+        F.col("user_id").alias("pid"),  # probe identity BEFORE the explode
+        F.expr(h1).alias("h1"),
+        F.expr(h2).alias("h2"),
+    ).localCheckpoint(eager=False)
+    tests = probes.select(
+        "probe_kind",
+        "pid",
+        F.explode(
+            F.array(
+                F.pmod(F.col("h1"), F.lit(BLOOM_BITS)),
+                F.pmod(F.col("h1") + F.col("h2"), F.lit(BLOOM_BITS)),
+            )
+        ).alias("pos"),
+    ).select(
+        "probe_kind",
+        "pid",
+        F.expr(f"pos div {BLOOM_WORD}").cast("int").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD} AS INT))"
+        ).alias("mask"),
+    )
+    verdicts = (
+        tests.join(F.broadcast(sketch), "word", "left")
+        .select(
+            "probe_kind",
+            "pid",
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                != 0
+            )
+            .cast("int")
+            .alias("hit"),
+        )
+        .groupBy("probe_kind", "pid")
+        .agg(F.min("hit").alias("pos_all"))  # positive iff BOTH bits set
+    )
+    return (
+        verdicts.groupBy("probe_kind")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.sum("pos_all").cast("bigint").alias("n_positive"),
+        )
+        .select(
+            "probe_kind",
+            "n_probes",
+            "n_positive",
+            F.round(
+                F.col("n_positive") / F.col("n_probes").cast("double"), 6
+            ).alias("rate"),
+        )
+        .orderBy("probe_kind")
+    )
+
+
+def streaming_bloom_sql() -> str:
+    """Oracle: the one-shot batch filter (streamed ≡ batch because
+    bit_or is order/batching-invariant — pinned in pytest)."""
+    from etl_mini_dw_spark.functions.sampling import BLOOM_BITS, BLOOM_WORD
+
+    h1 = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT"
+    h2 = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 7))::BIGINT"
+    return f"""
+WITH hashed AS (
+  SELECT {h1} AS h1, {h2} AS h2 FROM events
+),
+positions AS (
+  SELECT unnest([h1 % {BLOOM_BITS}, (h1 + h2) % {BLOOM_BITS}]) AS pos
+  FROM hashed
+),
+sketch AS MATERIALIZED (
+  SELECT CAST(pos // {BLOOM_WORD} AS INTEGER) AS word,
+         CAST(bit_or(1::BIGINT << CAST(pos % {BLOOM_WORD} AS INTEGER))
+              AS BIGINT) AS bits
+  FROM positions GROUP BY 1
+),
+present AS (
+  SELECT user_id, 'present' AS probe_kind
+  FROM (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+        ORDER BY n DESC, user_id LIMIT {BLOOM_PRESENT_PROBES})
+),
+absent AS (
+  SELECT (SELECT MAX(user_id) FROM events) + CAST(i AS BIGINT) AS user_id,
+         'absent' AS probe_kind
+  FROM range(1, {BLOOM_ABSENT_PROBES} + 1) t(i)
+),
+probes AS (
+  SELECT probe_kind, user_id,
+         {h1} AS h1, {h2} AS h2
+  FROM (SELECT * FROM present UNION ALL SELECT * FROM absent)
+),
+verdicts AS (
+  SELECT p.probe_kind, p.user_id,
+         CASE WHEN COALESCE(s1.bits, 0)
+                   & (1::BIGINT << CAST((p.h1 % {BLOOM_BITS})
+                                        % {BLOOM_WORD} AS INTEGER)) <> 0
+               AND COALESCE(s2.bits, 0)
+                   & (1::BIGINT << CAST(((p.h1 + p.h2) % {BLOOM_BITS})
+                                        % {BLOOM_WORD} AS INTEGER)) <> 0
+              THEN 1 ELSE 0 END AS pos_all
+  FROM probes p
+  LEFT JOIN sketch s1
+    ON s1.word = CAST((p.h1 % {BLOOM_BITS}) // {BLOOM_WORD} AS INTEGER)
+  LEFT JOIN sketch s2
+    ON s2.word = CAST(((p.h1 + p.h2) % {BLOOM_BITS}) // {BLOOM_WORD}
+                      AS INTEGER)
+)
+SELECT probe_kind,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(pos_all) AS BIGINT) AS n_positive,
+       round(CAST(SUM(pos_all) AS DOUBLE) / COUNT(*), 6) AS rate
+FROM verdicts
+GROUP BY probe_kind
+ORDER BY probe_kind
+"""

@@ -403,3 +403,29 @@ def test_hdr_monthly_rollup_honors_the_bound(spark, sf_dir):
         assert r["est_p95_c"] <= r["exact_p95_c"]
         assert -1.0 / (1 << sketches.HDR_SUB_BITS) < r["rel_err"] <= 0.0
         assert 1 <= r["n_months_merged"] <= 3
+
+
+def test_streaming_bloom_equals_batch_and_no_false_negatives(spark, sf_dir):
+    """Third streamed-sketch maintenance contract: streamed (word, bits)
+    == one-shot batch filter bit-for-bit (bit_or is order/batching-
+    invariant), every present probe positive (the Bloom guarantee), and
+    the absent-probe FP rate sits under the theoretical k=2 bound with
+    slack."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_dw_spark.functions.sampling import BLOOM_BITS
+    from etl_mini_dw_spark.streaming import events as sev
+
+    rows = {r.probe_kind: r for r in sev.streaming_bloom_membership(spark, sf_dir).collect()}
+    assert rows["present"].n_positive == rows["present"].n_probes
+    # FP bound: (1 - e^{-kn/m})^k with k=2; allow generous slack on 50 probes
+    import math
+
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    p = (1 - math.exp(-2 * n_users / BLOOM_BITS)) ** 2
+    assert rows["absent"].rate <= max(p * 3, 0.2), (rows["absent"].rate, p)
