@@ -123,7 +123,7 @@ FLOORS = {
     # round-5 session 2 (min-of-3 isolated, 2026-08-15, load ~1)
     "ext_ab_cuped_lift": 1.26,
     "ext_calibration_brier": 1.38,
-    "ext_theil_sen_trend": 11.01,  # date-range^2 pair histogram (sf-invariant)
+    "ext_theil_sen_trend": 3.20,  # two-pass coarse-bucket median (was 11.0 one-histogram)
     "ext_compaction_plan": 0.80,
     "ext_knn_graph_stats": 2.27,
     "ext_bitemporal_asof_matrix": 2.01,
@@ -147,6 +147,9 @@ FLOORS = {
     "ext_promo_revenue_disjunction": 0.83,
     "ext_hdr_monthly_rollup": 1.47,
     "ext_categorical_drift": 1.22,
+    "ext_ngram_novelty": 1.94,
+    "ext_quality_signal_agreement": 2.05,  # warm word-frame memo
+    "ext_streaming_bloom_membership": 5.64,  # streaming fixture (3 batches + ckpt)
 }
 
 

@@ -1439,6 +1439,7 @@ def gains_lift_chart_sql() -> str:
 # a consistent estimator) — same plan, one extra hash filter.
 
 TS_SLOPE_SCALE = 1000  # slope fixed-point: 10^-4 currency units per day × 10^3
+TS_COARSE = 1 << 32  # pass-1 median bucket width (see two-pass note below)
 
 
 def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1474,30 +1475,79 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = slices.select(
         F.col("slice"), F.col("x").alias("xb"), F.col("y").alias("yb")
     )
-    pairs = a.join(F.broadcast(b), "slice").filter(F.col("xa") < F.col("xb"))
-    num = f"(yb - ya) * {TS_SLOPE_SCALE}"
-    den = "(xb - xa)"
-    fp = F.expr(f"(({num}) - pmod(({num}), {den})) div ({den})")
-    hist = (
-        pairs.select("slice", fp.alias("fp"))
-        .groupBy("slice", "fp")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # the slope expression guards its own divisor (CASE, not a separate
+    # filter): ANSI-mode pmod THROWS on zero and Catalyst may evaluate a
+    # projected expression before the xa<xb filter it sits behind
+    pairs = (
+        a.join(F.broadcast(b), "slice")
+        .select(
+            "slice",
+            F.expr(
+                f"CASE WHEN xa < xb THEN"
+                f" (((yb - ya) * {TS_SLOPE_SCALE})"
+                f" - pmod((yb - ya) * {TS_SLOPE_SCALE}, (xb - xa)))"
+                f" div (xb - xa) END"
+            ).alias("fp"),
+        )
+        .filter(F.col("fp").isNotNull())
     )
-    wcum = Window.partitionBy("slice").orderBy("fp").rowsBetween(
+    # Two-pass median (plan history in BENCH_NOTES): slopes barely
+    # collide, so a (slice, fp) histogram is PAIR-sized and its
+    # per-slice cumulative window was a ~3M-row single-partition sort
+    # (11 s floor). Pass 1 reduces pairs to a few hundred COARSE
+    # buckets per slice (partial-aggregable, window over bucket rows
+    # only) and locates the bucket holding rank k; pass 2 re-derives
+    # only that bucket's pairs and takes the exact offset rank. The
+    # median value is identical — the oracle keeps the one-histogram
+    # formulation.
+    coarse = F.expr(f"(fp - pmod(fp, {TS_COARSE})) div {TS_COARSE}")
+    h1 = pairs.groupBy("slice", coarse.alias("cb")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wc = Window.partitionBy("slice").orderBy("cb").rowsBetween(
         Window.unboundedPreceding, 0
     )
     wall = Window.partitionBy("slice")
-    ranked = hist.select(
+    ranked = h1.select(
         "slice",
-        "fp",
+        "cb",
         "cnt",
-        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wc).alias("cum"),
         F.sum("cnt").over(wall).alias("m"),
     )
     k = ((F.col("m") - 1) / 2).cast("bigint") + 1  # (m-1) div 2 + 1, m >= 1
-    med = ranked.filter(
+    target = ranked.filter(
         (F.col("cum") - F.col("cnt") < k) & (F.col("cum") >= k)
-    ).select("slice", F.col("fp").alias("ts_fp"), F.col("m").alias("n_pairs"))
+    ).select(
+        "slice",
+        F.col("cb").alias("tcb"),
+        (k - (F.col("cum") - F.col("cnt"))).alias("k_off"),
+        F.col("m").alias("n_pairs"),
+    )
+    infix = pairs.join(F.broadcast(target), "slice").filter(
+        F.expr(f"(fp - pmod(fp, {TS_COARSE})) div {TS_COARSE}") == F.col("tcb")
+    )
+    h2 = infix.groupBy("slice", "fp", "k_off", "n_pairs").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w2 = Window.partitionBy("slice").orderBy("fp").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    med = (
+        h2.select(
+            "slice",
+            "fp",
+            "cnt",
+            "k_off",
+            "n_pairs",
+            F.sum("cnt").over(w2).alias("cum2"),
+        )
+        .filter(
+            (F.col("cum2") - F.col("cnt") < F.col("k_off"))
+            & (F.col("cum2") >= F.col("k_off"))
+        )
+        .select("slice", F.col("fp").alias("ts_fp"), "n_pairs")
+    )
     ols = slices.groupBy("slice").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.sum("x").cast("double").alias("sx"),
