@@ -251,9 +251,11 @@ def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y").alias(name),
         )
 
+    base = monthly.join(F.broadcast(lagged(1, "y1")), ["region", "idx"])
+    for k in range(2, 9):
+        base = base.join(F.broadcast(lagged(k, f"y{k}")), ["region", "idx"])
     base = (
-        monthly.join(F.broadcast(lagged(1, "y1")), ["region", "idx"])
-        .join(F.broadcast(lagged(12, "y12")), ["region", "idx"])
+        base.join(F.broadcast(lagged(12, "y12")), ["region", "idx"])
         .join(F.broadcast(lagged(13, "y13")), ["region", "idx"])
         .filter(F.col("y") > 0)
     )
@@ -276,6 +278,15 @@ def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + F.expr(
                             "((y1 - y13) - pmod(y1 - y13, 12)) div 12"
                         )
+                    ).alias("yhat"),
+                ),
+                # ses: bounded-lag dyadic EWMA (alpha = 1/2, 8 terms,
+                # weights 2^(8-k) summing to 255 — the rolling-features
+                # trick applied to forecasting); exact integer floor
+                F.struct(
+                    F.lit("ses").alias("method"),
+                    F.expr(
+                        "(((y1 * 128 + y2 * 64 + y3 * 32 + y4 * 16 + y5 * 8 + y6 * 4 + y7 * 2 + y8 * 1) - pmod((y1 * 128 + y2 * 64 + y3 * 32 + y4 * 16 + y5 * 8 + y6 * 4 + y7 * 2 + y8 * 1), 255)) div 255)"
                     ).alias("yhat"),
                 ),
             )
@@ -336,9 +347,17 @@ WITH monthly AS (
   GROUP BY 1, 2
 ),
 base AS (
-  SELECT m.region, m.y, a.y AS y1, b.y AS y12, c.y AS y13
+  SELECT m.region, m.y, a.y AS y1, l2.y AS y2, l3.y AS y3, l4.y AS y4, l5.y AS y5, l6.y AS y6, l7.y AS y7, l8.y AS y8,
+         b.y AS y12, c.y AS y13
   FROM monthly m
   JOIN monthly a ON a.region = m.region AND a.idx = m.idx - 1
+  JOIN monthly l2 ON l2.region = m.region AND l2.idx = m.idx - 2
+  JOIN monthly l3 ON l3.region = m.region AND l3.idx = m.idx - 3
+  JOIN monthly l4 ON l4.region = m.region AND l4.idx = m.idx - 4
+  JOIN monthly l5 ON l5.region = m.region AND l5.idx = m.idx - 5
+  JOIN monthly l6 ON l6.region = m.region AND l6.idx = m.idx - 6
+  JOIN monthly l7 ON l7.region = m.region AND l7.idx = m.idx - 7
+  JOIN monthly l8 ON l8.region = m.region AND l8.idx = m.idx - 8
   JOIN monthly b ON b.region = m.region AND b.idx = m.idx - 12
   JOIN monthly c ON c.region = m.region AND c.idx = m.idx - 13
   WHERE m.y > 0
@@ -350,6 +369,10 @@ fc AS (
   UNION ALL
   SELECT region, y, 'drift',
          y1 + ((y1 - y13) - ((((y1 - y13) % 12) + 12) % 12)) // 12
+  FROM base
+  UNION ALL
+  SELECT region, y, 'ses',
+         ((y1 * 128 + y2 * 64 + y3 * 32 + y4 * 16 + y5 * 8 + y6 * 4 + y7 * 2 + y8 * 1) - ((((y1 * 128 + y2 * 64 + y3 * 32 + y4 * 16 + y5 * 8 + y6 * 4 + y7 * 2 + y8 * 1) % 255) + 255) % 255)) // 255
   FROM base
 ),
 scored AS (

@@ -223,15 +223,18 @@ def test_forecast_backtest_matches_pandas(spark, sf_dir):
     )
     for reg in m.region.unique():
         s = dict(zip(m[m.region == reg].idx, m[m.region == reg].y))
-        errs = {"naive": [], "seasonal_naive": [], "drift": []}
+        errs = {"naive": [], "seasonal_naive": [], "drift": [], "ses": []}
         for i, yv in s.items():
-            if yv <= 0 or any(i - k not in s for k in (1, 12, 13)):
+            lags = list(range(1, 9)) + [12, 13]
+            if yv <= 0 or any(i - k not in s for k in lags):
                 continue
             y1, y12, y13 = s[i - 1], s[i - 12], s[i - 13]
+            ses_num = sum(s[i - k] * (1 << (8 - k)) for k in range(1, 9))
             fc = {
                 "naive": y1,
                 "seasonal_naive": y12,
                 "drift": y1 + (y1 - y13) // 12,
+                "ses": ses_num // 255,
             }
             for meth, yh in fc.items():
                 errs[meth].append((abs(yv - yh) * 1_000_000) // yv)
