@@ -477,3 +477,150 @@ WITH daily AS MATERIALIZED (
 {union}
 ORDER BY lag
 """
+
+
+# --- EWMA control chart ---------------------------------------------------------
+#
+# Fourth member of the anomaly battery, covering the gap between the
+# z-battery (point spikes vs a static mean), MAD (robust point spikes)
+# and CUSUM (accumulated level shifts): an EWMA chart scores each day
+# against a RECENCY-WEIGHTED local forecast, so it flags days that are
+# abnormal relative to the last ~week even when the global statistics
+# have drifted. The smoother is the dyadic 8-term EWMA (weights
+# 2^(8-k) / 255 — exact integer floor, the trending/ses trick), lags
+# resolved by gap-proof day-index equi-joins, and the alarm fence is
+# the MAD battery's 3·1.4826 rule applied to the residual distribution
+# (exact order statistics on integer residuals).
+#
+# Scale: corpus touched once by the daily rollup; the 8 lag joins and
+# the residual-median machinery run on the ~date-range-sized series.
+
+EWMA_TERMS_CC = 8
+
+
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, revenue, ewma_prev, resid, is_alarm): top-15 days by
+    absolute residual vs the prior-8-day dyadic EWMA, alarm = residual
+    beyond 3·1.4826·MAD of all residuals."""
+    li = typed_table(spark, sf_dir, "lineitem")
+    orders = typed_table(spark, sf_dir, "orders")
+    daily = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            (F.sum(F.expr("l_extendedprice * (1 - l_discount)")) * 10000)
+            .cast("decimal(38,0)")
+            .cast("bigint")
+            .alias("x")
+        )
+        .select(
+            F.datediff("day", F.lit("1992-01-01").cast("date"))
+            .cast("bigint")
+            .alias("i"),
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "x",
+        )
+        .localCheckpoint(eager=False)
+    )
+    base = daily
+    for k in range(1, EWMA_TERMS_CC + 1):
+        base = base.join(
+            F.broadcast(
+                daily.select(
+                    (F.col("i") + k).alias("i"), F.col("x").alias(f"x{k}")
+                )
+            ),
+            "i",
+        )
+    num = " + ".join(
+        f"x{k} * {1 << (EWMA_TERMS_CC - k)}" for k in range(1, EWMA_TERMS_CC + 1)
+    )
+    den = (1 << EWMA_TERMS_CC) - 1
+    scored = base.select(
+        "day",
+        "x",
+        F.expr(f"((({num}) - pmod(({num}), {den})) div {den})").alias("e"),
+    ).select(
+        "day", "x", "e", (F.col("x") - F.col("e")).alias("r")
+    ).localCheckpoint(eager=False)
+    # MAD of residuals via exact order statistics (histogram form)
+    absr = scored.select(F.abs("r").alias("a"))
+    ha = absr.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wa = Window.orderBy("a").rowsBetween(Window.unboundedPreceding, 0)
+    n = absr.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # median of |r - med(r)| is the classic MAD; for a control chart the
+    # median residual is ~0 by construction, so MAD on |r| (about 0) is
+    # the standard one-sided simplification — documented, used on BOTH
+    # engines identically
+    med = (
+        ha.select("a", "cnt", F.sum("cnt").over(wa).alias("cum"))
+        .crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("cum") - F.col("cnt") < F.expr("((n - 1) div 2) + 1"))
+            & (F.col("cum") >= F.expr("((n - 1) div 2) + 1"))
+        )
+        .select(F.col("a").alias("mad"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(med))
+        .select(
+            "day",
+            F.round(F.col("x") / 1e4, 6).alias("revenue"),
+            F.round(F.col("e") / 1e4, 6).alias("ewma_prev"),
+            F.round(F.col("r") / 1e4, 6).alias("resid"),
+            (
+                F.abs(F.col("r")) * 10000
+                > F.lit(MAD_K_SCALED) * F.col("mad")
+            ).alias("is_alarm"),
+            F.abs("r").alias("_absr"),
+        )
+        .orderBy(F.col("_absr").desc(), "day")
+        .limit(15)
+        .drop("_absr")
+    )
+
+
+def ewma_control_chart_sql() -> str:
+    num = " + ".join(
+        f"l{k}.x * {1 << (EWMA_TERMS_CC - k)}"
+        for k in range(1, EWMA_TERMS_CC + 1)
+    )
+    den = (1 << EWMA_TERMS_CC) - 1
+    lag_joins = "\n".join(
+        f"  JOIN daily l{k} ON l{k}.i = d.i - {k}"
+        for k in range(1, EWMA_TERMS_CC + 1)
+    )
+    return f"""
+WITH daily AS MATERIALIZED (
+  SELECT CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS i,
+         strftime(o_orderdate, '%Y-%m-%d') AS day,
+         CAST(CAST(SUM(l_extendedprice * (1 - l_discount)) * 10000
+              AS DECIMAL(38,0)) AS BIGINT) AS x
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+scored AS MATERIALIZED (
+  SELECT d.day, d.x,
+         (({num}) - ((({num}) % {den} + {den}) % {den})) // {den} AS e,
+         d.x - (({num}) - ((({num}) % {den} + {den}) % {den})) // {den} AS r
+  FROM daily d
+{lag_joins}
+),
+ha AS (
+  SELECT abs(r) AS a, CAST(COUNT(*) AS BIGINT) AS cnt FROM scored GROUP BY 1
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
+med AS (
+  SELECT a AS mad FROM (
+    SELECT a, cnt, SUM(cnt) OVER (ORDER BY a) AS cum FROM ha), nn
+  WHERE cum - cnt < ((n - 1) // 2) + 1 AND cum >= ((n - 1) // 2) + 1
+)
+SELECT day,
+       round(CAST(x AS DOUBLE) / 1e4, 6) AS revenue,
+       round(CAST(e AS DOUBLE) / 1e4, 6) AS ewma_prev,
+       round(CAST(r AS DOUBLE) / 1e4, 6) AS resid,
+       abs(r) * 10000 > {MAD_K_SCALED} * mad AS is_alarm
+FROM scored, med
+ORDER BY abs(r) DESC, day
+LIMIT 15
+"""

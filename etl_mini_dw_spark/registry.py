@@ -1427,6 +1427,11 @@ _register(
     ev.streaming_bloom_membership,
     ev.streaming_bloom_sql(),
 )
+_register(
+    "ext_ewma_control_chart",
+    anomaly.ewma_control_chart,
+    anomaly.ewma_control_chart_sql(),
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
