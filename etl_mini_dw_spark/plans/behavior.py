@@ -1071,3 +1071,111 @@ SELECT w.i AS event_type,
 FROM w{MARKOV_ROUNDS} w JOIN emp ON emp.i = w.i, emp_tot
 ORDER BY event_type
 """
+
+
+# --- Cohort LTV triangle ---------------------------------------------------------
+#
+# The revenue companion of the retention triangle: customers grouped by
+# FIRST-ORDER month, cumulative revenue per cohort member at each
+# month-age — the lifetime-value curve finance reads payback periods
+# off. Revenue stays exact integer cents through the cumulative window;
+# the only float is the final per-member round-6 division.
+#
+# Scale: one custkey rollup for cohorts (partial-aggregable), one
+# (cohort, age) rollup, cumulative windows over ≤|months| rows per
+# cohort. The triangle is |months|²/2-sized — metadata, not data.
+
+LTV_MAX_AGE = 12
+
+
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort_ym, age_months, n_cohort, cum_rev_per_cust): cumulative
+    revenue per cohort member through month-age ≤ 12."""
+    orders = typed_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate")
+        )
+        .cast("bigint")
+        .alias("idx"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        (F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cohorts = orders.groupBy("o_custkey").agg(
+        F.min("idx").alias("c_idx"), F.min("ym").alias("cohort_ym")
+    )
+    sizes = cohorts.groupBy("c_idx", "cohort_ym").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort")
+    )
+    aged = (
+        orders.join(cohorts, "o_custkey")
+        .select(
+            "c_idx",
+            "cohort_ym",
+            (F.col("idx") - F.col("c_idx")).alias("age_months"),
+            "cents",
+        )
+        .groupBy("c_idx", "cohort_ym", "age_months")
+        .agg(F.sum("cents").cast("bigint").alias("rev_c"))
+    )
+    wcum = (
+        Window.partitionBy("c_idx")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        aged.select(
+            "c_idx",
+            "cohort_ym",
+            "age_months",
+            F.sum("rev_c").over(wcum).alias("cum_c"),
+        )
+        .filter(F.col("age_months") <= LTV_MAX_AGE)
+        .join(F.broadcast(sizes), ["c_idx", "cohort_ym"])
+        .select(
+            "cohort_ym",
+            F.col("age_months").cast("bigint").alias("age_months"),
+            "n_cohort",
+            F.round(
+                F.col("cum_c") / (100.0 * F.col("n_cohort")), 6
+            ).alias("cum_rev_per_cust"),
+        )
+        .orderBy("cohort_ym", "age_months")
+    )
+
+
+COHORT_LTV_SQL = f"""
+WITH o AS (
+  SELECT o_custkey,
+         CAST((EXTRACT(year FROM o_orderdate) - 1995) * 12
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS idx,
+         strftime(o_orderdate, '%Y-%m') AS ym,
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+cohorts AS (
+  SELECT o_custkey, MIN(idx) AS c_idx, MIN(ym) AS cohort_ym
+  FROM o GROUP BY 1
+),
+sizes AS (
+  SELECT c_idx, cohort_ym, CAST(COUNT(*) AS BIGINT) AS n_cohort
+  FROM cohorts GROUP BY 1, 2
+),
+aged AS (
+  SELECT c.c_idx, c.cohort_ym, o.idx - c.c_idx AS age_months,
+         CAST(SUM(o.cents) AS BIGINT) AS rev_c
+  FROM o JOIN cohorts c USING (o_custkey)
+  GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT c_idx, cohort_ym, age_months,
+         SUM(rev_c) OVER (PARTITION BY c_idx ORDER BY age_months) AS cum_c
+  FROM aged
+)
+SELECT u.cohort_ym, CAST(u.age_months AS BIGINT) AS age_months, s.n_cohort,
+       round(CAST(u.cum_c AS DOUBLE) / (100.0 * s.n_cohort), 6)
+         AS cum_rev_per_cust
+FROM cum u JOIN sizes s ON s.c_idx = u.c_idx AND s.cohort_ym = u.cohort_ym
+WHERE u.age_months <= {LTV_MAX_AGE}
+ORDER BY u.cohort_ym, u.age_months
+"""

@@ -1432,6 +1432,11 @@ _register(
     anomaly.ewma_control_chart,
     anomaly.ewma_control_chart_sql(),
 )
+_register(
+    "ext_cohort_ltv_curve",
+    behavior.cohort_ltv_curve,
+    behavior.COHORT_LTV_SQL,
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

@@ -301,3 +301,29 @@ def test_ngram_novelty_matches_pandas(spark, sf_dir):
     r = out["ALL"]
     assert r.n_test_grams == len(all_test)
     assert r.n_novel == len(all_test - train_set)
+
+
+def test_ltv_curve_monotone_and_consistent_with_totals(spark, sf_dir):
+    """Cumulative LTV must be non-decreasing in age within a cohort,
+    cohort sizes must tile the ordering customer population, and the
+    final-age cumulative revenue x cohort size must never exceed total
+    order revenue."""
+    import pandas as pd
+
+    from etl_mini_dw_spark.plans import behavior
+
+    out = behavior.cohort_ltv_curve(spark, sf_dir).toPandas()
+    for c, grp in out.groupby("cohort_ym"):
+        g = grp.sort_values("age_months")
+        assert g.cum_rev_per_cust.is_monotonic_increasing
+        assert g.n_cohort.nunique() == 1
+        assert (g.age_months >= 0).all()
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    n_cust = orders.o_custkey.nunique()
+    sizes = out.groupby("cohort_ym").n_cohort.first()
+    assert int(sizes.sum()) == n_cust
+    total_rev = float(orders.o_totalprice.sum())
+    last = out.sort_values("age_months").groupby("cohort_ym").tail(1)
+    captured = float((last.cum_rev_per_cust * last.n_cohort).sum())
+    assert captured <= total_rev * (1 + 1e-9)
