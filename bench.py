@@ -127,7 +127,7 @@ FLOORS = {
     "ext_compaction_plan": 0.80,
     "ext_knn_graph_stats": 2.27,
     "ext_bitemporal_asof_matrix": 2.01,
-    "ext_forecast_backtest": 1.70,
+    "ext_forecast_backtest": 2.00,  # 4 arms incl ses, 10 lag joins
     "ext_woe_encoding": 0.60,
     "ext_did_by_segment": 0.68,
     "ext_k_anonymity_report": 1.41,
@@ -150,6 +150,8 @@ FLOORS = {
     "ext_ngram_novelty": 1.94,
     "ext_quality_signal_agreement": 2.05,  # warm word-frame memo
     "ext_streaming_bloom_membership": 5.64,  # streaming fixture (3 batches + ckpt)
+    "ext_ewma_control_chart": 1.75,
+    "ext_cohort_ltv_curve": 0.96,
 }
 
 
