@@ -936,3 +936,159 @@ SELECT CAST(-1 AS BIGINT),
 FROM tot
 ORDER BY stratum
 """
+
+
+# ---------------------------------------------------------------------------
+# Ratio-scaled counterfactual (causal-impact lite)
+#
+# The geo-experiment readout: treat one region as INTERVENED at the
+# 1998 cutoff, scale the donor regions' post-period monthly series by
+# the pre-period treated/donor revenue ratio, and report actual vs
+# counterfactual per month with the cumulative lift. This is the
+# ratio-scaling special case of synthetic control (one donor pool,
+# scale fitted on pre-period totals) — honest about what it is, and the
+# shape every geo-lift platform starts from. On a NULL intervention
+# (nothing actually happened at the cutoff) the lift should hover near
+# zero — which makes it a driver-checkable calibration readout.
+#
+# Exactness: the counterfactual is the exact integer floor
+#   cf = (post_donor_month · pre_treated) div pre_donor
+# computed in DECIMAL(38,0)/HUGEINT (the product reaches ~1e30);
+# lifts are round-6 ratios of exact integers.
+#
+# Scale: one (region, month) rollup touches the corpus; everything
+# after runs on the ~|months| series frame.
+
+CF_TREATED_REGION = "EUROPE"
+
+
+def counterfactual_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ym, actual, counterfactual, lift, cum_lift): post-cutoff monthly
+    revenue of the treated region vs the donor-scaled counterfactual."""
+    from pyspark.sql import Window
+
+    from etl_mini_dw_spark.plans.stats import PSI_CUTOFF
+
+    li = typed_table(spark, sf_dir, "lineitem")
+    orders = typed_table(spark, sf_dir, "orders")
+    cust = typed_table(spark, sf_dir, "customer")
+    nation = typed_table(spark, sf_dir, "nation")
+    region = typed_table(spark, sf_dir, "region")
+    monthly = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            (F.col("r_name") == CF_TREATED_REGION).alias("treated"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+            (F.col("o_orderdate") < PSI_CUTOFF).alias("pre"),
+        )
+        .agg(
+            (F.sum(F.expr("l_extendedprice * (1 - l_discount)")) * 10000)
+            .cast("decimal(38,0)")
+            .cast("bigint")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    pre = monthly.filter(F.col("pre")).groupBy("treated").agg(
+        F.sum("cents").cast("bigint").alias("pre_tot")
+    )
+    pre_t = pre.filter(F.col("treated")).select(
+        F.col("pre_tot").alias("pre_treated")
+    )
+    pre_d = pre.filter(~F.col("treated")).select(
+        F.col("pre_tot").alias("pre_donor")
+    )
+    post = monthly.filter(~F.col("pre"))
+    act = post.filter(F.col("treated")).select(
+        "ym", F.col("cents").alias("a_c")
+    )
+    don = post.filter(~F.col("treated")).select(
+        "ym", F.col("cents").alias("d_c")
+    )
+    j = (
+        act.join(don, "ym")
+        .crossJoin(F.broadcast(pre_t))
+        .crossJoin(F.broadcast(pre_d))
+        .select(
+            "ym",
+            "a_c",
+            # exact integer floor in DECIMAL(38,0): product ~1e26
+            F.expr(
+                "CAST((CAST(d_c AS DECIMAL(19,0))"
+                " * CAST(pre_treated AS DECIMAL(19,0))"
+                " - pmod(CAST(d_c AS DECIMAL(19,0))"
+                " * CAST(pre_treated AS DECIMAL(19,0)),"
+                " CAST(pre_donor AS DECIMAL(19,0))))"
+                " / CAST(pre_donor AS DECIMAL(19,0)) AS BIGINT)"
+            ).alias("cf_c"),
+        )
+    )
+    wcum = Window.orderBy("ym").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        j.select(
+            "ym",
+            F.round(F.col("a_c") / 1e4, 6).alias("actual"),
+            F.round(F.col("cf_c") / 1e4, 6).alias("counterfactual"),
+            F.round(
+                (F.col("a_c") - F.col("cf_c")) / F.col("cf_c").cast("double"),
+                6,
+            ).alias("lift"),
+            F.sum(F.col("a_c") - F.col("cf_c")).over(wcum).alias("cum_diff_c"),
+            F.sum("cf_c").over(wcum).alias("cum_cf_c"),
+        )
+        .select(
+            "ym",
+            "actual",
+            "counterfactual",
+            "lift",
+            F.round(
+                F.col("cum_diff_c") / F.col("cum_cf_c").cast("double"), 6
+            ).alias("cum_lift"),
+        )
+        .orderBy("ym")
+    )
+
+
+def counterfactual_lift_sql() -> str:
+    from etl_mini_dw_spark.plans.stats import PSI_CUTOFF
+
+    return f"""
+WITH monthly AS MATERIALIZED (
+  SELECT r_name = '{CF_TREATED_REGION}' AS treated,
+         strftime(o_orderdate, '%Y-%m') AS ym,
+         o_orderdate < TIMESTAMP '{PSI_CUTOFF}' AS pre,
+         CAST(CAST(SUM(l_extendedprice * (1 - l_discount)) * 10000
+              AS DECIMAL(38,0)) AS BIGINT) AS cents
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY 1, 2, 3
+),
+pre_t AS (SELECT CAST(SUM(cents) AS BIGINT) AS pre_treated
+          FROM monthly WHERE pre AND treated),
+pre_d AS (SELECT CAST(SUM(cents) AS BIGINT) AS pre_donor
+          FROM monthly WHERE pre AND NOT treated),
+j AS (
+  SELECT a.ym, a.cents AS a_c,
+         CAST((CAST(d.cents AS HUGEINT) * pre_treated
+               - ((CAST(d.cents AS HUGEINT) * pre_treated % pre_donor
+                   + pre_donor) % pre_donor)) // pre_donor AS BIGINT) AS cf_c
+  FROM monthly a
+  JOIN monthly d ON d.ym = a.ym AND NOT d.pre AND NOT d.treated
+  CROSS JOIN pre_t CROSS JOIN pre_d
+  WHERE a.treated AND NOT a.pre
+)
+SELECT ym,
+       round(CAST(a_c AS DOUBLE) / 1e4, 6) AS actual,
+       round(CAST(cf_c AS DOUBLE) / 1e4, 6) AS counterfactual,
+       round(CAST(a_c - cf_c AS DOUBLE) / cf_c, 6) AS lift,
+       round(CAST(SUM(a_c - cf_c) OVER (ORDER BY ym) AS DOUBLE)
+             / SUM(cf_c) OVER (ORDER BY ym), 6) AS cum_lift
+FROM j
+ORDER BY ym
+"""

@@ -1437,6 +1437,11 @@ _register(
     behavior.cohort_ltv_curve,
     behavior.COHORT_LTV_SQL,
 )
+_register(
+    "ext_counterfactual_lift",
+    _experiment.counterfactual_lift,
+    _experiment.counterfactual_lift_sql(),
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

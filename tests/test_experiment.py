@@ -351,3 +351,40 @@ def test_poststratified_lift_identities(cuped_row, spark, sf_dir):
     )
     # weights are population shares of the covered strata
     assert 0.99 <= strata.weight.sum() <= 1.000001
+
+
+def test_counterfactual_null_intervention_calibration(spark, sf_dir):
+    """Nothing actually happened at the cutoff, so the ratio-scaled
+    counterfactual should track actuals: cumulative lift stays inside a
+    generous band, and the counterfactual reproduces the donor series
+    times the exact pre-ratio (pandas replication)."""
+    out = experiment.counterfactual_lift(spark, sf_dir).toPandas()
+    assert len(out) > 12
+    # per-month lift is noisy; the cumulative estimate should calm down
+    assert abs(out.cum_lift.iloc[-1]) < 0.5
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate", "o_custkey"])
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_regionkey"])
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    j = (li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+           .merge(cust, left_on="o_custkey", right_on="c_custkey")
+           .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+           .merge(region, left_on="n_regionkey", right_on="r_regionkey"))
+    units = np.round(j.l_extendedprice.to_numpy()
+                     * (1 - j.l_discount.to_numpy()) * 10000).astype(np.int64)
+    treated = (j.r_name == experiment.CF_TREATED_REGION).to_numpy()
+    pre = (j.o_orderdate < pd.Timestamp("1998-01-01")).to_numpy()
+    ym = j.o_orderdate.dt.strftime("%Y-%m")
+    pt = int(units[treated & pre].sum())
+    pd_tot = int(units[~treated & pre].sum())
+    g = pd.DataFrame({"ym": ym[~treated & ~pre],
+                      "u": units[~treated & ~pre]}).groupby("ym").u.sum()
+    for _, r in out.iterrows():
+        dc = int(g[r.ym])
+        cf = (dc * pt) // pd_tot
+        assert r.counterfactual == pytest.approx(cf / 1e4, abs=2e-4)
