@@ -152,6 +152,7 @@ FLOORS = {
     "ext_streaming_bloom_membership": 5.64,  # streaming fixture (3 batches + ckpt)
     "ext_ewma_control_chart": 1.75,
     "ext_cohort_ltv_curve": 0.96,
+    "ext_counterfactual_lift": 2.22,
 }
 
 

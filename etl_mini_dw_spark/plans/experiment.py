@@ -1092,3 +1092,118 @@ SELECT ym,
 FROM j
 ORDER BY ym
 """
+
+
+# ---------------------------------------------------------------------------
+# Price elasticity of demand
+#
+# The pricing-econometrics primitive: regress ln(mean quantity) on
+# ln(effective price factor) across the discount levels — the slope is
+# the elasticity (demand %change per price %change; negative and below
+# -1 means discounts more than pay for themselves in volume). The
+# discount ladder is the price VARIATION source this schema offers,
+# and each discount level contributes one (x, y) point weighted by its
+# line count.
+#
+# Portability: per-level means are exact integer ratios; each level
+# takes exactly TWO lns on identical doubles (the WOE precedent), both
+# rounded-6 BEFORE the weighted-OLS sufficient statistics, which are
+# then plain IEEE arithmetic on identical doubles. The report also
+# carries each level's point so the fit is auditable.
+
+def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket_cents, n, mean_qty, ln_price, ln_qty, elasticity, r2):
+    one row per discount level plus a TOTAL row (bucket -1) carrying
+    the weighted-OLS elasticity and fit R²."""
+    li = typed_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_discount") * 100).cast("int").alias("bucket_cents"),
+        (F.col("l_quantity") * 100).cast("bigint").alias("q_c"),
+    )
+    per = li.groupBy("bucket_cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q_c").cast("bigint").alias("sq"),
+    )
+    pts = per.select(
+        "bucket_cents",
+        "n",
+        F.round(F.col("sq") / (100.0 * F.col("n")), 6).alias("mean_qty"),
+        # price factor = (100 - discount_cents)/100; ln on an exact ratio
+        F.round(
+            F.log((100 - F.col("bucket_cents")).cast("double") / 100.0), 6
+        ).alias("ln_price"),
+        F.round(F.log(F.col("sq") / (100.0 * F.col("n"))), 6).alias("ln_qty"),
+    ).localCheckpoint(eager=False)
+    # weighted OLS over the ~11 points, weights = line counts
+    s = pts.agg(
+        F.sum("n").cast("double").alias("w"),
+        F.sum(F.col("n") * F.col("ln_price")).alias("sx"),
+        F.sum(F.col("n") * F.col("ln_qty")).alias("sy"),
+        F.sum(F.col("n") * F.col("ln_price") * F.col("ln_price")).alias("sxx"),
+        F.sum(F.col("n") * F.col("ln_qty") * F.col("ln_qty")).alias("syy"),
+        F.sum(F.col("n") * F.col("ln_price") * F.col("ln_qty")).alias("sxy"),
+    )
+    cov = F.col("w") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("w") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("w") * F.col("syy") - F.col("sy") * F.col("sy")
+    total = s.select(
+        F.lit(-1).cast("int").alias("bucket_cents"),
+        F.col("w").cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("mean_qty"),
+        F.lit(None).cast("double").alias("ln_price"),
+        F.lit(None).cast("double").alias("ln_qty"),
+        F.when(vx > 0, F.round(cov / vx, 6)).alias("elasticity"),
+        F.when((vx > 0) & (vy > 0), F.round(cov * cov / (vx * vy), 6)).alias(
+            "r2"
+        ),
+    )
+    rows = pts.select(
+        "bucket_cents",
+        "n",
+        "mean_qty",
+        "ln_price",
+        "ln_qty",
+        F.lit(None).cast("double").alias("elasticity"),
+        F.lit(None).cast("double").alias("r2"),
+    )
+    return rows.unionByName(total).orderBy("bucket_cents")
+
+
+def price_elasticity_sql() -> str:
+    return """
+WITH per AS (
+  SELECT CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS INTEGER)
+           AS bucket_cents,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS sq
+  FROM lineitem GROUP BY 1
+),
+pts AS MATERIALIZED (
+  SELECT bucket_cents, n,
+         round(CAST(sq AS DOUBLE) / (100.0 * n), 6) AS mean_qty,
+         round(ln(CAST(100 - bucket_cents AS DOUBLE) / 100.0), 6) AS ln_price,
+         round(ln(CAST(sq AS DOUBLE) / (100.0 * n)), 6) AS ln_qty
+  FROM per
+),
+s AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS w,
+         SUM(n * ln_price) AS sx, SUM(n * ln_qty) AS sy,
+         SUM(n * ln_price * ln_price) AS sxx,
+         SUM(n * ln_qty * ln_qty) AS syy,
+         SUM(n * ln_price * ln_qty) AS sxy
+  FROM pts
+)
+SELECT bucket_cents, n, mean_qty, ln_price, ln_qty,
+       CAST(NULL AS DOUBLE) AS elasticity, CAST(NULL AS DOUBLE) AS r2
+FROM pts
+UNION ALL
+SELECT CAST(-1 AS INTEGER), CAST(w AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CASE WHEN w * sxx - sx * sx > 0
+            THEN round((w * sxy - sx * sy) / (w * sxx - sx * sx), 6) END,
+       CASE WHEN w * sxx - sx * sx > 0 AND w * syy - sy * sy > 0
+            THEN round((w * sxy - sx * sy) * (w * sxy - sx * sy)
+                       / ((w * sxx - sx * sx) * (w * syy - sy * sy)), 6) END
+FROM s
+ORDER BY bucket_cents
+"""

@@ -1442,6 +1442,11 @@ _register(
     _experiment.counterfactual_lift,
     _experiment.counterfactual_lift_sql(),
 )
+_register(
+    "ext_price_elasticity",
+    _experiment.price_elasticity,
+    _experiment.price_elasticity_sql(),
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

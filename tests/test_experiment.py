@@ -388,3 +388,35 @@ def test_counterfactual_null_intervention_calibration(spark, sf_dir):
         dc = int(g[r.ym])
         cf = (dc * pt) // pd_tot
         assert r.counterfactual == pytest.approx(cf / 1e4, abs=2e-4)
+
+
+def test_price_elasticity_matches_numpy_wols(spark, sf_dir):
+    """Elasticity replicated with numpy weighted least squares from the
+    raw rows (unrounded path) — must agree to the rounding budget; the
+    TOTAL row's R² is the squared weighted correlation."""
+    out = experiment.price_elasticity(spark, sf_dir).toPandas()
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_discount", "l_quantity"]
+    )
+    b = np.round(li.l_discount.to_numpy() * 100).astype(np.int64)
+    q = np.round(li.l_quantity.to_numpy() * 100).astype(np.int64)
+    xs, ys, ws = [], [], []
+    for lvl in np.unique(b):
+        m = b == lvl
+        xs.append(round(np.log((100 - lvl) / 100.0), 6))
+        ys.append(round(np.log(q[m].sum() / (100.0 * m.sum())), 6))
+        ws.append(int(m.sum()))
+    x, y, w = map(np.asarray, (xs, ys, ws))
+    W = w.sum()
+    cov = W * (w * x * y).sum() - (w * x).sum() * (w * y).sum()
+    vx = W * (w * x * x).sum() - (w * x).sum() ** 2
+    vy = W * (w * y * y).sum() - (w * y).sum() ** 2
+    total = out[out.bucket_cents == -1].iloc[0]
+    assert total.elasticity == pytest.approx(cov / vx, abs=5e-6)
+    assert total.r2 == pytest.approx(cov**2 / (vx * vy), abs=5e-6)
+    # per-level points audit
+    for lvl, xi, yi, wi in zip(np.unique(b), x, y, w):
+        row = out[out.bucket_cents == lvl].iloc[0]
+        assert row.n == wi
+        assert row.ln_price == pytest.approx(xi, abs=2e-6)
+        assert row.ln_qty == pytest.approx(yi, abs=2e-6)
