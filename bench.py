@@ -153,6 +153,7 @@ FLOORS = {
     "ext_ewma_control_chart": 1.75,
     "ext_cohort_ltv_curve": 0.96,
     "ext_counterfactual_lift": 2.22,
+    "ext_duplicate_payment_audit": 0.86,
 }
 
 

@@ -424,3 +424,113 @@ FROM (
   )
 )""")
     return "\nUNION ALL\n".join(arms) + "\nORDER BY unit_key"
+
+
+# --- Duplicate-payment audit -----------------------------------------------------
+#
+# The accounts-payable fraud/error screen: pairs of DISTINCT orders by
+# the same customer whose totals agree within 2% and whose dates are
+# within 14 days are double-billing candidates. The classic audit query
+# (every AP-audit playbook's first pass), expressed with the repo's
+# blocking discipline: the self-join is keyed on the CUSTOMER (bounded
+# per-key fan-out, the Σb² bound — never a cross join on amounts), the
+# residual predicates are exact integer comparisons (|Δcents|·100 ≤
+# min(cents) cross-multiplied; |Δdays| ≤ 7).
+#
+# Scale: one custkey-keyed self-join; candidate volume is Σ per-customer
+# orders² (orders-per-customer is bounded in any real ledger); the
+# report is a 25-row top-k plus one summary row.
+
+DUPPAY_PCT = 2  # amount tolerance, percent (1%/7d finds zero pairs at sf0.001)
+DUPPAY_DAYS = 14  # date proximity window
+
+
+def duplicate_payment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_a, o_b, custkey, cents_a, cents_b, days_apart): top-25
+    double-billing candidate pairs (plus a count-only summary row with
+    keys -1), ordered by amount similarity then keys."""
+    o = typed_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+        (F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        F.datediff(
+            "o_orderdate", F.lit("1992-01-01").cast("date")
+        ).cast("bigint").alias("d"),
+    )
+    a = o.select(
+        F.col("ck"),
+        F.col("ok").alias("o_a"),
+        F.col("c").alias("c_a"),
+        F.col("d").alias("d_a"),
+    )
+    b = o.select(
+        F.col("ck"),
+        F.col("ok").alias("o_b"),
+        F.col("c").alias("c_b"),
+        F.col("d").alias("d_b"),
+    )
+    pairs = (
+        a.join(b, "ck")
+        .filter(
+            (F.col("o_a") < F.col("o_b"))
+            & (F.abs(F.col("d_a") - F.col("d_b")) <= DUPPAY_DAYS)
+            & (
+                F.abs(F.col("c_a") - F.col("c_b")) * 100
+                <= F.least("c_a", "c_b") * DUPPAY_PCT
+            )
+        )
+        .select(
+            F.col("o_a"),
+            F.col("o_b"),
+            F.col("ck").alias("custkey"),
+            F.col("c_a").alias("cents_a"),
+            F.col("c_b").alias("cents_b"),
+            F.abs(F.col("d_a") - F.col("d_b")).alias("days_apart"),
+            F.abs(F.col("c_a") - F.col("c_b")).alias("_gap"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    top = (
+        pairs.orderBy("_gap", "o_a", "o_b")
+        .limit(25)
+        .drop("_gap")
+    )
+    summary = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    ).select(
+        F.lit(-1).cast("bigint").alias("o_a"),
+        F.lit(-1).cast("bigint").alias("o_b"),
+        F.lit(-1).cast("bigint").alias("custkey"),
+        F.col("n_pairs").alias("cents_a"),
+        F.lit(0).cast("bigint").alias("cents_b"),
+        F.lit(0).cast("bigint").alias("days_apart"),
+    )
+    return top.unionByName(summary).orderBy("o_a", "o_b")
+
+
+def duplicate_payment_audit_sql() -> str:
+    return f"""
+WITH o AS (
+  SELECT o_orderkey AS ok, o_custkey AS ck,
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS c,
+         CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS d
+  FROM orders
+),
+pairs AS MATERIALIZED (
+  SELECT a.ok AS o_a, b.ok AS o_b, a.ck AS custkey,
+         a.c AS cents_a, b.c AS cents_b,
+         abs(a.d - b.d) AS days_apart,
+         abs(a.c - b.c) AS gap
+  FROM o a JOIN o b ON a.ck = b.ck AND a.ok < b.ok
+  WHERE abs(a.d - b.d) <= {DUPPAY_DAYS}
+    AND abs(a.c - b.c) * 100 <= least(a.c, b.c) * {DUPPAY_PCT}
+)
+SELECT o_a, o_b, custkey, cents_a, cents_b, CAST(days_apart AS BIGINT)
+         AS days_apart
+FROM (SELECT * FROM pairs ORDER BY gap, o_a, o_b LIMIT 25)
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM pairs
+ORDER BY o_a, o_b
+"""

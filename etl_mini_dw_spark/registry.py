@@ -1447,6 +1447,11 @@ _register(
     _experiment.price_elasticity,
     _experiment.price_elasticity_sql(),
 )
+_register(
+    "ext_duplicate_payment_audit",
+    expectations.duplicate_payment_audit,
+    expectations.duplicate_payment_audit_sql(),
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

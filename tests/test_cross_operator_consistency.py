@@ -327,3 +327,39 @@ def test_ltv_curve_monotone_and_consistent_with_totals(spark, sf_dir):
     last = out.sort_values("age_months").groupby("cohort_ym").tail(1)
     captured = float((last.cum_rev_per_cust * last.n_cohort).sum())
     assert captured <= total_rev * (1 + 1e-9)
+
+
+def test_duplicate_payment_audit_matches_pandas(spark, sf_dir):
+    """Candidate count and top pairs replicated from raw parquet."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_mini_dw_spark.plans import expectations as exp
+
+    out = exp.duplicate_payment_audit(spark, sf_dir).toPandas()
+    summary = out[out.o_a == -1].iloc[0]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                 "o_totalprice"])
+    o = o.assign(
+        c=np.round(o.o_totalprice.to_numpy() * 100).astype(np.int64),
+        d=(o.o_orderdate - pd.Timestamp("1992-01-01")).dt.days,
+    )
+    n = 0
+    pairs = []
+    for _, grp in o.groupby("o_custkey"):
+        g = grp.sort_values("o_orderkey").reset_index()
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                a, b = g.iloc[i], g.iloc[j]
+                if (abs(int(a.d) - int(b.d)) <= exp.DUPPAY_DAYS
+                        and abs(int(a.c) - int(b.c)) * 100
+                        <= min(int(a.c), int(b.c)) * exp.DUPPAY_PCT):
+                    n += 1
+                    pairs.append((abs(int(a.c) - int(b.c)),
+                                  int(a.o_orderkey), int(b.o_orderkey)))
+    assert int(summary.cents_a) == n
+    pairs.sort()
+    got = out[out.o_a != -1].sort_values(["o_a", "o_b"])
+    want = sorted((p[1], p[2]) for p in pairs[:25])
+    assert list(zip(got.o_a, got.o_b)) == want
