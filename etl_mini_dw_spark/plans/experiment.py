@@ -1009,7 +1009,8 @@ def counterfactual_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ym", F.col("cents").alias("d_c")
     )
     j = (
-        act.join(don, "ym")
+        act.join(F.broadcast(don), "ym")  # tiny derived series frame:
+        # statically stats-less, compiles to SortMergeJoin without the hint
         .crossJoin(F.broadcast(pre_t))
         .crossJoin(F.broadcast(pre_d))
         .select(

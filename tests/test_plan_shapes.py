@@ -496,3 +496,43 @@ def test_km_survival_no_cartesian_and_partitioned_windows(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # per-priority windows, never a global single partition
     assert "windowspecdefinition(priority" in plan, plan[:3000]
+
+
+def test_theil_sen_pair_join_is_broadcast_no_cartesian(spark, sf_dir):
+    """Pair generation must stay a broadcast equi-join on the slice key
+    (the daily frame is tiny); the two-pass median must not reintroduce
+    a pair-sized global sort — no Sort over an Exchange feeding the
+    coarse aggregate."""
+    from etl_mini_dw_spark.plans import stats
+
+    plan = _plan(stats.theil_sen_trend(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
+def test_knn_graph_no_cartesian_and_partial_aggregates(spark, sf_dir):
+    from etl_mini_dw_spark.functions import simsearch
+
+    plan = _plan(simsearch.knn_graph_stats(spark, sf_dir))
+    assert "CartesianProduct" not in plan.replace(
+        "CartesianProduct", "X", 1
+    ) or plan.count("CartesianProduct") <= 1  # 1-row scalar hoist only
+    assert plan.count("HashAggregate") >= 4, plan[:2000]
+
+
+def test_drilldown_levels_join_by_broadcast(spark, sf_dir):
+    """Every bucket-restriction join in the drill-down walk must
+    broadcast the (tiny) mismatched-bucket lists."""
+    from etl_mini_dw_spark.plans import diff
+
+    plan = _plan(diff.fact_diff_drilldown(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:3000]
+
+
+def test_counterfactual_single_corpus_pass(spark, sf_dir):
+    """One corpus-side shuffle (the monthly rollup); all series joins
+    and scalar hoists ride broadcasts."""
+    from etl_mini_dw_spark.plans import experiment
+
+    plan = _plan(experiment.counterfactual_lift(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan[:2000]
