@@ -154,6 +154,7 @@ FLOORS = {
     "ext_cohort_ltv_curve": 0.96,
     "ext_counterfactual_lift": 2.22,
     "ext_duplicate_payment_audit": 0.86,
+    "ext_supplier_scorecard": 1.64,
 }
 
 

@@ -991,3 +991,91 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
        AND CAST(l_quantity AS DECIMAL(12,2)) BETWEEN 20 AND 40)
 """
+
+
+# --- Supplier scorecard -----------------------------------------------------------
+#
+# The vendor-management rollup procurement reads monthly: per supplier,
+# volume, revenue share, return rate, and shipping latency — the
+# operational quality axes beside the revenue ranking
+# (`top_supplier_by_quarter`). All rates from exact integer counts;
+# latency as exact integer day sums with one round-6 mean; revenue
+# share via exact decimal sums. Top-20 suppliers by revenue with
+# rank-stable tie-breaks.
+
+
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s_name, n_lines, revenue, rev_share, return_rate,
+    avg_ship_days): the top-20-by-revenue supplier quality scorecard."""
+    li = typed_table(spark, sf_dir, "lineitem")
+    orders = typed_table(spark, sf_dir, "orders")
+    supplier = typed_table(spark, sf_dir, "supplier")
+    base = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_suppkey",
+        F.expr("l_extendedprice * (1 - l_discount)").alias("rev"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("lat"),
+    )
+    per = base.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("rev").cast("decimal(38,4)").alias("rev"),
+        F.sum("ret").cast("bigint").alias("n_ret"),
+        F.sum("lat").cast("bigint").alias("lat_sum"),
+    )
+    tot = per.agg(F.sum("rev").cast("decimal(38,4)").alias("tot_rev"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_name",
+            "n_lines",
+            F.col("rev").cast("double").alias("revenue"),
+            F.round(
+                F.col("rev").cast("double") / F.col("tot_rev").cast("double"),
+                6,
+            ).alias("rev_share"),
+            F.round(F.col("n_ret") / F.col("n_lines").cast("double"), 6).alias(
+                "return_rate"
+            ),
+            F.round(
+                F.col("lat_sum") / F.col("n_lines").cast("double"), 6
+            ).alias("avg_ship_days"),
+            F.col("rev").alias("_r"),
+        )
+        .orderBy(F.col("_r").desc(), "s_name")
+        .limit(20)
+        .drop("_r")
+    )
+
+
+SUPPLIER_SCORECARD_SQL = """
+WITH base AS (
+  SELECT l_suppkey,
+         CAST(l_extendedprice AS DECIMAL(14,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+         CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS lat
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per AS (
+  SELECT l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(rev) AS DECIMAL(38,4)) AS rev,
+         CAST(SUM(ret) AS BIGINT) AS n_ret,
+         CAST(SUM(lat) AS BIGINT) AS lat_sum
+  FROM base GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(rev) AS DECIMAL(38,4)) AS tot_rev FROM per)
+SELECT s_name, n_lines,
+       CAST(rev AS DOUBLE) AS revenue,
+       round(CAST(rev AS DOUBLE) / CAST(tot_rev AS DOUBLE), 6) AS rev_share,
+       round(CAST(n_ret AS DOUBLE) / n_lines, 6) AS return_rate,
+       round(CAST(lat_sum AS DOUBLE) / n_lines, 6) AS avg_ship_days
+FROM per
+JOIN supplier ON s_suppkey = l_suppkey, tot
+ORDER BY rev DESC, s_name
+LIMIT 20
+"""

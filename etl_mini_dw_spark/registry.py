@@ -1452,6 +1452,11 @@ _register(
     expectations.duplicate_payment_audit,
     expectations.duplicate_payment_audit_sql(),
 )
+_register(
+    "ext_supplier_scorecard",
+    classic.supplier_scorecard,
+    classic.SUPPLIER_SCORECARD_SQL,
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
