@@ -301,9 +301,15 @@ def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region",
         "method",
         "y",
+        # pmod's divisor must be guarded IN-CASE, not by the upstream
+        # filter(y > 0): ANSI Catalyst may evaluate a projected
+        # expression before the filter it sits behind (CLAUDE.md;
+        # the xb−xa REMAINDER_BY_ZERO precedent). Values are identical
+        # — every surviving row has y > 0 — the CASE only makes the
+        # guard reorder-proof. Mirrored in the oracle SQL.
         F.expr(
-            f"(abs(y - yhat) * {FC_SCALE}"
-            f" - pmod(abs(y - yhat) * {FC_SCALE}, y)) div y"
+            f"CASE WHEN y > 0 THEN (abs(y - yhat) * {FC_SCALE}"
+            f" - pmod(abs(y - yhat) * {FC_SCALE}, y)) div y END"
         ).alias("ape6"),
         (F.col("yhat") - F.col("y")).alias("err"),
     )
@@ -377,8 +383,8 @@ fc AS (
 ),
 scored AS (
   SELECT region, method, y,
-         (abs(y - yhat) * {FC_SCALE}
-          - ((((abs(y - yhat) * {FC_SCALE}) % y) + y) % y)) // y AS ape6,
+         CASE WHEN y > 0 THEN (abs(y - yhat) * {FC_SCALE}
+          - ((((abs(y - yhat) * {FC_SCALE}) % y) + y) % y)) // y END AS ape6,
          yhat - y AS err
   FROM fc
 )

@@ -220,13 +220,24 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     def largest_remainder(df: DataFrame, wcol: str, out: str) -> DataFrame:
         tot = df.agg(F.sum(wcol).cast("bigint").alias("w_tot"))
         j = df.crossJoin(F.broadcast(tot))
+        # w_tot = 0 is reachable only on a degenerate fixture (every
+        # stratum sigma = 0 zeroes the Neyman weights) but pmod(.., 0)
+        # throws under ANSI — guard IN-CASE (reorder-proof, CLAUDE.md)
+        # rather than assuming the data. 0-weight fallback: base 0,
+        # remainder 0 → the rank top-up degrades to first-K-by-segment,
+        # still deterministic. Mirrored in the oracle SQL.
         quota = j.select(
             "segment",
             F.expr(
-                f"({SAMPLE_BUDGET} * {wcol}"
+                f"CASE WHEN w_tot > 0 THEN ({SAMPLE_BUDGET} * {wcol}"
                 f" - pmod({SAMPLE_BUDGET} * {wcol}, w_tot)) div w_tot"
+                f" ELSE 0 END"
             ).alias("base"),
-            F.expr(f"pmod({SAMPLE_BUDGET} * {wcol}, w_tot)").alias("r"),
+            F.expr(
+                f"CASE WHEN w_tot > 0"
+                f" THEN pmod({SAMPLE_BUDGET} * {wcol}, w_tot)"
+                f" ELSE 0 END"
+            ).alias("r"),
         )
         wsum = Window.rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
@@ -266,10 +277,12 @@ def _lr_sql(weight: str, out: str) -> str:
            SUM(base) OVER () AS base_sum
     FROM (
       SELECT segment,
-             ({SAMPLE_BUDGET} * {weight}
+             CASE WHEN w_tot > 0 THEN ({SAMPLE_BUDGET} * {weight}
               - ((({SAMPLE_BUDGET} * {weight}) % w_tot + w_tot) % w_tot))
-               // w_tot AS base,
-             ((({SAMPLE_BUDGET} * {weight}) % w_tot + w_tot) % w_tot) AS r
+               // w_tot ELSE 0 END AS base,
+             CASE WHEN w_tot > 0 THEN
+               ((({SAMPLE_BUDGET} * {weight}) % w_tot + w_tot) % w_tot)
+             ELSE 0 END AS r
       FROM weighted, (SELECT SUM({weight}) AS w_tot FROM weighted)
     )
   )

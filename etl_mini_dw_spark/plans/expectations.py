@@ -435,7 +435,7 @@ FROM (
 # blocking discipline: the self-join is keyed on the CUSTOMER (bounded
 # per-key fan-out, the Σb² bound — never a cross join on amounts), the
 # residual predicates are exact integer comparisons (|Δcents|·100 ≤
-# min(cents) cross-multiplied; |Δdays| ≤ 7).
+# min(cents) cross-multiplied; |Δdays| ≤ DUPPAY_DAYS).
 #
 # Scale: one custkey-keyed self-join; candidate volume is Σ per-customer
 # orders² (orders-per-customer is bounded in any real ledger); the

@@ -1471,34 +1471,25 @@ _register(
 # backlog. tests/test_oracle_parity.py still runs ALL entries, so
 # nothing loses its value gate by moving.
 _DRIVER_WINDOW_SEED = [
-    # r4's one driver failure, fixed (array column stringified) — must
-    # get its green row first (r4 judge top_next)
-    "ext_token_postings",
-    # the 11 round-4 operators registered after the r4 window landed
-    "ext_bpe_train_merges",
-    "ext_bpe_apply_report",
-    "ext_cms_token_counts",
-    "ext_semdedup_prune",
-    "ext_contamination_spans",
-    "ext_ann_pq_refined_topk",
-    "ext_gopher_rule_filter",
-    "ext_triangle_count_parts",
-    "ext_session_path_trigrams",
-    # high-value carry-overs (r4 judge-ranked)
-    "ext_part_golden_records",
-    "ext_part_entity_matches",
-    "ext_warehouse_health_summary",
-    "ext_attribution_models",
-    "ext_customer_rfm_segments",
-    "ext_order_window_battery2",
-    "ext_lm_surprisal_score",
-    "ext_hll_user_rollup",
-    "ext_embedding_dim_stats",
-    "ext_budget_curation",
-    "ext_quality_deciles",
-    # the r5 frame-sample digest (task #5): its green row this round
-    # closes the last rows-only-by-design pathway's value gap
-    "ext_multimodal_frame_digest",
+    # r6 value-ranked seeds (r5 VERDICT task #2). Earlier rounds' seeds
+    # are all driver-green now, so they self-filtered out of this list.
+    # closes the HLL rows-only residual with a value-checked twin:
+    "ext_hll_register_rollup",
+    "ext_bm25_topk",
+    "ext_ann_hamming_topk",
+    "ext_dup_ngram_coverage",
+    "ext_winnowing_matches",
+    "ext_leakage_free_split",
+    "ext_multimodal_resize_digest",
+    # the experimentation suite
+    "ext_ab_cuped_lift",
+    "ext_did_by_segment",
+    "ext_mde_power_report",
+    "ext_conformal_coverage",
+    "ext_neyman_allocation",
+    # plan-history headliners
+    "ext_theil_sen_trend",
+    "ext_fact_diff_drilldown",
 ]
 
 # Deliberately LAST among the unchecked block: with 53 unchecked names

@@ -77,15 +77,25 @@ def test_checked_names_reader(tmp_path):
     assert got == {"q_green", "q_rows_only", "q_legacy"}
 
 
-def test_err_row_refloats_in_real_files():
-    """ext_token_postings errored in CORRECTNESS_r04 — with the fixed
-    reader it must sort into the live window, not the done block."""
-    checked = registry._driver_checked_names()
-    assert "ext_token_postings" not in checked
-    names = list(registry.QUERIES)
-    unchecked_total = sum(1 for n in names if n not in checked)
-    window = names[: min(50, unchecked_total)]
-    assert "ext_token_postings" in window
+def test_err_row_refloats_synthetic(tmp_path):
+    """An errored row must NOT count as checked (so the name re-floats).
+
+    r5 lesson: NEVER assert the transient state of the LIVE driver
+    artifacts here — a test pinning "name X is still unchecked" expires
+    the moment the driver lands X's green row (the intended outcome) and
+    turns the gate red. Synthetic fixtures only.
+    """
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q_err": {"rows_match": None, "hash_match": None,
+                              "err": "TypeError: unhashable type: 'list'"}})
+    )
+    assert registry._driver_checked_names(str(tmp_path)) == set()
+    # a later green row for the same name files it as checked
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_err": {"rows_match": True, "schema_match": True,
+                              "hash_match": True, "err": None}})
+    )
+    assert registry._driver_checked_names(str(tmp_path)) == {"q_err"}
 
 
 def test_deferred_names_trail_the_unchecked_block():
