@@ -10,11 +10,13 @@ Two ops a training pipeline runs AFTER scoring (text.py) and dedup
   per stratum), never global.
 - quality_deciles: per-language decile staging of the quality score
   (curriculum ordering / stratified eval splits). ``ntile`` needs a
-  per-partition sort; at 100 TB per-language partitions are corpus-
-  sized, so the cluster path swaps ntile for the approximate-threshold
-  join (compute 9 per-lang quantile cut points, broadcast, map-side
-  bucket assign — the `layout.equidepth_histogram` shape). The ntile
-  form is the exact, oracle-checkable semantics both share.
+  per-partition sort and per-language partitions are corpus-sized at
+  100 TB, so the decile label is computed CLOSED-FORM from each row's
+  exact global rank instead (r6 VERDICT task #2): a (lang, coarse
+  score bucket) histogram gives cumulative-rows-before per bucket, a
+  window partitioned by (lang, bucket) gives the within-bucket offset,
+  and `quantiles.ntile_label_cols` maps (rank, n) to the identical
+  ntile label. The oracle keeps the ntile spelling as the spec.
 
 Determinism: quality_score is the shared `text.quality_score_col`
 expression (round-6 double, engine-identical); orderings always
@@ -26,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_mini_dw_spark.functions.quantiles import ntile_bounds, ntile_label_cols
 from etl_mini_dw_spark.functions.text import QUALITY_SQL, quality_score_col
 from etl_mini_dw_spark.sources.tables import load_table
 
@@ -66,12 +69,42 @@ FROM cum WHERE cum_chars <= {BUDGET_CHARS_PER_SOURCE}
 
 
 def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language quality decile for curriculum staging (1 = worst)."""
+    """Per-language quality decile for curriculum staging (1 = worst).
+
+    Value-identical to ``ntile(10) OVER (PARTITION BY lang ORDER BY
+    quality_score, doc_id)`` — the (score, doc_id) ordering is total, so
+    each row's decile is a closed-form function of its exact rank. Rank
+    = bucket cumulative-before + row_number within the (lang, coarse
+    bucket) window; no per-language global sort (windows are bounded by
+    the 0.01 score bucket, the histogram is langs × ≤101 rows)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", quality_score_col().alias("quality_score")
     )
-    w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
-    return docs.withColumn("decile", F.ntile(N_DECILES).over(w).cast("int"))
+    docs = docs.withColumn(
+        "hb", F.floor(F.col("quality_score") / F.lit(0.01)).cast("bigint")
+    )
+    hist = docs.groupBy("lang", "hb").agg(F.count(F.lit(1)).alias("c"))
+    w_before = (
+        Window.partitionBy("lang")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = hist.select(
+        "lang",
+        "hb",
+        F.coalesce(F.sum("c").over(w_before), F.lit(0)).alias("cum_before"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n"),
+    )
+    w_in = Window.partitionBy("lang", "hb").orderBy("quality_score", "doc_id")
+    ranked = docs.join(F.broadcast(hist), ["lang", "hb"]).withColumn(
+        "rank", F.col("cum_before") + F.row_number().over(w_in)
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "quality_score",
+        ntile_label_cols(F.col("n"), F.col("rank"), N_DECILES).alias("decile"),
+    )
 
 
 QUALITY_DECILES_SQL = f"""
@@ -130,14 +163,12 @@ def quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = docs.join(sur, "doc_id").localCheckpoint(eager=False)
 
-    def tiles(col: str, alias: str) -> DataFrame:
-        tile = F.ntile(QS_TILES).over(Window.orderBy(col))
-        bounds = (
-            base.select(F.col(col).alias("val"), tile.alias("tile"))
-            .filter(F.col("tile") < QS_TILES)
-            .groupBy("tile")
-            .agg(F.max("val").alias("b"))
-            .agg(F.array_sort(F.collect_list("b")).alias("barr"))
+    def tiles(col: str, alias: str, width: float) -> DataFrame:
+        # quintile edges via two-pass bucket selection (quantiles.py) —
+        # value-identical to the oracle's ntile max-per-tile, no global
+        # row sort (r6 VERDICT task #2)
+        bounds = ntile_bounds(
+            base.select(F.col(col).alias("val")), QS_TILES, width
         )
         return base.crossJoin(F.broadcast(bounds)).select(
             "doc_id",
@@ -149,7 +180,9 @@ def quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(alias),
         )
 
-    tiled = tiles("q", "q_tile").join(tiles("s", "s_tile"), "doc_id")
+    tiled = tiles("q", "q_tile", 0.01).join(
+        tiles("s", "s_tile", 1_000_000.0), "doc_id"
+    )
     tiled = tiled.localCheckpoint(eager=False)
     cells = tiled.groupBy("q_tile", "s_tile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")

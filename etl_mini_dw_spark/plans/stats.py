@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_mini_dw_spark.functions.quantiles import ntile_bounds
 from etl_mini_dw_spark.sources.tables import typed_table
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -156,8 +157,8 @@ def value_rank_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     percent_rank assigns tied values the SAME rank, so the output is
     deterministic without a tie-breaker; inputs to the (rank−1)/(n−1)
     division are exact integers ⇒ identical doubles everywhere. Per-type
-    sort locally; the 100 TB path pre-buckets by approximate quantiles
-    exactly like `curation.quality_deciles`.
+    sort locally; the 100 TB path derives ranks from a coarse score
+    histogram exactly like `curation.quality_deciles` / `quantiles.py`.
     """
     ev = typed_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     w = Window.partitionBy("event_type").orderBy("value")
@@ -639,27 +640,25 @@ PSI_BUCKETS = 10
 
 
 def _psi_metric(
-    df: DataFrame, label: str, val_col: str, split_col: str
+    df: DataFrame, label: str, val_col: str, split_col: str, width: float
 ) -> DataFrame:
     """One (metric, n_a, n_b, psi) row. Boundaries are side-A decile
     edges; BOTH sides re-bucket by the same boundary rule (bucket =
     1 + #boundaries < value), so tie handling is identical and the
     bucketing depends only on the value multiset — decimal comparisons
     are exact, no float enters until the final pa/pb ratios. Laplace
-    (+1) smoothing keeps empty buckets finite and deterministic."""
+    (+1) smoothing keeps empty buckets finite and deterministic.
+
+    The edges come from ``quantiles.ntile_bounds`` (two-pass bucket
+    selection over a width-``width`` coarse histogram) — value-identical
+    to the oracle's ntile max-per-tile spelling, with no global row
+    sort; the r6 single-partition ntile Window is gone."""
     sliced = df.select(
         F.col(val_col).alias("val"),
         (F.col(split_col) < PSI_CUTOFF).alias("is_a"),
     )
     a = sliced.filter("is_a")
-    tile = F.ntile(PSI_BUCKETS).over(Window.orderBy("val"))
-    bounds = (
-        a.select("val", tile.alias("tile"))
-        .filter(F.col("tile") < PSI_BUCKETS)
-        .groupBy("tile")
-        .agg(F.max("val").alias("b"))
-        .agg(F.array_sort(F.collect_list("b")).alias("barr"))
-    )
+    bounds = ntile_bounds(a, PSI_BUCKETS, width)
     bucketed = sliced.crossJoin(F.broadcast(bounds)).select(
         "is_a",
         (F.lit(1) + F.size(F.expr("filter(barr, x -> x < val)"))).alias("bucket"),
@@ -692,19 +691,24 @@ def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns between the pre-/post-1995 halves of the corpus — the drift
     gate a feature pipeline runs before trusting a retrain window.
 
-    Scale: the only global step is the baseline decile window, which at
-    100 TB swaps for the `layout.equidepth_histogram` bucket-selection
-    boundaries (value-identical semantics, no global sort); bucketing is
-    a map-only broadcast compare and the counts are one partial-
+    Scale: boundary deciles come from `quantiles.ntile_bounds` — one
+    partial-aggregable value rollup plus windows over histogram/
+    dictionary rows, no global row sort (r6 VERDICT task #2); bucketing
+    is a map-only broadcast compare and the counts are one partial-
     aggregable shuffle per metric."""
     orders = typed_table(spark, sf_dir, "orders")
     li = typed_table(spark, sf_dir, "lineitem")
-    out = _psi_metric(orders, "orders.o_totalprice", "o_totalprice", "o_orderdate")
+    # coarse widths sized for ~10²–10³ histogram buckets per column range
+    out = _psi_metric(
+        orders, "orders.o_totalprice", "o_totalprice", "o_orderdate", 1000.0
+    )
     out = out.unionByName(
-        _psi_metric(li, "lineitem.l_quantity", "l_quantity", "l_shipdate")
+        _psi_metric(li, "lineitem.l_quantity", "l_quantity", "l_shipdate", 1.0)
     )
     return out.unionByName(
-        _psi_metric(li, "lineitem.l_extendedprice", "l_extendedprice", "l_shipdate")
+        _psi_metric(
+            li, "lineitem.l_extendedprice", "l_extendedprice", "l_shipdate", 500.0
+        )
     )
 
 
@@ -1270,25 +1274,18 @@ GAINS_BUCKETS = 10
 
 
 def _gains_metric(
-    df: DataFrame, label: str, score_col: str, pos_cond
+    df: DataFrame, label: str, score_col: str, pos_cond, width: float
 ) -> DataFrame:
     """(metric, depth, n, n_pos, cum_n, cum_pos, gains, lift) rows, one
     per non-empty descending-score decile.
 
-    Scale: the boundary ntile is the only global step (same swap note
-    as ``_psi_metric``: equidepth-histogram bucket selection at 100 TB,
-    value-identical); bucketing is a map-only broadcast compare, the
+    Scale: boundary deciles via ``quantiles.ntile_bounds`` (two-pass
+    bucket selection, value-identical to the oracle's ntile spelling, no
+    global row sort); bucketing is a map-only broadcast compare, the
     counts one partial-aggregable shuffle, and the cumulative windows
     run over ≤GAINS_BUCKETS rows."""
     base = df.select(F.col(score_col).alias("val"), pos_cond.alias("is_pos"))
-    tile = F.ntile(GAINS_BUCKETS).over(Window.orderBy("val"))
-    bounds = (
-        base.select("val", tile.alias("tile"))
-        .filter(F.col("tile") < GAINS_BUCKETS)
-        .groupBy("tile")
-        .agg(F.max("val").alias("b"))
-        .agg(F.array_sort(F.collect_list("b")).alias("barr"))
-    )
+    bounds = ntile_bounds(base, GAINS_BUCKETS, width)
     counts = (
         base.crossJoin(F.broadcast(bounds))
         .select(
@@ -1346,7 +1343,11 @@ def gains_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = typed_table(spark, sf_dir, "orders")
     urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     out = _gains_metric(
-        li, "lineitem.discount->returned", "l_discount", F.col("l_returnflag") == "R"
+        li,
+        "lineitem.discount->returned",
+        "l_discount",
+        F.col("l_returnflag") == "R",
+        0.01,
     )
     out = out.unionByName(
         _gains_metric(
@@ -1354,10 +1355,13 @@ def gains_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lineitem.quantity->returned",
             "l_quantity",
             F.col("l_returnflag") == "R",
+            1.0,
         )
     )
     return out.unionByName(
-        _gains_metric(orders, "orders.totalprice->urgent", "o_totalprice", urgent)
+        _gains_metric(
+            orders, "orders.totalprice->urgent", "o_totalprice", urgent, 1000.0
+        )
     ).orderBy("metric", "depth")
 
 

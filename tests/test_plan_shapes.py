@@ -536,3 +536,32 @@ def test_counterfactual_single_corpus_pass(spark, sf_dir):
 
     plan = _plan(experiment.counterfactual_lift(spark, sf_dir))
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_boundary_tiles_no_raw_row_ntile(spark, sf_dir):
+    """r6 VERDICT task #2: PSI / gains / quality-tile boundary deciles
+    must come from the two-pass bucket selection (quantiles.ntile_bounds)
+    — never an ntile over a single-partition Window of the raw rows. Any
+    residual global window scans histogram aggregates only (the
+    equidepth_histogram dictionary-scan class)."""
+    from etl_mini_dw_spark.functions import curation
+    from etl_mini_dw_spark.plans import stats
+
+    for df in (
+        stats.psi_drift_report(spark, sf_dir),
+        stats.gains_lift_chart(spark, sf_dir),
+        curation.quality_signal_agreement(spark, sf_dir),
+    ):
+        plan = _plan(df)
+        assert "ntile" not in plan, plan[:3000]
+
+
+def test_quality_deciles_windows_bucket_partitioned(spark, sf_dir):
+    """Per-row decile labels must be closed-form from histogram ranks:
+    no ntile, and every row-level window partitioned by (lang, bucket) —
+    never a per-language global sort."""
+    from etl_mini_dw_spark.functions import curation
+
+    plan = _plan(curation.quality_deciles(spark, sf_dir))
+    assert "ntile" not in plan, plan[:3000]
+    assert re.search(r"windowspecdefinition\(lang#\d+", plan), plan[:3000]
