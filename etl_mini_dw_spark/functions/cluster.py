@@ -358,6 +358,8 @@ def power_iteration_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
         y_arr = y_row.select(
             F.array(*[F.col(f"y{d}") for d in range(DIM)]).alias("y")
         )
+        # divisor m is structurally nonzero: greatest(…, 1) floors it at 1
+        # even for an all-zero y vector (r6 ADVICE pmod audit)
         m = F.expr("greatest(array_max(transform(y, v -> abs(v))), CAST(1 AS BIGINT))")
         w_frame = y_arr.select(m.alias("m"), "y").select(
             F.expr(

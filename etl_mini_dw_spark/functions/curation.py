@@ -155,7 +155,10 @@ def quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", quality_score_col().alias("q"))
     sur = lm.lm_surprisal_score(spark, sf_dir).select(
         "doc_id",
-        # exact integer surprisal key: floor(1e6 * sum / n)
+        # exact integer surprisal key: floor(1e6 * sum / n). Divisor is
+        # structurally nonzero under ANSI: lm_surprisal_score emits a row
+        # only for docs WITH bigrams (groupBy over existing bigram rows),
+        # so n_bigrams = SUM(tf ≥ 1) ≥ 1 on every row (r6 ADVICE).
         F.expr(
             "((surprisal_sum * 1000000)"
             " - pmod(surprisal_sum * 1000000, n_bigrams)) div n_bigrams"

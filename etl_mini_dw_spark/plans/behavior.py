@@ -959,6 +959,14 @@ def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         trans.select(F.col("j").alias("t"))
     ).distinct()
     k = states.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    # pmod divisors below are structurally nonzero under ANSI (r6 ADVICE):
+    # k = COUNT over `states`, evaluated only on states rows — any row
+    # existing implies k ≥ 1; r = SUM of positive transition counts,
+    # joined back so it only appears on rows of its own group; tot ≥ 1
+    # because mass is floor-conserved: Σ_j ⌊w·c_ij/r_i⌋ ≥ w_i − k + 1 and
+    # w_i ≥ SCALE div k, positive whenever k(k−1) < SCALE = 2^20 — i.e.
+    # any chain with < ~1000 states, the regime a |types|² dense rollup
+    # targets in the first place.
     w = states.crossJoin(F.broadcast(k)).select(
         F.col("t").alias("i"),
         F.expr(f"({MARKOV_SCALE} - pmod({MARKOV_SCALE}, k)) div k")

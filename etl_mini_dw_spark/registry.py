@@ -1501,8 +1501,8 @@ _DRIVER_WINDOW_DEFER = [
     "ext_sql_mart_category_counts",
     "ext_nation_share_of_region",
 ]
-def _driver_checked_names(root: str | None = None) -> set[str]:
-    """Query names that have a SUCCESSFUL driver correctness row.
+def _driver_green_rounds(root: str | None = None) -> dict[str, int]:
+    """name → EARLIEST round with a SUCCESSFUL driver correctness row.
 
     The external driver writes CORRECTNESS_r{N}.json (first-50-only) into
     the repo root each round; reading them here makes the rotation
@@ -1519,15 +1519,23 @@ def _driver_checked_names(root: str | None = None) -> set[str]:
     driver canonicalizer and would otherwise have been filed as done
     forever). Legacy rows that predate hash reporting but carry
     ``rows_match`` and no err are kept as checked.
+
+    The earliest-green round drives the all-checked steady state
+    (r6 VERDICT task #6): once nothing is unchecked, the window fills
+    with the OLDEST green rows first, so every round re-confirms the
+    stalest results instead of no-oping.
     """
     import glob
     import json
     import os
+    import re
 
     if root is None:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
+    seen: dict[str, int] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -1538,13 +1546,18 @@ def _driver_checked_names(root: str | None = None) -> set[str]:
         for k, v in data.items():
             if not isinstance(v, dict):
                 continue
-            if v.get("hash_match") is True or v.get("err") == "no_oracle":
-                seen.add(k)
-            elif v.get("err") is None and v.get("rows_match") is not None:
+            ok = v.get("hash_match") is True or v.get("err") == "no_oracle"
+            if not ok and v.get("err") is None and v.get("rows_match") is not None:
                 # legacy / reduced-signal row: no comparison error recorded
-                if v.get("rows_match") is True and v.get("hash_match") is None:
-                    seen.add(k)
+                ok = v.get("rows_match") is True and v.get("hash_match") is None
+            if ok:
+                seen[k] = min(seen.get(k, rnd), rnd)
     return seen
+
+
+def _driver_checked_names(root: str | None = None) -> set[str]:
+    """Query names with any successful driver row (see _driver_green_rounds)."""
+    return set(_driver_green_rounds(root))
 
 
 assert set(_DRIVER_WINDOW_SEED) <= set(QUERIES), (
@@ -1554,7 +1567,8 @@ assert set(_DRIVER_WINDOW_DEFER) <= set(QUERIES), (
     set(_DRIVER_WINDOW_DEFER) - set(QUERIES)
 )
 assert not set(_DRIVER_WINDOW_DEFER) & set(_DRIVER_WINDOW_SEED)
-_checked = _driver_checked_names()
+_green_round = _driver_green_rounds()
+_checked = set(_green_round)
 # value-ranked seed minus anything already driver-checked ...
 _seed = [n for n in _DRIVER_WINDOW_SEED if n not in _checked]
 # ... then the rest of the unchecked backlog in registration order,
@@ -1567,7 +1581,13 @@ _unchecked = [
 _deferred = [
     n for n in _DRIVER_WINDOW_DEFER if n not in _checked and n not in _seed
 ]
-# ... then everything with a green driver row already
-_done = [n for n in QUERIES if n in _checked]
+# ... then the green backlog, STALEST round first (ties: registration
+# order) — in the all-checked steady state the 50-row window therefore
+# re-verifies the oldest results each round instead of no-oping
+_reg_idx = {n: i for i, n in enumerate(QUERIES)}
+_done = sorted(
+    (n for n in QUERIES if n in _checked),
+    key=lambda n: (_green_round[n], _reg_idx[n]),
+)
 _ordered = _seed + _unchecked + _deferred + _done
 QUERIES = {name: QUERIES[name] for name in _ordered}

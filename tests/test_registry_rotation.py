@@ -105,3 +105,44 @@ def test_deferred_names_trail_the_unchecked_block():
     live_defer = [n for n in registry._DRIVER_WINDOW_DEFER if n not in checked]
     if live_defer:
         assert unchecked[-len(live_defer) :] == live_defer
+
+
+def test_green_rounds_keep_earliest(tmp_path):
+    """_driver_green_rounds must record the EARLIEST green round per name
+    (freshness key for the steady-state re-float), ignoring failed rows."""
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({
+            "q_a": {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": None},
+            "q_b": {"rows_match": None, "hash_match": None, "err": "boom"},
+        })
+    )
+    (tmp_path / "CORRECTNESS_r05.json").write_text(
+        json.dumps({
+            "q_a": {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": None},
+            "q_b": {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": None},
+        })
+    )
+    got = registry._driver_green_rounds(str(tmp_path))
+    assert got == {"q_a": 3, "q_b": 5}
+
+
+def test_all_green_steady_state_refloats_oldest():
+    """Once every query is checked, the window must fill with the OLDEST
+    green rows first (freshness re-verification), never no-op. Pinned on
+    the LIVE ordering restricted to the checked block — stable because
+    earliest-green rounds never change once recorded."""
+    green = registry._driver_green_rounds()
+    names = list(registry.QUERIES)
+    done = [n for n in names if n in green]
+    rounds = [green[n] for n in done]
+    # the checked block is sorted stalest-first
+    assert rounds == sorted(rounds)
+    # steady-state simulation: with nothing unchecked, the window would
+    # be the head of the checked block = the minimum-round names
+    if done:
+        window = done[:50]
+        cutoff = max(green[n] for n in window)
+        assert all(green[n] >= cutoff for n in done[50:])
