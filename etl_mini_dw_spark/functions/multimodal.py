@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 from etl_mini_dw_spark.sources.tables import load_table
 
 FEATURE_SCHEMA = (
-    "doc_id bigint, byte_len bigint, width int, height int, channels int, mean_pixel double"
+    "doc_id bigint, byte_len bigint, width int, height int, channels int,"
+    " mean_pixel double, row0_sum bigint"
 )
 
 
@@ -227,10 +228,46 @@ def extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "mean_pixel": infos.map(
                         lambda d: sum(d["pixels"]) / len(d["pixels"])
                     ),
+                    # first decoded scanline — the slice of pixel content a
+                    # SQL engine can recompute (md5-of-text digest bytes)
+                    "row0_sum": infos.map(
+                        lambda d: sum(d["pixels"][: d["width"]])
+                    ),
                 }
             )
 
     return docs.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def feature_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-replayable per-doc projection of ``extract_features``
+    (r6 VERDICT task #7 — closes the rows-only residue): geometry plus
+    the row-0 pixel sum, ALL produced by the real mapInPandas decode.
+    byte_len (zlib-dependent) and the full-image mean (md5-CHAIN pixels;
+    DuckDB 1.0's md5 is VARCHAR-only, so rows 1+ are unreachable
+    SQL-side) stay in the full output, value-pinned by
+    tests/test_png_codec.py::test_extract_features_full_columns."""
+    return extract_features(spark, sf_dir).select(
+        "doc_id", "width", "height", "channels", "row0_sum"
+    )
+
+
+# per-doc oracle: row 0 of every rendered payload is md5(text) — replay
+# the 16 digest bytes from hex pairs (same seam as CODEC_DIGEST_SQL, but
+# per document instead of per source: strictly finer-grained)
+FEATURES_PROJECTION_SQL = """
+SELECT doc_id,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(list_sum(list_transform(range(1, 17),
+            i -> 16 * (strpos('0123456789abcdef',
+                              substr(h, 2 * CAST(i AS INT) - 1, 1)) - 1)
+               + (strpos('0123456789abcdef',
+                         substr(h, 2 * CAST(i AS INT), 1)) - 1)
+       )) AS BIGINT) AS row0_sum
+FROM (SELECT doc_id, md5(text) AS h FROM documents)
+"""
 
 
 CODEC_DIGEST_SCHEMA = (

@@ -352,7 +352,14 @@ _register("ext_events_streaming_tumbling", ev.streaming_tumbling_hourly, ev.TUMB
 # multimodal plumbing (binary columns + metadata + mapInPandas features)
 _register("ext_multimodal_metadata", multimodal.payload_metadata, multimodal.PAYLOAD_METADATA_SQL)
 # mapInPandas codec paths: not SQL-expressible → rows-only checks
-_register("ext_multimodal_features", multimodal.extract_features, None)
+# per-doc value-checked projection of the real mapInPandas decode (was
+# rows-only through r6); byte_len/mean_pixel stay pytest-pinned on the
+# full extract_features output (multimodal.feature_projection docstring)
+_register(
+    "ext_multimodal_features",
+    multimodal.feature_projection,
+    multimodal.FEATURES_PROJECTION_SQL,
+)
 _register("ext_multimodal_frame_sample", multimodal.sample_frames, None)
 # ... but the codec itself IS value-checkable as far as SQL can recompute
 # the rendered pixels: roundtrip identity + geometry + scanline-row-0 sums
@@ -1581,13 +1588,22 @@ _unchecked = [
 _deferred = [
     n for n in _DRIVER_WINDOW_DEFER if n not in _checked and n not in _seed
 ]
+# ... then names whose SEMANTICS changed after their green row landed
+# (r7: ext_multimodal_features went rows-only → per-doc oracled), which
+# need a fresh compare ahead of the green backlog ...
+_DRIVER_WINDOW_RECHECK = ["ext_multimodal_features"]
+_recheck = [
+    n
+    for n in _DRIVER_WINDOW_RECHECK
+    if n in _checked and n in QUERIES and n not in _seed
+]
 # ... then the green backlog, STALEST round first (ties: registration
 # order) — in the all-checked steady state the 50-row window therefore
 # re-verifies the oldest results each round instead of no-oping
 _reg_idx = {n: i for i, n in enumerate(QUERIES)}
 _done = sorted(
-    (n for n in QUERIES if n in _checked),
+    (n for n in QUERIES if n in _checked and n not in _recheck),
     key=lambda n: (_green_round[n], _reg_idx[n]),
 )
-_ordered = _seed + _unchecked + _deferred + _done
+_ordered = _seed + _unchecked + _deferred + _recheck + _done
 QUERIES = {name: QUERIES[name] for name in _ordered}

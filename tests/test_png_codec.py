@@ -92,3 +92,24 @@ def test_decode_features_uses_real_parser():
     # deterministic: same text, same bytes
     assert render_text_png("hello multimodal") == png
     assert render_text_png("different") != png
+
+
+def test_extract_features_full_columns(spark, sf_dir):
+    """The registered query projects the SQL-replayable columns; the full
+    mapInPandas output (byte_len of the real PNG bytes, mean over ALL
+    decoded pixels) is value-pinned here against an in-process
+    render+decode of the same documents."""
+    from etl_mini_dw_spark.functions.multimodal import extract_features
+    from etl_mini_dw_spark.sources.tables import load_table
+
+    got = {r["doc_id"]: r for r in extract_features(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(5).collect()
+    assert docs
+    for d in docs:
+        png = render_text_png(d["text"])
+        info = decode_png(png)
+        r = got[d["doc_id"]]
+        assert r["byte_len"] == len(png)
+        assert r["mean_pixel"] == sum(info["pixels"]) / len(info["pixels"])
+        assert r["row0_sum"] == sum(info["pixels"][: info["width"]])
+        assert (r["width"], r["height"], r["channels"]) == (16, 16, 1)

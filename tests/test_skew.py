@@ -117,3 +117,80 @@ def test_triangle_counts_correct_on_hub_graph(spark):
         for r in graph.triangle_corner_counts(g).collect()
     }
     assert got == naive
+
+
+# --- measured hot-key drill (r6 VERDICT task #8) ------------------------------
+#
+# One key carrying 20% of all rows — the adversarial shape AQE skew
+# handling and the salting helpers exist for. Timing guards are useless
+# under this machine's 2-3x load variance (CLAUDE.md), so the drill
+# measures the MECHANISM instead: rows arriving at the most-loaded
+# reducer under the aggregate's hash partitioning, with and without the
+# salt in the key. The salted layout must cut the hot reducer's load by
+# >= 4x AND stay value-identical.
+
+
+def _hot_key_rows(spark, n=100_000, hot_every=5):
+    """n rows; key 0 owns 1/hot_every of them; the rest spread uniformly."""
+    return spark.range(n).select(
+        F.when(F.col("id") % hot_every == 0, F.lit(0))
+        .otherwise(F.col("id") % 5_000 + 1)
+        .cast("bigint")
+        .alias("k"),
+        (F.col("id") % 97).cast("bigint").alias("v"),
+    )
+
+
+def _max_reducer_rows(df, cols, parts=32):
+    sizes = (
+        df.repartition(parts, *[F.col(c) for c in cols])
+        .select(F.spark_partition_id().alias("p"))
+        .groupBy("p")
+        .count()
+        .collect()
+    )
+    return max(r["count"] for r in sizes)
+
+
+def test_salted_agg_hot_key_load_measured(spark):
+    df = _hot_key_rows(spark)
+    plain = df.groupBy("k").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    salted = salted_agg(
+        df,
+        "k",
+        aggs=[F.sum("v").alias("ps"), F.count(F.lit(1)).alias("pn")],
+        final_aggs=[F.sum("ps").alias("s"), F.sum("pn").alias("n")],
+    )
+    a = {r["k"]: (r["s"], r["n"]) for r in plain.collect()}
+    b = {r["k"]: (r["s"], r["n"]) for r in salted.collect()}
+    assert a == b
+    unsalted_max = _max_reducer_rows(df, ["k"])
+    salted_max = _max_reducer_rows(
+        df.withColumn("_salt", (F.rand(seed=42) * 16).cast("int")),
+        ["k", "_salt"],
+    )
+    # hot reducer held ~20k + background rows; salting spreads the hot
+    # key over 16 reducers — demand a decisive, not marginal, reduction
+    assert unsalted_max >= 20_000, unsalted_max
+    assert salted_max * 4 <= unsalted_max, (salted_max, unsalted_max)
+
+
+def test_salted_join_hot_key_load_measured(spark):
+    big = _hot_key_rows(spark)
+    small = spark.range(5_001).select(
+        F.col("id").cast("bigint").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 7).cast("string")).alias("grp"),
+    )
+    plain = big.join(small, "k").groupBy("grp").count()
+    salted = salted_join(big, small, "k").groupBy("grp").count()
+    a = {r["grp"]: r["count"] for r in plain.collect()}
+    b = {r["grp"]: r["count"] for r in salted.collect()}
+    assert a == b
+    unsalted_max = _max_reducer_rows(big, ["k"])
+    salted_max = _max_reducer_rows(
+        big.withColumn("_salt", (F.rand(seed=42) * 16).cast("int")),
+        ["k", "_salt"],
+    )
+    assert salted_max * 4 <= unsalted_max, (salted_max, unsalted_max)
