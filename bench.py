@@ -195,12 +195,19 @@ def main() -> None:
     from etl_mini_dw_spark.registry import QUERIES
     from etl_mini_dw_spark.session import get_spark
 
+    try:
+        load_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_start = -1.0
     spark = get_spark("etl_mini_dw_spark-bench")
     # warm the JVM/codegen path so fixed startup cost isn't billed to q1
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # FULL registry coverage (r6 VERDICT task #3: n_queries must equal
+    # the registry size): headline set first, then every other registered
+    # query — validations, marts, classics, ext_ — in sorted order
     names = [n for n in HEADLINE if n in QUERIES]
-    names += [n for n in sorted(QUERIES) if n.startswith("ext_") and n not in names]
+    names += [n for n in sorted(QUERIES) if n not in names]
 
     def _run(name: str) -> float:
         t0 = time.perf_counter()
@@ -254,9 +261,17 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-        "n_queries": len(timings),
+        # query lines only (memo: staging lines reported separately) —
+        # must equal the registry size (r6 VERDICT task #3)
+        "n_queries": sum(1 for n in timings if not n.startswith("memo:")),
+        "n_registry": len(QUERIES),
+        "n_memos": sum(1 for n in timings if n.startswith("memo:")),
         "machine_load_avg_1m": round(load1, 2),
         "machine_load_avg_5m": round(load5, 2),
+        # load BEFORE the run: the end-of-run 1m figure includes this
+        # bench's own local[32] work, so ambient cleanliness is judged
+        # at start time (r6 VERDICT task #3: one clean low-load bench)
+        "machine_load_avg_1m_at_start": load_start,
         "floor_ratio": floor_ratio_all,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:

@@ -796,3 +796,94 @@ SELECT source, n_tokens, n_types, n_hapax, sum_c2,
              / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))), 6) AS renyi2
 FROM per ORDER BY source
 """
+
+
+# --- Token co-occurrence PMI ---------------------------------------------------
+#
+# The embedding-era corpus statistic the registry lacked: pointwise
+# mutual information over document-level token co-occurrence —
+# pmi(a, b) = ln(N·c_ab / (df_a·df_b)) — the signal behind GloVe-style
+# co-occurrence factorization, collocation mining, and "these two terms
+# travel together" corpus QA. Restricted to the TOP_V tokens by document
+# frequency (deterministic (df desc, token) order) so the pair space is
+# C(TOP_V, 2)-bounded per document — the standard vocabulary cut that
+# keeps the pair expansion linear in the corpus instead of quadratic in
+# per-doc vocabulary.
+#
+# Scale: one distinct-token pass (rides the memoized token frame), df
+# aggregate (partial-aggregable), TOP_V broadcast back as a map-side
+# filter, per-doc pair expansion bounded by C(TOP_V, 2), one (a, b)
+# count shuffle, top-k via TakeOrderedAndProject. Ranking and LIMIT are
+# integer/string-total-ordered; ln enters only the final round-6 column.
+
+PMI_TOP_V = 40  # vocabulary cut: top tokens by document frequency
+PMI_TOP_PAIRS = 50
+
+
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t_a, t_b, n_pair, df_a, df_b, pmi): top co-occurring pairs of the
+    TOP_V-by-df vocabulary, ranked by pair count."""
+    dt = (
+        _token_frame(spark, sf_dir)
+        .select("doc_id", F.explode(F.array_distinct("toks")).alias("t"))
+    )
+    df_tok = dt.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    top_v = df_tok.orderBy(F.col("df").desc(), "t").limit(PMI_TOP_V)
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    vt = dt.join(F.broadcast(top_v), "t").select(
+        "doc_id", "t", "df"
+    )
+    a = vt.select("doc_id", F.col("t").alias("t_a"), F.col("df").alias("df_a"))
+    b = vt.select("doc_id", F.col("t").alias("t_b"), F.col("df").alias("df_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("t_a") < F.col("t_b"))
+        .groupBy("t_a", "t_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .select(
+            "t_a",
+            "t_b",
+            "n_pair",
+            "df_a",
+            "df_b",
+            F.round(
+                F.log(
+                    (F.col("n_pair") * F.col("n_docs")).cast("double")
+                    / (F.col("df_a") * F.col("df_b")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("n_pair").desc(), "t_a", "t_b")
+        .limit(PMI_TOP_PAIRS)
+    )
+
+
+TOKEN_PMI_SQL = f"""
+WITH dt AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           regexp_extract_all(text, '{TOKEN_RE}'), x -> lower(x)))) AS t
+  FROM documents
+),
+df_tok AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+top_v AS (SELECT t, df FROM df_tok ORDER BY df DESC, t LIMIT {PMI_TOP_V}),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+vt AS (SELECT doc_id, t, df FROM dt JOIN top_v USING (t)),
+pairs AS (
+  SELECT a.t AS t_a, b.t AS t_b, CAST(COUNT(*) AS BIGINT) AS n_pair,
+         a.df AS df_a, b.df AS df_b
+  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY 1, 2, 4, 5
+)
+SELECT t_a, t_b, n_pair, df_a, df_b,
+       round(ln(CAST(n_pair * n_docs AS DOUBLE)
+                / CAST(df_a * df_b AS DOUBLE)), 6) AS pmi
+FROM pairs, n
+ORDER BY n_pair DESC, t_a, t_b
+LIMIT {PMI_TOP_PAIRS}
+"""

@@ -1208,3 +1208,93 @@ SELECT CAST(-1 AS INTEGER), CAST(w AS BIGINT),
 FROM s
 ORDER BY bucket_cents
 """
+
+
+# --- Sample-ratio-mismatch (SRM) check ----------------------------------------
+#
+# The assignment-health gate every experimentation platform runs BEFORE
+# reading any lift metric: if the observed arm split deviates from the
+# intended 50/50 beyond chance, the experiment is corrupted (bot
+# filtering, redirect loss, hash bias) and CUPED/DiD readouts upstream
+# are void. Chi-square with one degree of freedom reduces to
+# (n_a − n_b)² / n for a 50/50 design — exact integers until the one
+# round-6 division — reported per market segment plus the ALL row, so a
+# segment-correlated assignment bug (the insidious kind: global split
+# looks fine, one segment is skewed) is visible directly.
+#
+# Scale: one (segment, arm) aggregate over the customer spine (partial-
+# aggregable, dim-sized); the chi-square algebra runs on ≤|segments|+1
+# rows. Uses the SAME HASH_MULT/HASH_MOD assignment as ab_cuped_lift, so
+# this literally audits the split the other experiment operators read.
+
+SRM_CRIT_95 = 3.841459  # chi-square 95th percentile, 1 dof
+
+
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(segment, n_units, n_a, n_b, chi2, srm_flag): per-segment and ALL
+    sample-ratio-mismatch test of the hash-assigned A/B split."""
+    cust = typed_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(
+            F.pmod(F.col("c_custkey") * F.lit(HASH_MULT), F.lit(HASH_MOD))
+            < AB_ARM_CUT,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_a"),
+    )
+    per_seg = cust.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum("is_a").cast("bigint").alias("n_a"),
+    )
+    allr = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum("is_a").cast("bigint").alias("n_a"),
+    ).select(F.lit("ALL").alias("segment"), "n_units", "n_a")
+    base = per_seg.unionByName(allr).withColumn(
+        "n_b", (F.col("n_units") - F.col("n_a")).cast("bigint")
+    )
+    d = F.col("n_a") - F.col("n_b")
+    chi2 = F.when(
+        F.col("n_units") > 0,
+        F.round((d * d).cast("double") / F.col("n_units").cast("double"), 6),
+    )
+    return base.select(
+        "segment",
+        "n_units",
+        "n_a",
+        "n_b",
+        chi2.alias("chi2"),
+        (chi2 > SRM_CRIT_95).alias("srm_flag"),
+    ).orderBy("segment")
+
+
+def ab_srm_check_sql() -> str:
+    return f"""
+WITH assigned AS (
+  SELECT c_mktsegment AS segment,
+         CASE WHEN (c_custkey * {HASH_MULT}) % {HASH_MOD} < {AB_ARM_CUT}
+              THEN 1 ELSE 0 END AS is_a
+  FROM customer
+),
+base AS (
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM(is_a) AS BIGINT) AS n_a
+  FROM assigned GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', CAST(COUNT(*) AS BIGINT), CAST(SUM(is_a) AS BIGINT)
+  FROM assigned
+)
+SELECT segment, n_units, n_a,
+       CAST(n_units - n_a AS BIGINT) AS n_b,
+       CASE WHEN n_units > 0
+            THEN round(CAST((n_a - (n_units - n_a))
+                            * (n_a - (n_units - n_a)) AS DOUBLE) / n_units, 6)
+       END AS chi2,
+       CASE WHEN n_units > 0
+            THEN round(CAST((n_a - (n_units - n_a))
+                            * (n_a - (n_units - n_a)) AS DOUBLE) / n_units, 6)
+                 > {SRM_CRIT_95}
+       END AS srm_flag
+FROM base ORDER BY segment
+"""

@@ -1465,6 +1465,13 @@ _register(
     classic.SUPPLIER_SCORECARD_SQL,
 )
 
+# --- round 7: gap-fill registrations (capped batch — r6 VERDICT task #1:
+# every new name must fit the r7 driver window alongside the backlog) ---
+_register(
+    "ext_ab_srm_check", _experiment.ab_srm_check, _experiment.ab_srm_check_sql()
+)
+_register("ext_token_pmi_pairs", _text.token_pmi_pairs, _text.TOKEN_PMI_SQL)
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). The rotation is fully
