@@ -100,7 +100,7 @@ FLOORS = {
     "ext_streaming_cms_activity": 6.21,  # streaming fixture (3 batches + ckpt)
     "ext_trigram_search": 2.69,
     "ext_ann_hamming_topk": 0.91,
-    "ext_psi_drift_report": 2.08,
+    "ext_psi_drift_report": 3.18,  # re-floored r7: two-pass bounds (no global sort)
     "ext_cms_join_size_estimate": 3.14,
     "ext_revenue_cusum_shifts": 2.46,
     "ext_boxplot_digest": 0.79,
@@ -112,7 +112,7 @@ FLOORS = {
     "ext_auc_rank_quality": 1.55,
     "ext_spearman_rank_matrix": 7.63,  # grouping-sets histograms + map joins
     "ext_revenue_acf": 2.15,
-    "ext_gains_lift_chart": 2.18,
+    "ext_gains_lift_chart": 2.92,  # re-floored r7: two-pass bounds
     "ext_survival_km_shipping": 1.09,
     "ext_bradley_terry_brands": 4.02,  # 5 integer MM rounds, ckpt per round
     "ext_incremental_join_view": 3.14,  # builds + merges a ParquetStore twice
@@ -148,13 +148,18 @@ FLOORS = {
     "ext_hdr_monthly_rollup": 1.47,
     "ext_categorical_drift": 1.22,
     "ext_ngram_novelty": 1.94,
-    "ext_quality_signal_agreement": 2.05,  # warm word-frame memo
+    "ext_quality_signal_agreement": 2.25,  # warm word-frame memo; r7 two-pass bounds
     "ext_streaming_bloom_membership": 5.64,  # streaming fixture (3 batches + ckpt)
     "ext_ewma_control_chart": 1.75,
     "ext_cohort_ltv_curve": 0.96,
     "ext_counterfactual_lift": 2.22,
     "ext_duplicate_payment_audit": 0.86,
     "ext_supplier_scorecard": 1.64,
+    # round-7 (min-of-3 isolated, 2026-08-15, load < 1)
+    "ext_quality_deciles": 0.63,  # closed-form rank labels
+    "ext_multimodal_features": 0.57,  # per-doc oracled projection
+    "ext_ab_srm_check": 0.26,
+    "ext_token_pmi_pairs": 0.60,  # warm token-frame memo
 }
 
 
