@@ -300,3 +300,128 @@ SELECT s.pattern,
        CAST(COALESCE(a.max_doc_id, -1) AS BIGINT) AS max_doc_id
 FROM (SELECT pattern FROM pats) s LEFT JOIN agg a USING (pattern)
 """
+
+
+# --- Reciprocal-rank-fusion hybrid retrieval ----------------------------------
+#
+# The hybrid-search fusion step every RAG/retrieval stack runs: combine
+# a LEXICAL ranking (BM25 above) with a SEMANTIC ranking (sign-bit
+# hamming over the document embeddings — vec_id is doc_id in this
+# corpus) by reciprocal rank fusion (Cormack et al. 2009):
+#     rrf(d) = Σ_r 1 / (K + rank_r(d)),  K = 60.
+# Fusion is rank-only, so the two scorers' incomparable score scales
+# never touch — which is exactly why RRF is the production default.
+#
+# Engine-exactness: rrf is evaluated on a 10^12 fixed-point grid with
+# ONE integer division per list — rrf_scaled = Σ 10^12 div (K + rank) —
+# so the fused ordering is integer-total (ties → doc_id) and the driver
+# hash never sees a float.
+#
+# 100 TB shape: both input rankings are already top-k-bounded (Σ df
+# postings join; 16-byte signature scan), so fusion itself is a
+# FULL-OUTER equi-join of two (queries × k)-row frames plus one bounded
+# per-query window — dim-sized however big the corpus is.
+
+RRF_K = 60
+RRF_SCALE = 10**12
+RRF_TOP_K = 10
+
+
+def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_doc, rank, doc_id, r_lex, r_sem, rrf_scaled): top-10 fused
+    candidates per query doc from BM25 ∪ embedding-hamming rankings."""
+    from etl_mini_dw_spark.functions.simsearch import _sig_expr_spark
+
+    lex = bm25_topk(spark, sf_dir).select(
+        "q_doc", "doc_id", F.col("rank").alias("r_lex")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _sig_expr_spark(True).alias("sig_lo"),
+        _sig_expr_spark(False).alias("sig_hi"),
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_doc"),
+        F.col("sig_lo").alias("q_lo"),
+        F.col("sig_hi").alias("q_hi"),
+    )
+    ham = F.expr("bit_count(q_lo ^ sig_lo) + bit_count(q_hi ^ sig_hi)")
+    w_sem = Window.partitionBy("q_doc").orderBy("hamming", "doc_id")
+    sem = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .filter(F.col("q_doc") != F.col("vec_id"))
+        .select("q_doc", F.col("vec_id").alias("doc_id"), ham.alias("hamming"))
+        .withColumn("r_sem", F.row_number().over(w_sem).cast("int"))
+        .filter(F.col("r_sem") <= BM25_TOP_K)
+        .select("q_doc", "doc_id", "r_sem")
+    )
+    fused = lex.join(sem, ["q_doc", "doc_id"], "full_outer").select(
+        "q_doc",
+        "doc_id",
+        "r_lex",
+        "r_sem",
+        (
+            F.coalesce(
+                F.expr(f"CAST({RRF_SCALE} AS BIGINT) div ({RRF_K} + r_lex)"),
+                F.lit(0),
+            )
+            + F.coalesce(
+                F.expr(f"CAST({RRF_SCALE} AS BIGINT) div ({RRF_K} + r_sem)"),
+                F.lit(0),
+            )
+        )
+        .cast("bigint")
+        .alias("rrf_scaled"),
+    )
+    w = Window.partitionBy("q_doc").orderBy(F.col("rrf_scaled").desc(), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= RRF_TOP_K)
+        .select("q_doc", "rank", "doc_id", "r_lex", "r_sem", "rrf_scaled")
+    )
+
+
+def rrf_hybrid_topk_sql() -> str:
+    from etl_mini_dw_spark.functions.simsearch import _sig_expr_sql
+
+    return f"""
+WITH lex AS (
+  SELECT q_doc, doc_id, rank AS r_lex FROM ({BM25_TOPK_SQL})
+),
+sig AS (
+  SELECT vec_id, {_sig_expr_sql(True)} AS sig_lo, {_sig_expr_sql(False)} AS sig_hi
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_doc, sig_lo AS q_lo, sig_hi AS q_hi
+  FROM sig WHERE vec_id % {QUERY_STRIDE} = 0
+),
+sem0 AS (
+  SELECT q.q_doc, s.vec_id AS doc_id,
+         bit_count(xor(q.q_lo, s.sig_lo)) + bit_count(xor(q.q_hi, s.sig_hi))
+           AS hamming
+  FROM q JOIN sig s ON s.vec_id <> q.q_doc
+),
+sem AS (
+  SELECT q_doc, doc_id, CAST(r AS INTEGER) AS r_sem FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_doc ORDER BY hamming, doc_id)
+              AS r
+    FROM sem0) WHERE r <= {BM25_TOP_K}
+),
+fused AS (
+  -- USING on a FULL OUTER coalesces the join columns (PostgreSQL
+  -- semantics, which DuckDB follows)
+  SELECT q_doc, doc_id, r_lex, r_sem,
+         CAST(COALESCE(CAST({RRF_SCALE} AS BIGINT) // ({RRF_K} + r_lex), 0)
+              + COALESCE(CAST({RRF_SCALE} AS BIGINT) // ({RRF_K} + r_sem), 0)
+              AS BIGINT) AS rrf_scaled
+  FROM lex FULL OUTER JOIN sem USING (q_doc, doc_id)
+)
+SELECT q_doc, CAST(r AS INTEGER) AS rank, doc_id, r_lex, r_sem, rrf_scaled
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_doc
+                               ORDER BY rrf_scaled DESC, doc_id) AS r
+  FROM fused)
+WHERE r <= {RRF_TOP_K}
+"""

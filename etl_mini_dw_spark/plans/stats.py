@@ -1747,3 +1747,102 @@ FROM (
   FROM (SELECT {col}, {split} < TIMESTAMP '{PSI_CUTOFF}' AS is_a FROM {tbl})
 )""")
     return "\nUNION ALL\n".join(arms) + "\nORDER BY metric"
+
+
+# --- Weighted median (distributed selection, weighted ranks) -----------------
+#
+# "Half the traded VOLUME moves at price ≤ X": the weighted median of
+# l_extendedprice with l_quantity as the weight, per (returnflag,
+# linestatus) stratum — the volume-weighted price level pricing teams
+# actually ask for (the unweighted median over-represents small orders). Same
+# two-pass bucket-selection discipline as ``value_exact_median``, with
+# CUMULATIVE WEIGHT replacing cumulative row count: the target rank is
+# the lower weighted median (W+1) div 2 over integer quantity units.
+#
+# Scale: one (mode, coarse price bucket) weight histogram (partial-
+# aggregable), a cumulative scan over the tiny histogram, then the
+# in-bucket VALUE DICTIONARY scan of the one target bucket per mode —
+# raw rows are touched once, no per-mode row sort, heavy ties collapse
+# into dictionary entries. The answer is an exact data point
+# (DECIMAL → double at the very end).
+
+WMEDIAN_BUCKET = 1000  # coarse price-bucket width for the selection pass
+
+
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stratum, total_qty, weighted_median_price): lower weighted
+    median of extended price by quantity weight, per flag/status."""
+    li = typed_table(spark, sf_dir, "lineitem").select(
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("m"),
+        F.col("l_extendedprice").alias("p"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    d = li.groupBy("m", "p").agg(F.sum("q").alias("w"))
+    d = d.withColumn(
+        "hb", F.floor(F.col("p") / F.lit(WMEDIAN_BUCKET)).cast("bigint")
+    )
+    hist = d.groupBy("m", "hb").agg(F.sum("w").alias("c"))
+    w_cum = (
+        Window.partitionBy("m")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = hist.select(
+        "m",
+        "hb",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("m")).alias("tot"),
+    )
+    k = F.expr("(tot + 1) div 2")
+    target = ranked.filter(
+        (F.col("cum") >= k) & (F.col("cum") - F.col("c") < k)
+    ).select(
+        "m",
+        F.col("hb").alias("mb"),
+        (k - (F.col("cum") - F.col("c"))).alias("off"),
+        "tot",
+    )
+    in_bucket = d.join(F.broadcast(target), "m").filter(
+        F.col("hb") == F.col("mb")
+    )
+    w_in = (
+        Window.partitionBy("m")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        in_bucket.select(
+            "m", "p", "w", "off", "tot", F.sum("w").over(w_in).alias("cum_w")
+        )
+        .filter(
+            (F.col("cum_w") >= F.col("off"))
+            & (F.col("cum_w") - F.col("w") < F.col("off"))
+        )
+        .select(
+            F.col("m").alias("stratum"),
+            F.col("tot").cast("bigint").alias("total_qty"),
+            F.col("p").cast("double").alias("weighted_median_price"),
+        )
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH per AS (
+  SELECT l_returnflag || '/' || l_linestatus AS m,
+         CAST(l_extendedprice AS DECIMAL(14,2)) AS p,
+         CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem
+),
+d AS (SELECT m, p, SUM(q) AS w FROM per GROUP BY 1, 2),
+c AS (
+  SELECT m, p, w,
+         SUM(w) OVER (PARTITION BY m ORDER BY p
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY m) AS tot
+  FROM d
+)
+SELECT m AS stratum, CAST(tot AS BIGINT) AS total_qty,
+       CAST(p AS DOUBLE) AS weighted_median_price
+FROM c WHERE cum >= (tot + 1) // 2 AND cum - w < (tot + 1) // 2
+"""

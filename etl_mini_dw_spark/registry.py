@@ -1471,6 +1471,16 @@ _register(
     "ext_ab_srm_check", _experiment.ab_srm_check, _experiment.ab_srm_check_sql()
 )
 _register("ext_token_pmi_pairs", _text.token_pmi_pairs, _text.TOKEN_PMI_SQL)
+_register(
+    "ext_rrf_hybrid_topk",
+    _retrieval.rrf_hybrid_topk,
+    _retrieval.rrf_hybrid_topk_sql(),
+)
+_register(
+    "ext_weighted_median_price",
+    _stats.weighted_median_price,
+    _stats.WEIGHTED_MEDIAN_SQL,
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
