@@ -160,8 +160,9 @@ FLOORS = {
     "ext_multimodal_features": 0.57,  # per-doc oracled projection
     "ext_ab_srm_check": 0.26,
     "ext_token_pmi_pairs": 0.60,  # warm token-frame memo
-    "ext_rrf_hybrid_topk": 2.19,  # BM25 postings + signature scan + fusion
+    "ext_rrf_hybrid_topk": 2.56,  # BM25 postings + signature scan + union-fused
     "ext_weighted_median_price": 1.62,  # weighted two-pass selection
+    "ext_price_volume_mix": 1.20,  # one fact shuffle + broadcast part
 }
 
 

@@ -356,21 +356,21 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_sem") <= BM25_TOP_K)
         .select("q_doc", "doc_id", "r_sem")
     )
-    fused = lex.join(sem, ["q_doc", "doc_id"], "full_outer").select(
-        "q_doc",
-        "doc_id",
-        "r_lex",
-        "r_sem",
-        (
-            F.coalesce(
-                F.expr(f"CAST({RRF_SCALE} AS BIGINT) div ({RRF_K} + r_lex)"),
-                F.lit(0),
-            )
-            + F.coalesce(
-                F.expr(f"CAST({RRF_SCALE} AS BIGINT) div ({RRF_K} + r_sem)"),
-                F.lit(0),
-            )
+    # fuse by UNION + one tiny aggregate rather than a full-outer join:
+    # a full outer of two derived frames compiles to SortMergeJoin
+    # (Spark cannot broadcast FullOuter), and the union form needs no
+    # join at all — same values, one k-bounded shuffle
+    contrib = lex.select(
+        "q_doc", "doc_id", F.col("r_lex").alias("r"), F.lit("lex").alias("src")
+    ).unionByName(
+        sem.select(
+            "q_doc", "doc_id", F.col("r_sem").alias("r"), F.lit("sem").alias("src")
         )
+    )
+    fused = contrib.groupBy("q_doc", "doc_id").agg(
+        F.min(F.when(F.col("src") == "lex", F.col("r"))).cast("int").alias("r_lex"),
+        F.min(F.when(F.col("src") == "sem", F.col("r"))).cast("int").alias("r_sem"),
+        F.sum(F.expr(f"CAST({RRF_SCALE} AS BIGINT) div ({RRF_K} + r)"))
         .cast("bigint")
         .alias("rrf_scaled"),
     )
@@ -409,14 +409,18 @@ sem AS (
               AS r
     FROM sem0) WHERE r <= {BM25_TOP_K}
 ),
+contrib AS (
+  SELECT q_doc, doc_id, r_lex AS r, 'lex' AS src FROM lex
+  UNION ALL
+  SELECT q_doc, doc_id, r_sem AS r, 'sem' AS src FROM sem
+),
 fused AS (
-  -- USING on a FULL OUTER coalesces the join columns (PostgreSQL
-  -- semantics, which DuckDB follows)
-  SELECT q_doc, doc_id, r_lex, r_sem,
-         CAST(COALESCE(CAST({RRF_SCALE} AS BIGINT) // ({RRF_K} + r_lex), 0)
-              + COALESCE(CAST({RRF_SCALE} AS BIGINT) // ({RRF_K} + r_sem), 0)
-              AS BIGINT) AS rrf_scaled
-  FROM lex FULL OUTER JOIN sem USING (q_doc, doc_id)
+  SELECT q_doc, doc_id,
+         CAST(MIN(CASE WHEN src = 'lex' THEN r END) AS INTEGER) AS r_lex,
+         CAST(MIN(CASE WHEN src = 'sem' THEN r END) AS INTEGER) AS r_sem,
+         CAST(SUM(CAST({RRF_SCALE} AS BIGINT) // ({RRF_K} + r)) AS BIGINT)
+           AS rrf_scaled
+  FROM contrib GROUP BY 1, 2
 )
 SELECT q_doc, CAST(r AS INTEGER) AS rank, doc_id, r_lex, r_sem, rrf_scaled
 FROM (

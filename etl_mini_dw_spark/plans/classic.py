@@ -1079,3 +1079,123 @@ JOIN supplier ON s_suppkey = l_suppkey, tot
 ORDER BY rev DESC, s_name
 LIMIT 20
 """
+
+
+# --- Price-volume-mix revenue bridge ------------------------------------------
+#
+# The FP&A decomposition behind every "why did revenue move" review:
+# split each product type's year-over-year revenue delta into a PRICE
+# effect ((p1 − p0)·q1, at current volume) and a VOLUME effect
+# ((q1 − q0)·p0, at prior price) — the two-factor bridge whose terms
+# sum EXACTLY to the revenue delta by construction:
+#   (r1/q1)·q1 − (r0/q0)·q1 + (q1 − q0)·(r0/q0) = r1 − r0.
+# Unit prices are ratios of exact aggregates (DECIMAL revenue, integer
+# quantity), so both engines derive identical doubles; every effect
+# column is round-6 per the wide-decimal rule.
+#
+# Scale: ONE fact-side shuffle (lineitem ⋈ orders on orderkey with the
+# two-year predicate pushed to both scans) + a broadcast part join +
+# one 6-row aggregate. The year filter prunes partitions on a
+# date-partitioned fact.
+
+PVM_PREV_YEAR = 1997
+PVM_CURR_YEAR = 1998
+
+
+def price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part_type, rev_prev, rev_curr, delta_rev, qty_prev, qty_curr,
+    price_effect, volume_effect): two-factor YoY revenue bridge."""
+    li = typed_table(spark, sf_dir, "lineitem")
+    # sargable range (not year(col) IN ...) so the predicate reaches the
+    # parquet scan's PushedFilters / partition pruning
+    orders = (
+        typed_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(f"{PVM_PREV_YEAR}-01-01"))
+            & (F.col("o_orderdate") < F.lit(f"{PVM_CURR_YEAR + 1}-01-01"))
+        )
+        .select("o_orderkey", F.year("o_orderdate").alias("yr"))
+    )
+    part = typed_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount")
+    )
+    base = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_type").alias("part_type"))
+        .agg(
+            F.sum(F.when(F.col("yr") == PVM_PREV_YEAR, rev))
+            .cast("decimal(38,4)")
+            .alias("r0"),
+            F.sum(
+                F.when(F.col("yr") == PVM_PREV_YEAR, F.col("l_quantity"))
+            )
+            .cast("bigint")
+            .alias("q0"),
+            F.sum(F.when(F.col("yr") == PVM_CURR_YEAR, rev))
+            .cast("decimal(38,4)")
+            .alias("r1"),
+            F.sum(
+                F.when(F.col("yr") == PVM_CURR_YEAR, F.col("l_quantity"))
+            )
+            .cast("bigint")
+            .alias("q1"),
+        )
+    )
+    r0d, r1d = F.col("r0").cast("double"), F.col("r1").cast("double")
+    q0d, q1d = F.col("q0").cast("double"), F.col("q1").cast("double")
+    p0 = r0d / q0d
+    p1 = r1d / q1d
+    return base.select(
+        "part_type",
+        r0d.alias("rev_prev"),
+        r1d.alias("rev_curr"),
+        F.round(r1d - r0d, 6).alias("delta_rev"),
+        F.col("q0").alias("qty_prev"),
+        F.col("q1").alias("qty_curr"),
+        F.when((F.col("q0") > 0) & (F.col("q1") > 0), F.round((p1 - p0) * q1d, 6)).alias(
+            "price_effect"
+        ),
+        F.when((F.col("q0") > 0) & (F.col("q1") > 0), F.round((q1d - q0d) * p0, 6)).alias(
+            "volume_effect"
+        ),
+    )
+
+
+PRICE_VOLUME_MIX_SQL = f"""
+WITH base AS (
+  SELECT p.p_type AS part_type,
+         CAST(SUM(CASE WHEN year(o.o_orderdate) = {PVM_PREV_YEAR}
+                       THEN CAST(l.l_extendedprice AS DECIMAL(14,2))
+                            * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+                  END) AS DECIMAL(38,4)) AS r0,
+         CAST(SUM(CASE WHEN year(o.o_orderdate) = {PVM_PREV_YEAR}
+                       THEN CAST(l.l_quantity AS BIGINT) END) AS BIGINT) AS q0,
+         CAST(SUM(CASE WHEN year(o.o_orderdate) = {PVM_CURR_YEAR}
+                       THEN CAST(l.l_extendedprice AS DECIMAL(14,2))
+                            * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+                  END) AS DECIMAL(38,4)) AS r1,
+         CAST(SUM(CASE WHEN year(o.o_orderdate) = {PVM_CURR_YEAR}
+                       THEN CAST(l.l_quantity AS BIGINT) END) AS BIGINT) AS q1
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE o.o_orderdate >= TIMESTAMP '{PVM_PREV_YEAR}-01-01'
+    AND o.o_orderdate < TIMESTAMP '{PVM_CURR_YEAR + 1}-01-01'
+  GROUP BY 1
+)
+SELECT part_type,
+       CAST(r0 AS DOUBLE) AS rev_prev,
+       CAST(r1 AS DOUBLE) AS rev_curr,
+       round(CAST(r1 AS DOUBLE) - CAST(r0 AS DOUBLE), 6) AS delta_rev,
+       q0 AS qty_prev,
+       q1 AS qty_curr,
+       CASE WHEN q0 > 0 AND q1 > 0
+            THEN round((CAST(r1 AS DOUBLE) / q1 - CAST(r0 AS DOUBLE) / q0)
+                       * q1, 6) END AS price_effect,
+       CASE WHEN q0 > 0 AND q1 > 0
+            THEN round((q1 - q0) * (CAST(r0 AS DOUBLE) / q0), 6)
+       END AS volume_effect
+FROM base
+"""

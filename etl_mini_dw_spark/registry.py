@@ -1481,6 +1481,11 @@ _register(
     _stats.weighted_median_price,
     _stats.WEIGHTED_MEDIAN_SQL,
 )
+_register(
+    "ext_price_volume_mix",
+    classic.price_volume_mix,
+    classic.PRICE_VOLUME_MIX_SQL,
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

@@ -565,3 +565,37 @@ def test_quality_deciles_windows_bucket_partitioned(spark, sf_dir):
     plan = _plan(curation.quality_deciles(spark, sf_dir))
     assert "ntile" not in plan, plan[:3000]
     assert re.search(r"windowspecdefinition\(lang#\d+", plan), plan[:3000]
+
+
+def test_rrf_fusion_no_sort_merge(spark, sf_dir):
+    """RRF fusion joins two top-k-bounded frames; the BM25 candidate
+    join and the signature scan must never sort-merge the corpus."""
+    from etl_mini_dw_spark.functions import retrieval
+
+    plan = _plan(retrieval.rrf_hybrid_topk(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+
+
+def test_weighted_median_windows_group_partitioned(spark, sf_dir):
+    """The weighted selection must window by stratum (histogram +
+    in-bucket dictionary), never a global or per-group row sort."""
+    from etl_mini_dw_spark.plans import stats
+
+    plan = _plan(stats.weighted_median_price(spark, sf_dir))
+    assert "ntile" not in plan
+    assert re.search(r"windowspecdefinition\(m#\d+", plan), plan[:3000]
+
+
+def test_price_volume_mix_pushdown_and_broadcast(spark, sf_dir):
+    """The two-year predicate must reach the orders scan, and the part
+    join must broadcast; one fact-side shuffle total."""
+    from etl_mini_dw_spark.plans import classic
+
+    plan = _plan(classic.price_volume_mix(spark, sf_dir))
+    pushed = [
+        seg.splitlines()[0] for seg in plan.split("PushedFilters: ")[1:]
+    ]
+    assert any("GreaterThanOrEqual(o_orderdate" in p for p in pushed), pushed
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
