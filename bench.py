@@ -163,6 +163,8 @@ FLOORS = {
     "ext_rrf_hybrid_topk": 2.56,  # BM25 postings + signature scan + union-fused
     "ext_weighted_median_price": 1.62,  # weighted two-pass selection
     "ext_price_volume_mix": 1.20,  # one fact shuffle + broadcast part
+    "ext_hll_cumulative_users": 1.27,  # register build + 256-partition cum merge
+    "ext_quantile_forecast_pinball": 0.68,  # daily rollup + 28-row frames
 }
 
 

@@ -396,3 +396,110 @@ FROM scored
 GROUP BY region, method
 ORDER BY region, method
 """
+
+
+# --- Quantile-forecast pinball backtest ---------------------------------------
+#
+# forecast_backtest scores POINT forecasts; production demand/capacity
+# planning ships QUANTILE forecasts, and the proper scoring rule for a
+# q-quantile is the pinball loss L_q(y, f) = max(q·(y−f), (q−1)·(y−f)).
+# The forecaster here is the exact trailing-28-day empirical quantile
+# (order statistic of the prior window — no model, the standard
+# strong-baseline), evaluated walk-forward on the daily revenue series
+# and aggregated per month.
+#
+# Exactness: daily revenue is the integer-cents rollup; the trailing
+# quantile is element_at(sort_array(window list), ⌈q·28⌉) — an exact
+# integer; pinball is evaluated on a ×10 grid (10q ∈ {5, 9}) so the
+# loss is a BIGINT end-to-end and only the final monthly mean divides
+# (round 6). Only days with a FULL 28-day history score.
+#
+# Scale: the corpus is touched once by the partial-aggregable daily
+# rollup; the walk-forward windows run over the ~|days| dictionary
+# (the revenue_cusum class), bounded ROWS frames of 28.
+
+PINBALL_WINDOW = 28
+PINBALL_QS = [5, 9]  # 10·q for q ∈ {0.5, 0.9}
+
+
+def quantile_forecast_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(month, q10, n_days, total_pinball_scaled, avg_pinball): monthly
+    pinball loss of trailing-28-day empirical-quantile forecasts."""
+    orders = typed_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("bigint")).alias("rev_c")
+    )
+    wprev = (
+        Window.orderBy("day").rowsBetween(-PINBALL_WINDOW, -1)
+    )
+    hist = daily.select(
+        "day",
+        "rev_c",
+        F.sort_array(F.collect_list("rev_c").over(wprev)).alias("prior"),
+    ).filter(F.size("prior") == PINBALL_WINDOW)
+    rows = None
+    for q10 in PINBALL_QS:
+        idx = -(-q10 * PINBALL_WINDOW // 10)  # ceil(q·n), 1-indexed
+        f = F.element_at("prior", idx)
+        d = F.col("rev_c") - f
+        loss = F.greatest(F.lit(q10) * d, (F.lit(q10) - 10) * d)
+        r = hist.select(
+            F.date_format("day", "yyyy-MM").alias("month"),
+            F.lit(q10).alias("q10"),
+            loss.cast("bigint").alias("pin"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return (
+        rows.groupBy("month", "q10")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("pin").cast("bigint").alias("total_pinball_scaled"),
+        )
+        .select(
+            "month",
+            "q10",
+            "n_days",
+            "total_pinball_scaled",
+            # ÷10 (grid) ÷100 (cents) ÷n — one rounded division
+            F.round(
+                F.col("total_pinball_scaled").cast("double")
+                / (F.lit(1000.0) * F.col("n_days").cast("double")),
+                6,
+            ).alias("avg_pinball"),
+        )
+        .orderBy("month", "q10")
+    )
+
+
+def quantile_forecast_pinball_sql() -> str:
+    arms = []
+    for q10 in PINBALL_QS:
+        idx = -(-q10 * PINBALL_WINDOW // 10)
+        arms.append(
+            f"SELECT month, {q10} AS q10,"
+            f" GREATEST({q10} * (rev_c - prior[{idx}]),"
+            f" ({q10} - 10) * (rev_c - prior[{idx}])) AS pin FROM hist"
+        )
+    arms_sql = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1
+),
+hist AS (
+  SELECT strftime(day, '%Y-%m') AS month, rev_c,
+         list_sort(list(rev_c) OVER (ORDER BY day
+           ROWS BETWEEN {PINBALL_WINDOW} PRECEDING AND 1 PRECEDING)) AS prior
+  FROM daily
+  QUALIFY len(prior) = {PINBALL_WINDOW}
+),
+pins AS (
+  {arms_sql}
+)
+SELECT month, q10, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(pin) AS BIGINT) AS total_pinball_scaled,
+       round(CAST(SUM(pin) AS DOUBLE) / (1000.0 * COUNT(*)), 6) AS avg_pinball
+FROM pins GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -756,3 +756,174 @@ JOIN exact x ON x.quarter = e.quarter
 JOIN months m ON m.quarter = e.quarter
 ORDER BY e.quarter
 """
+
+
+# --- Cumulative HLL users-to-date (sketch merge over time) --------------------
+#
+# The reason a warehouse STORES register tables instead of re-counting:
+# "distinct users to date, by month" is answered by a register-wise MAX
+# over the monthly sketch tables — no rescan of history, and the merge
+# is the same operation shard-wise, month-wise, or source-wise. Here
+# the monthly register build is one partial-aggregable max shuffle; the
+# cumulative merge is a max window PER BUCKET over the months axis
+# (256 partitions × |months| rows — metadata-sized); the exact
+# users-to-date (first-appearance cumulative sum) rides along to expose
+# the sketch error the way `hll_register_rollup` does per type.
+
+def hll_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(month, new_users, cum_exact, n_zero_registers, harmonic_scaled,
+    hll_estimate, rel_error): users-to-date per month, exact vs the
+    cumulative register-merge HLL estimate."""
+    ev = typed_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM").alias("month"), "user_id"
+    )
+    hashed = ev.select(
+        "month", F.md5(F.col("user_id").cast("string")).alias("h")
+    )
+    w = "CAST(conv(substr(h, 3, 13), 16, 10) AS BIGINT)"
+    rho = (
+        f"CAST(CASE WHEN {w} = 0 THEN {HLLP_WBITS + 1} "
+        f"ELSE {HLLP_WBITS + 1} - length(bin({w})) END AS INT)"
+    )
+    regs = (
+        hashed.select(
+            "month",
+            F.expr("CAST(conv(substr(h, 1, 2), 16, 10) AS BIGINT)").alias(
+                "bucket"
+            ),
+            F.expr(rho).alias("rho"),
+        )
+        .groupBy("month", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    spine = (
+        ev.select("month")
+        .distinct()
+        .select(
+            "month",
+            F.explode(F.sequence(F.lit(0), F.lit(HLLP_M - 1))).alias("bucket"),
+        )
+    )
+    dense = spine.join(regs, ["month", "bucket"], "left").select(
+        "month", "bucket", F.coalesce("r", F.lit(0)).alias("r")
+    )
+    w_cum = (
+        Window.partitionBy("bucket")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dense.select("month", "bucket", F.max("r").over(w_cum).alias("rc"))
+    agg = cum.groupBy("month").agg(
+        F.sum(F.expr("CAST(power(2, 53 - rc) AS BIGINT)"))
+        .cast("bigint")
+        .alias("harmonic_scaled"),
+        F.sum(F.when(F.col("rc") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_registers"),
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("month").alias("month"))
+    new_users = first_seen.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    months = spine.select("month").distinct()
+    w_m = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    exact = (
+        months.join(new_users, "month", "left")
+        .select("month", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .select(
+            "month",
+            "new_users",
+            F.sum("new_users").over(w_m).cast("bigint").alias("cum_exact"),
+        )
+    )
+    est = (
+        f"CASE WHEN ({_HLLP_NUM} / harmonic_scaled) <= {2.5 * HLLP_M} "
+        f"AND n_zero_registers > 0 "
+        f"THEN round({float(HLLP_M)} * ln({float(HLLP_M)} / n_zero_registers), 4) "
+        f"ELSE round({_HLLP_NUM} / harmonic_scaled, 4) END"
+    )
+    return (
+        agg.join(exact, "month")
+        .select(
+            "month",
+            "new_users",
+            "cum_exact",
+            "n_zero_registers",
+            "harmonic_scaled",
+            F.expr(est).alias("hll_estimate"),
+        )
+        .select(
+            "*",
+            F.when(
+                F.col("cum_exact") > 0,
+                F.round(
+                    F.abs(F.col("hll_estimate") - F.col("cum_exact"))
+                    / F.col("cum_exact"),
+                    6,
+                ),
+            ).alias("rel_error"),
+        )
+        .orderBy("month")
+    )
+
+
+def hll_cumulative_users_sql() -> str:
+    w = "(('0x' || substr(h, 3, 13))::BIGINT)"
+    return f"""
+WITH ev AS (
+  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month, user_id
+  FROM events
+),
+hashed AS (SELECT month, md5(CAST(user_id AS VARCHAR)) AS h FROM ev),
+regs AS (
+  SELECT month,
+         (('0x' || substr(h, 1, 2))::BIGINT) AS bucket,
+         MAX(CASE WHEN {w} = 0 THEN {HLLP_WBITS + 1}
+                  ELSE {HLLP_WBITS + 1} - length(bin({w})) END) AS r
+  FROM hashed GROUP BY 1, 2
+),
+spine AS (
+  SELECT month, CAST(b AS BIGINT) AS bucket
+  FROM (SELECT DISTINCT month FROM ev),
+       (SELECT unnest(range(0, {HLLP_M})) AS b)
+),
+dense AS (
+  SELECT s.month, s.bucket, COALESCE(regs.r, 0) AS r
+  FROM spine s LEFT JOIN regs ON regs.month = s.month AND regs.bucket = s.bucket
+),
+cum AS (
+  SELECT month, bucket,
+         MAX(r) OVER (PARTITION BY bucket ORDER BY month
+                      ROWS UNBOUNDED PRECEDING) AS rc
+  FROM dense
+),
+agg AS (
+  SELECT month,
+         CAST(SUM(CAST(power(2, 53 - rc) AS BIGINT)) AS BIGINT) AS harmonic_scaled,
+         CAST(SUM(CASE WHEN rc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_registers
+  FROM cum GROUP BY 1
+),
+new_u AS (
+  SELECT month, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM (SELECT user_id, MIN(month) AS month FROM ev GROUP BY 1) GROUP BY 1
+),
+exact AS (
+  SELECT m.month, COALESCE(n.new_users, 0) AS new_users,
+         CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY m.month
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_exact
+  FROM (SELECT DISTINCT month FROM ev) m LEFT JOIN new_u n USING (month)
+),
+est AS (
+  SELECT a.month, e.new_users, e.cum_exact, a.n_zero_registers, a.harmonic_scaled,
+         CASE WHEN ({_HLLP_NUM} / a.harmonic_scaled) <= {2.5 * HLLP_M}
+                   AND a.n_zero_registers > 0
+              THEN round({float(HLLP_M)} * ln({float(HLLP_M)} / a.n_zero_registers), 4)
+              ELSE round({_HLLP_NUM} / a.harmonic_scaled, 4) END AS hll_estimate
+  FROM agg a JOIN exact e USING (month)
+)
+SELECT month, new_users, cum_exact, n_zero_registers, harmonic_scaled,
+       hll_estimate,
+       CASE WHEN cum_exact > 0
+            THEN round(abs(hll_estimate - cum_exact) / cum_exact, 6) END AS rel_error
+FROM est ORDER BY month
+"""

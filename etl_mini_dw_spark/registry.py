@@ -1486,6 +1486,16 @@ _register(
     classic.price_volume_mix,
     classic.PRICE_VOLUME_MIX_SQL,
 )
+_register(
+    "ext_hll_cumulative_users",
+    sketches.hll_cumulative_users,
+    sketches.hll_cumulative_users_sql(),
+)
+_register(
+    "ext_quantile_forecast_pinball",
+    _tseries.quantile_forecast_pinball,
+    _tseries.quantile_forecast_pinball_sql(),
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
