@@ -165,6 +165,19 @@ FLOORS = {
     "ext_price_volume_mix": 1.20,  # one fact shuffle + broadcast part
     "ext_hll_cumulative_users": 1.27,  # register build + 256-partition cum merge
     "ext_quantile_forecast_pinball": 0.68,  # daily rollup + 28-row frames
+    # heaviest previously-unfloored lines (min-of-3 isolated, load < 2)
+    "ext_fact_diff_digest": 7.89,  # builds + row-hashes the fact table
+    "ext_streaming_click_attribution": 5.90,  # streaming fixture (3 batches)
+    "ext_streaming_asof_enrichment": 1.25,
+    "mart_customer_current": 1.91,
+    "ext_warehouse_health_summary": 3.20,
+    "ext_bucketed_revenue_by_priority": 0.21,  # bucketed-scan reuse
+    "ext_simhash_dup_groups": 0.86,  # warm digest memo
+    "ext_streaming_session_windows": 1.96,
+    "ext_kcore_peel": 2.17,
+    "ext_streaming_dedup_within_watermark": 2.86,
+    "ext_lineitem_corr_matrix": 1.49,
+    "validate_expected_tables": 2.53,
 }
 
 
