@@ -405,6 +405,36 @@ def sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HASH_MOD = 1_000_003
 _POW131 = [pow(131, e, _HASH_MOD) for e in range(32)]
 
+_POW131_LIST = "[" + ", ".join(str(v) for v in _POW131) + "]"
+
+# direct per-ROW oracle for sample_frames (r7 — the per-source digest
+# below predates it and stays as the aggregate cross-check): payloads
+# are the UTF-8 text bytes of a pure-ASCII corpus, so slice geometry
+# (python payload[i*step:(i+1)*step] == substr clipped at the text end)
+# and the base-131 rolling hash over each chunk's first 32 bytes replay
+# exactly; an empty chunk hashes to 0 (COALESCE).
+FRAME_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, greatest(len(text) // {N_FRAMES}, 1) AS step,
+         len(text) AS n FROM documents
+),
+f AS (
+  SELECT doc_id,
+         CAST(i AS INT) AS frame_idx,
+         CAST(least(step, greatest(n - CAST(i AS INT) * step, 0)) AS BIGINT)
+           AS frame_bytes,
+         substr(text, CAST(i AS INT) * step + 1, least(step, 32)) AS sl
+  FROM d, (SELECT unnest(range(0, {N_FRAMES})) AS i)
+)
+SELECT doc_id, frame_idx, frame_bytes,
+       CAST(COALESCE(
+         list_sum(list_transform(range(1, len(sl) + 1),
+           j -> ascii(substr(sl, CAST(j AS INT), 1))
+                * ({_POW131_LIST})[len(sl) - CAST(j AS INT) + 1]))
+         % {_HASH_MOD}, 0) AS BIGINT) AS frame_hash
+FROM f
+"""
+
 
 def frame_sample_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-checked digest of the frame-sampling seam (closes the last

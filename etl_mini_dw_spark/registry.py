@@ -360,7 +360,13 @@ _register(
     multimodal.feature_projection,
     multimodal.FEATURES_PROJECTION_SQL,
 )
-_register("ext_multimodal_frame_sample", multimodal.sample_frames, None)
+# per-row oracled since r7 (was rows-only; the frame-digest aggregate
+# remains as the cross-check) — the mapInPandas fan-out is unchanged
+_register(
+    "ext_multimodal_frame_sample",
+    multimodal.sample_frames,
+    multimodal.FRAME_SAMPLE_SQL,
+)
 # ... but the codec itself IS value-checkable as far as SQL can recompute
 # the rendered pixels: roundtrip identity + geometry + scanline-row-0 sums
 _register(
@@ -1623,7 +1629,10 @@ _deferred = [
 # ... then names whose SEMANTICS changed after their green row landed
 # (r7: ext_multimodal_features went rows-only → per-doc oracled), which
 # need a fresh compare ahead of the green backlog ...
-_DRIVER_WINDOW_RECHECK = ["ext_multimodal_features"]
+_DRIVER_WINDOW_RECHECK = [
+    "ext_multimodal_features",
+    "ext_multimodal_frame_sample",
+]
 _recheck = [
     n
     for n in _DRIVER_WINDOW_RECHECK
