@@ -165,6 +165,7 @@ FLOORS = {
     "ext_price_volume_mix": 1.20,  # one fact shuffle + broadcast part
     "ext_hll_cumulative_users": 1.27,  # register build + 256-partition cum merge
     "ext_quantile_forecast_pinball": 0.68,  # daily rollup + 28-row frames
+    "ext_hard_negative_mining": 1.29,  # re-rank of the BM25 top-k pool
     # heaviest previously-unfloored lines (min-of-3 isolated, load < 2)
     "ext_fact_diff_digest": 7.89,  # builds + row-hashes the fact table
     "ext_streaming_click_attribution": 5.90,  # streaming fixture (3 batches)

@@ -429,3 +429,70 @@ FROM (
   FROM fused)
 WHERE r <= {RRF_TOP_K}
 """
+
+
+# --- Hard-negative mining ------------------------------------------------------
+#
+# The contrastive-training sampler: for each query document, keep the
+# candidates that score HIGH lexically but come from a DIFFERENT source
+# than the query (same-source hits are the positives/duplicates family
+# a retrieval trainer must not use as negatives — the standard
+# in-batch-negatives hygiene rule, BM25-mined as in DPR's hard-negative
+# recipe). Mined from the deterministic BM25 top-10 pool above, so the
+# whole query is a dim-sized re-rank of an already-bounded frame.
+#
+# 100 TB shape: candidates are queries × k rows; the two source lookups
+# broadcast the (doc_id, source) projection of the dimension-sized doc
+# catalog; the re-rank window is ≤ k rows per query.
+
+HN_TOP = 5
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_doc, neg_rank, doc_id, lex_rank, score_scaled, q_source,
+    cand_source): top cross-source hard negatives per query doc."""
+    cand = bm25_topk(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    q_src = docs.select(
+        F.col("doc_id").alias("q_doc"), F.col("source").alias("q_source")
+    )
+    c_src = docs.select("doc_id", F.col("source").alias("cand_source"))
+    j = (
+        cand.join(F.broadcast(q_src), "q_doc")
+        .join(F.broadcast(c_src), "doc_id")
+        .filter(F.col("q_source") != F.col("cand_source"))
+    )
+    w = Window.partitionBy("q_doc").orderBy("rank")
+    return (
+        j.withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("neg_rank") <= HN_TOP)
+        .select(
+            "q_doc",
+            "neg_rank",
+            "doc_id",
+            F.col("rank").alias("lex_rank"),
+            "score_scaled",
+            "q_source",
+            "cand_source",
+        )
+    )
+
+
+def hard_negative_mining_sql() -> str:
+    return f"""
+WITH cand AS ({BM25_TOPK_SQL}),
+j AS (
+  SELECT c.q_doc, c.doc_id, c.rank AS lex_rank, c.score_scaled,
+         dq.source AS q_source, dc.source AS cand_source
+  FROM cand c
+  JOIN documents dq ON dq.doc_id = c.q_doc
+  JOIN documents dc ON dc.doc_id = c.doc_id
+  WHERE dq.source <> dc.source
+)
+SELECT q_doc, CAST(r AS INTEGER) AS neg_rank, doc_id, lex_rank,
+       score_scaled, q_source, cand_source
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_doc ORDER BY lex_rank) AS r
+  FROM j)
+WHERE r <= {HN_TOP}
+"""

@@ -1502,6 +1502,11 @@ _register(
     _tseries.quantile_forecast_pinball,
     _tseries.quantile_forecast_pinball_sql(),
 )
+_register(
+    "ext_hard_negative_mining",
+    _retrieval.hard_negative_mining,
+    _retrieval.hard_negative_mining_sql(),
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
