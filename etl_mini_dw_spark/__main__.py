@@ -26,6 +26,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--as-of", default=None, help="load watermark cutoff (incremental split)")
     ap.add_argument("--now-ts", default=None, help="fixed 'now' for SCD2 validity stamps")
     ap.add_argument("--backend", default="parquet", choices=["parquet", "delta"])
+    ap.add_argument(
+        "--sk-strategy",
+        default="ordered",
+        choices=["ordered", "bucketed"],
+        help="dimension SK assignment: ordered row_number (default) or the"
+        " value-identical bucketed cluster path (operators/scd2.py)",
+    )
     ap.add_argument("--skip-validate", action="store_true")
     args = ap.parse_args(argv)
 
@@ -33,7 +40,13 @@ def main(argv: list[str] | None = None) -> int:
     from etl_mini_dw_spark.session import get_spark
 
     spark = get_spark("etl_mini_dw_spark-cli")
-    wh = Warehouse(spark, args.store, args.sf_dir, backend=args.backend)
+    wh = Warehouse(
+        spark,
+        args.store,
+        args.sf_dir,
+        backend=args.backend,
+        sk_strategy=args.sk_strategy,
+    )
     results = wh.run_all(as_of=args.as_of, now_ts=args.now_ts)
     ok = True
     for name, res in results.items():

@@ -59,11 +59,22 @@ EXPECTED_TABLES = [
 
 class Warehouse:
     def __init__(
-        self, spark: SparkSession, base_dir: str, sf_dir: str, backend: str = "parquet"
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        sf_dir: str,
+        backend: str = "parquet",
+        sk_strategy: str = "ordered",
     ) -> None:
         self.spark = spark
         self.store = make_store(base_dir, backend)
         self.sf_dir = sf_dir
+        # dimension SK assignment: 'ordered' (one row_number window over
+        # the dim delta — the oracle-checkable default) or 'bucketed'
+        # (value-identical monotone-bucket prefix ranks, no single-
+        # partition row window — the cluster deployment choice; see
+        # operators/scd2.py::assign_surrogate_keys)
+        self.sk_strategy = sk_strategy
 
     def missing_tables(self) -> list[str]:
         """Stage 5.1 structure check against the actual store. Expect []."""
@@ -87,14 +98,23 @@ class Warehouse:
             staged = staging.delta_extract(self.spark, self.sf_dir, dim, wm, as_of=as_of)
             if not self.store.exists(dim.name):
                 # initial load, A5 empty-table guard (`code/SQL_1…sql:603`)
-                post = scd2.dim_initial(self.spark, self.sf_dir, dim, as_of=as_of).withColumn(
-                    "change_tag", F.lit("inserted")
-                )
+                post = scd2.dim_initial(
+                    self.spark,
+                    self.sf_dir,
+                    dim,
+                    as_of=as_of,
+                    sk_strategy=self.sk_strategy,
+                ).withColumn("change_tag", F.lit("inserted"))
             else:
                 current = self.store.read(self.spark, dim.name)
                 snapshot = staging.current_snapshot(self.spark, self.sf_dir, dim, as_of=as_of)
                 post = scd2.scd2_increment(
-                    current, staged, snapshot, dim, now_ts or _utcnow().strftime("%Y-%m-%d %H:%M:%S")
+                    current,
+                    staged,
+                    snapshot,
+                    dim,
+                    now_ts or _utcnow().strftime("%Y-%m-%d %H:%M:%S"),
+                    sk_strategy=self.sk_strategy,
                 )
             post = post.localCheckpoint()  # materialize once: metrics + write + wm
             metrics = {r["change_tag"]: r["cnt"] for r in post.groupBy("change_tag").agg(F.count("*").alias("cnt")).collect()}

@@ -124,3 +124,20 @@ def test_transform_with_state_topology(spark, sf_dir):
         for r in con.execute(stateful.STREAMING_TWS_SQL).fetchall()
     }
     assert got == want
+
+
+def test_bucketed_sk_warehouse_equals_ordered(wh, spark, sf_dir, tmp_path_factory):
+    """The bucketed SK deployment option (CLI --sk-strategy bucketed)
+    must produce byte-identical dimension tables through the full
+    two-phase warehouse lifecycle — the r7 cluster-path seam proven at
+    the ORCHESTRATOR level, not just the operator level."""
+    base = str(tmp_path_factory.mktemp("warehouse_bucketed"))
+    w2 = Warehouse(spark, base, sf_dir, sk_strategy="bucketed")
+    w2.init()
+    w2.run_all(as_of=spec.MID, now_ts=spec.NOW_FIXED)
+    w2.run_all(now_ts=spec.NOW_FIXED)
+    for dim in spec.DIMS.values():
+        a = wh.table(dim.name)
+        b = w2.table(dim.name)
+        assert a.columns == b.columns
+        assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0, dim.name
