@@ -553,7 +553,11 @@ def hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("v").alias("exact_c"))
     )
     return (
-        est.join(exact, "quantile")
+        # both sides are |quantiles|-row derived frames with no stats —
+        # without the hint the join compiles to SortMergeJoin once the
+        # upstream size estimate crosses the broadcast threshold (seen
+        # at sf0.01; the r5 trigram-spine trap, CLAUDE.md)
+        est.join(F.broadcast(exact), "quantile")
         .select(
             "quantile",
             "rank",
