@@ -166,13 +166,11 @@ def quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = docs.join(sur, "doc_id").localCheckpoint(eager=False)
 
-    def tiles(col: str, alias: str, width: float) -> DataFrame:
+    def tiles(col: str, alias: str) -> DataFrame:
         # quintile edges via two-pass bucket selection (quantiles.py) —
         # value-identical to the oracle's ntile max-per-tile, no global
         # row sort (r6 VERDICT task #2)
-        bounds = ntile_bounds(
-            base.select(F.col(col).alias("val")), QS_TILES, width
-        )
+        bounds = ntile_bounds(base.select(F.col(col).alias("val")), QS_TILES)
         return base.crossJoin(F.broadcast(bounds)).select(
             "doc_id",
             (
@@ -183,9 +181,7 @@ def quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(alias),
         )
 
-    tiled = tiles("q", "q_tile", 0.01).join(
-        tiles("s", "s_tile", 1_000_000.0), "doc_id"
-    )
+    tiled = tiles("q", "q_tile").join(tiles("s", "s_tile"), "doc_id")
     tiled = tiled.localCheckpoint(eager=False)
     cells = tiled.groupBy("q_tile", "s_tile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")

@@ -1,34 +1,37 @@
-"""Distributed exact ntile boundaries — no global row sort (extension).
+"""Distributed exact order-statistic selection — no global row sort (extension).
 
-The PSI / gains / quality-tile family re-buckets both engines by the
-rule ``bucket = f(#boundaries < value)`` where the boundaries are the
-max-per-tile edges of ``ntile(K) OVER (ORDER BY val)``. Those edges are
-pure order statistics: the edge of tile ``i`` is the value at sorted
-position ``rank_i = i·(n div K) + least(i, n mod K)`` — a function of
-the value MULTISET only (CLAUDE.md's ntile-boundary note), so they can
-be read off a histogram instead of sorting every row through one task.
+The PSI / gains / quality-tile / RFM / ABC family re-buckets both
+engines by the rule ``bucket = f(#boundaries < value)`` where the
+boundaries are order statistics of a value MULTISET (CLAUDE.md's
+ntile-boundary note): ntile(K) max-per-tile edges sit at sorted rank
+``i·(n div K) + least(i, n mod K)``; RFM-style quintile cuts at rank
+``⌈i·n/K⌉``. Either way the boundary VALUE depends only on the
+multiset, so it can be read off a histogram instead of sorting every
+row through one task.
 
-``ntile_bounds`` derives them with the ``ext_value_exact_median``
-two-pass bucket-selection discipline:
+Both entry points share the ``ext_value_exact_median`` two-pass bucket
+selection:
 
 1. one partial-aggregable rollup ``val → cnt`` (the only pass over the
-   data), coarse-keyed by a monotone bucket ``floor(val / width)``;
-2. a cumulative scan over the TINY coarse histogram finds, for each of
-   the K−1 target ranks, its bucket and in-bucket row offset;
-3. the boundary value is read off the target bucket's VALUE DICTIONARY
+   data), coarse-keyed by a monotone bucket ``floor((val − min)/width)``
+   where ``width = (max − min)/1024`` is derived from a min/max
+   aggregate over the value DICTIONARY (r7 ADVICE: no hard-coded
+   widths) — the coarse histogram is therefore ≤ ~1025 rows by
+   construction at ANY data range;
+2. a cumulative scan over that tiny histogram finds, for each target
+   rank, its bucket and in-bucket row offset;
+3. the boundary value is read off the target bucket's value dictionary
    (cumulative counts within the bucket), so heavy ties cost one
    dictionary entry, never a row-sort.
 
 At 100 TB the raw data is touched once by step 1 (map-side combine on
-``val``); the windows in steps 2–3 run over histogram/dictionary rows
-(≈ range/width and ≈ distinct-values-per-bucket), not data rows. The
-result is value-identical to the ntile derivation — the DuckDB oracles
-keep the ntile spelling as the executable spec.
+``val``); the windows in steps 2–3 run over histogram/dictionary rows,
+not data rows. Results are value-identical to the window-function
+derivations — the DuckDB oracles keep the ntile / row_number spelling
+as the executable spec.
 
-The same rank algebra gives ``ntile_label_cols`` for per-row tile
-LABELS (curation.quality_deciles): with a total (val, tiebreak) order,
-row rank = bucket-cumulative-before + row_number within the coarse
-bucket, and the tile is a closed-form function of (rank, n) — windows
+``ntile_label_cols`` maps (rank, n) to per-row tile LABELS
+(curation.quality_deciles) with the same rank algebra: windows
 partition by (group, coarse bucket), never globally.
 """
 
@@ -37,47 +40,56 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def _coarse(width: float) -> Column:
-    # monotone non-decreasing in val for width > 0 (IEEE/decimal division
-    # by a positive constant is monotone; floor preserves it), so bucket
-    # order == value order and cumulative counts are global ranks.
-    return F.floor(F.col("val") / F.lit(width)).cast("bigint")
+# coarse-histogram resolution: the val→cnt rollup is re-keyed into at
+# most this many buckets, so the one intentionally-global cumulative
+# window scans a frame whose size is INDEPENDENT of the data range
+_N_COARSE = 1024
 
 
-def ntile_bounds(base: DataFrame, k: int, width: float) -> DataFrame:
-    """1-row frame ``(barr)``: the sorted K−1 boundary array identical to
-    ``array_sort(collect_list(max(val) per ntile(k) tile < k))``.
-
-    ``base`` must expose the numeric column ``val``; ``width`` is the
-    coarse histogram bucket width (pick range/width ≈ 10²–10³ buckets).
-    Duplicate edges are preserved — two ranks landing on the same value
-    emit two array entries, exactly like max-per-tile.
+def _values_at_ranks(
+    base: DataFrame, k: int, rank_expr: str, drop_ranks_beyond_n: bool
+) -> DataFrame:
+    """1-row frame ``(barr)``: sorted array of the values at the K−1
+    target sorted positions (1-indexed). ``rank_expr`` is a SQL
+    expression over ``i`` (the 1..K−1 rank id) and ``n`` (total rows)
+    giving each target rank; duplicate ranks/values emit duplicate
+    entries. ``base`` must expose numeric ``val``. The total ``n`` is
+    read off the coarse histogram — the raw data is scanned exactly
+    once (for the val→cnt rollup).
     """
     vc = base.groupBy("val").agg(F.count(F.lit(1)).alias("cnt"))
-    vc = vc.select("val", "cnt", _coarse(width).alias("hb"))
+    # derive the coarse width from the dictionary's min/max (r7 ADVICE —
+    # a data-range shift can never grow the histogram past _N_COARSE).
+    # floor((val−mn)/w) is monotone in val for w > 0 and bounded by
+    # _N_COARSE, so bucket order == value order with no overflow risk.
+    mm = vc.agg(
+        F.min("val").cast("double").alias("_mn"),
+        F.max("val").cast("double").alias("_mx"),
+    )
+    w_col = F.greatest(
+        (F.col("_mx") - F.col("_mn")) / F.lit(float(_N_COARSE)),
+        F.lit(1e-12),
+    )
+    vc = vc.crossJoin(F.broadcast(mm)).select(
+        "val",
+        "cnt",
+        F.floor((F.col("val").cast("double") - F.col("_mn")) / w_col)
+        .cast("bigint")
+        .alias("hb"),
+    )
     hist = vc.groupBy("hb").agg(F.sum("cnt").alias("c"))
-    # cumulative scan over the coarse histogram (≈ range/width rows —
+    # cumulative scan over the coarse histogram (≤ _N_COARSE+1 rows —
     # metadata-sized; the one intentionally-global window, same class as
     # layout.equidepth_histogram's dictionary scan)
     w_cum = Window.orderBy("hb").rowsBetween(Window.unboundedPreceding, 0)
     hist = hist.select("hb", "c", F.sum("c").over(w_cum).alias("cum"))
     total = hist.agg(F.sum("c").alias("n"))
-    # ntile tile i (1-indexed) ends at rank i·(n div K) + least(i, n mod K);
-    # tiles beyond n rows are empty and emit no edge (i <= n filter)
-    ranks = (
-        total.select(
-            "n", F.explode(F.sequence(F.lit(1), F.lit(k - 1))).alias("i")
-        )
-        .filter(F.col("i") <= F.col("n"))
-        .select(
-            "i",
-            (
-                F.col("i") * F.expr(f"n div {k}")
-                + F.least(F.col("i"), F.expr(f"n % {k}"))
-            ).alias("r"),
-        )
+    ranks = total.select(
+        "n", F.explode(F.sequence(F.lit(1), F.lit(k - 1))).alias("i")
     )
+    if drop_ranks_beyond_n:
+        ranks = ranks.filter(F.col("i") <= F.col("n"))
+    ranks = ranks.select("i", F.expr(rank_expr).alias("r"))
     # (K−1 rows) ⋈θ (histogram): which coarse bucket holds each rank
     targets = (
         F.broadcast(ranks)
@@ -90,7 +102,7 @@ def ntile_bounds(base: DataFrame, k: int, width: float) -> DataFrame:
             "i", "hb", (F.col("r") - (F.col("cum") - F.col("c"))).alias("off")
         )
     )
-    # read the edge off the target bucket's value dictionary: cumulative
+    # read the value off the target bucket's value dictionary: cumulative
     # cnt within the bucket crosses `off` at the boundary value. Window
     # partitions by rank id (each pinned to one bucket) over dictionary
     # entries only.
@@ -106,6 +118,35 @@ def ntile_bounds(base: DataFrame, k: int, width: float) -> DataFrame:
         )
     )
     return picked.agg(F.array_sort(F.collect_list("val")).alias("barr"))
+
+
+def ntile_bounds(base: DataFrame, k: int) -> DataFrame:
+    """1-row frame ``(barr)``: the sorted K−1 boundary array identical to
+    ``array_sort(collect_list(max(val) per ntile(k) tile < k))``.
+
+    ``base`` must expose the numeric column ``val``. Duplicate edges are
+    preserved — two ranks landing on the same value emit two array
+    entries, exactly like max-per-tile. Ntile tile i (1-indexed) ends at
+    rank ``i·(n div K) + least(i, n mod K)``; tiles beyond n rows are
+    empty and emit no edge (the ``i <= n`` filter).
+    """
+    return _values_at_ranks(
+        base,
+        k,
+        f"i * (n div {k}) + least(i, n % {k})",
+        drop_ranks_beyond_n=True,
+    )
+
+
+def ceil_rank_bounds(base: DataFrame, k: int) -> DataFrame:
+    """1-row frame ``(barr)``: sorted values at ranks ``⌈i·n/K⌉`` for
+    i = 1..K−1 — the RFM-style quintile cut discipline (value at rank
+    ``(i·n + K−1) div K`` of the sorted multiset). Unlike ntile edges
+    these ranks are always in [1, n] for n ≥ 1, so no empty-tile filter.
+    """
+    return _values_at_ranks(
+        base, k, f"(i * n + {k - 1}) div {k}", drop_ranks_beyond_n=False
+    )
 
 
 def _idiv(a: Column, b: Column) -> Column:

@@ -405,13 +405,20 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ⌈q·n/5⌉, integer rank arithmetic — the winsorize pattern), so the
     bin assignment is a pure comparison against four broadcast scalars
     per metric: ties land in the same bin deterministically on both
-    engines, and no interpolated double ever feeds a comparison. The
-    rank windows sort the CUSTOMER aggregate (dim-sized, not
-    fact-sized); at 100 TB the same plan holds with
-    ``approx_percentile`` boundaries snapped to real data points, the
-    documented t-digest swap. Quintiles are ascending (r=1 ⇒ most
-    recent, f=5 ⇒ most orders, m=5 ⇒ highest spend).
+    engines, and no interpolated double ever feeds a comparison.
+
+    Scale (r7 VERDICT task #2): the boundaries come from
+    ``quantiles.ceil_rank_bounds`` — one partial-aggregable value
+    rollup per metric plus windows over histogram/dictionary rows —
+    never a global row_number sort of the customer aggregate; the bin
+    is ``1 + #(boundaries < value)``, provably identical to the
+    ``value ≤ boundary_q`` CASE chain even with duplicate edges (the
+    oracle keeps the row_number spelling as the executable spec).
+    Quintiles are ascending (r=1 ⇒ most recent, f=5 ⇒ most orders,
+    m=5 ⇒ highest spend).
     """
+    from etl_mini_dw_spark.functions.quantiles import ceil_rank_bounds
+
     orders = typed_table(spark, sf_dir, "orders")
     anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
     base = (
@@ -428,28 +435,22 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
+        .localCheckpoint(eager=False)
     )
-    n_row = base.agg(F.count(F.lit(1)).alias("n"))
-    ranked = base.crossJoin(F.broadcast(n_row)).select(
-        "*",
-        F.row_number().over(Window.orderBy("recency_days", "custkey")).alias("rn_r"),
-        F.row_number().over(Window.orderBy("frequency", "custkey")).alias("rn_f"),
-        F.row_number().over(Window.orderBy("monetary", "custkey")).alias("rn_m"),
-    )
-    bound_aggs = []
-    for metric, rn, tag in RFM_METRICS:
-        for q in (1, 2, 3, 4):
-            k = F.expr(f"({q} * n + 4) div 5")
-            bound_aggs.append(
-                F.min(F.when(F.col(rn) == k, F.col(metric))).alias(f"{tag}{q}")
-            )
-    bounds = ranked.agg(*bound_aggs)
+    bounds = None
+    for metric, _, tag in RFM_METRICS:
+        b = ceil_rank_bounds(
+            base.select(F.col(metric).alias("val")), 5
+        ).select(F.col("barr").alias(f"{tag}arr"))
+        bounds = b if bounds is None else bounds.crossJoin(b)
 
     def _bin(metric: str, tag: str) -> F.Column:
-        c = F.when(F.col(metric) <= F.col(f"{tag}1"), 1)
-        for q in (2, 3, 4):
-            c = c.when(F.col(metric) <= F.col(f"{tag}{q}"), q)
-        return c.otherwise(5).cast("int").alias(f"{tag}_quintile")
+        # 1 + #(boundary < value): equals the ascending `value ≤ b_q`
+        # CASE chain — with duplicate edges both skip the same q's.
+        return (
+            F.lit(1)
+            + F.size(F.expr(f"filter({tag}arr, x -> x < {metric})"))
+        ).cast("int").alias(f"{tag}_quintile")
 
     return base.crossJoin(F.broadcast(bounds)).select(
         "custkey",

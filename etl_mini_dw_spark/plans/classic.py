@@ -710,10 +710,16 @@ LIMIT 50
 # CV² = (n_w·Σq² − T²)/T², so X ⇔ 4·(n_w·Σq² − T²) ≤ T² — no rounded
 # float ever gates a class boundary.
 #
-# Scale: two partial-aggregable per-part rollups; the ABC cumulative
-# window runs over |parts| rows (the one global step — swap for
-# range-partitioned prefix sums at catalog scales beyond one executor's
-# sort buffer, same note as the Pareto curve).
+# Scale (r7 VERDICT task #2): NO global cumulative window. A part's
+# cumulative revenue in the (r DESC, pk ASC) order decomposes as
+# S(>r) + tie_rank·r where S(>r) = total revenue of strictly-richer
+# parts (read off a ≤1025-bucket coarse histogram + the bucket's value
+# dictionary — the quantiles.py two-pass discipline, here weighted by
+# revenue instead of row count) and tie_rank = row_number within the
+# r-tie group (window partitioned by r — tie-group-sized, essentially
+# singleton for a continuous revenue measure). Raw parts are touched by
+# map-side-combinable aggregates only; the one global window scans the
+# coarse histogram.
 
 
 def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -727,26 +733,79 @@ def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .cast("bigint")
         .alias("r")
+    ).localCheckpoint(eager=False)
+    # value dictionary (distinct revenue values, tie counts) + coarse
+    # histogram keyed by floor((r−min)/width), width from min/max —
+    # bucket order == value order, ≤ ~1025 buckets at any range
+    dict_r = rev.groupBy("r").agg(F.count(F.lit(1)).alias("cnt"))
+    mm = dict_r.agg(
+        F.min("r").cast("double").alias("_mn"),
+        F.max("r").cast("double").alias("_mx"),
     )
-    wcum = Window.orderBy(F.col("r").desc(), F.col("pk")).rowsBetween(
-        Window.unboundedPreceding, 0
+    w_col = F.greatest(
+        (F.col("_mx") - F.col("_mn")) / F.lit(1024.0), F.lit(1e-12)
     )
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    abc = rev.select(
-        "pk",
+    dict_r = dict_r.crossJoin(F.broadcast(mm)).select(
         "r",
-        F.sum("r").over(wcum).alias("cum"),
-        F.sum("r").over(wall).alias("tot"),
-    ).select(
-        "pk",
-        "r",
-        F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
-        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
-        .otherwise("C")
-        .alias("abc"),
-        "tot",
+        "cnt",
+        F.floor((F.col("r").cast("double") - F.col("_mn")) / w_col)
+        .cast("bigint")
+        .alias("hb"),
+    )
+    hist = dict_r.groupBy("hb").agg(
+        F.sum(F.col("r") * F.col("cnt")).alias("brev")
+    )
+    # metadata-sized cumulative scan: revenue in strictly-richer buckets
+    w_above = Window.orderBy(F.col("hb").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    hist = hist.select(
+        "hb",
+        F.coalesce(F.sum("brev").over(w_above), F.lit(0)).alias("above"),
+    )
+    tot = dict_r.agg(
+        F.sum(F.col("r") * F.col("cnt")).cast("bigint").alias("tot")
+    )
+    # S(>r) per distinct value: richer-bucket total + richer values
+    # within the bucket (window over the bucket's value dictionary)
+    w_in = Window.partitionBy("hb").orderBy(F.col("r").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    s_gt = (
+        dict_r.join(F.broadcast(hist), "hb")
+        .select(
+            "r",
+            (
+                F.col("above")
+                + F.coalesce(
+                    F.sum(F.col("r") * F.col("cnt")).over(w_in), F.lit(0)
+                )
+            ).cast("bigint").alias("s_gt"),
+        )
+    )
+    # tie_rank within the r group reproduces the (r DESC, pk ASC)
+    # cumulative exactly: cum = s_gt + tie_rank·r
+    w_tie = Window.partitionBy("r").orderBy("pk")
+    abc = (
+        rev.join(s_gt, "r")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pk",
+            "r",
+            (F.col("s_gt") + F.row_number().over(w_tie) * F.col("r")).alias(
+                "cum"
+            ),
+            "tot",
+        )
+        .select(
+            "pk",
+            "r",
+            F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+            .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+            .otherwise("C")
+            .alias("abc"),
+            "tot",
+        )
     )
     weekly = li.groupBy(
         F.col("l_partkey").alias("pk"),

@@ -640,7 +640,7 @@ PSI_BUCKETS = 10
 
 
 def _psi_metric(
-    df: DataFrame, label: str, val_col: str, split_col: str, width: float
+    df: DataFrame, label: str, val_col: str, split_col: str
 ) -> DataFrame:
     """One (metric, n_a, n_b, psi) row. Boundaries are side-A decile
     edges; BOTH sides re-bucket by the same boundary rule (bucket =
@@ -650,7 +650,7 @@ def _psi_metric(
     (+1) smoothing keeps empty buckets finite and deterministic.
 
     The edges come from ``quantiles.ntile_bounds`` (two-pass bucket
-    selection over a width-``width`` coarse histogram) — value-identical
+    selection over a min/max-derived coarse histogram) — value-identical
     to the oracle's ntile max-per-tile spelling, with no global row
     sort; the r6 single-partition ntile Window is gone."""
     sliced = df.select(
@@ -658,7 +658,7 @@ def _psi_metric(
         (F.col(split_col) < PSI_CUTOFF).alias("is_a"),
     )
     a = sliced.filter("is_a")
-    bounds = ntile_bounds(a, PSI_BUCKETS, width)
+    bounds = ntile_bounds(a, PSI_BUCKETS)
     bucketed = sliced.crossJoin(F.broadcast(bounds)).select(
         "is_a",
         (F.lit(1) + F.size(F.expr("filter(barr, x -> x < val)"))).alias("bucket"),
@@ -698,17 +698,12 @@ def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregable shuffle per metric."""
     orders = typed_table(spark, sf_dir, "orders")
     li = typed_table(spark, sf_dir, "lineitem")
-    # coarse widths sized for ~10²–10³ histogram buckets per column range
-    out = _psi_metric(
-        orders, "orders.o_totalprice", "o_totalprice", "o_orderdate", 1000.0
-    )
+    out = _psi_metric(orders, "orders.o_totalprice", "o_totalprice", "o_orderdate")
     out = out.unionByName(
-        _psi_metric(li, "lineitem.l_quantity", "l_quantity", "l_shipdate", 1.0)
+        _psi_metric(li, "lineitem.l_quantity", "l_quantity", "l_shipdate")
     )
     return out.unionByName(
-        _psi_metric(
-            li, "lineitem.l_extendedprice", "l_extendedprice", "l_shipdate", 500.0
-        )
+        _psi_metric(li, "lineitem.l_extendedprice", "l_extendedprice", "l_shipdate")
     )
 
 
@@ -1274,7 +1269,7 @@ GAINS_BUCKETS = 10
 
 
 def _gains_metric(
-    df: DataFrame, label: str, score_col: str, pos_cond, width: float
+    df: DataFrame, label: str, score_col: str, pos_cond
 ) -> DataFrame:
     """(metric, depth, n, n_pos, cum_n, cum_pos, gains, lift) rows, one
     per non-empty descending-score decile.
@@ -1285,7 +1280,7 @@ def _gains_metric(
     counts one partial-aggregable shuffle, and the cumulative windows
     run over ≤GAINS_BUCKETS rows."""
     base = df.select(F.col(score_col).alias("val"), pos_cond.alias("is_pos"))
-    bounds = ntile_bounds(base, GAINS_BUCKETS, width)
+    bounds = ntile_bounds(base, GAINS_BUCKETS)
     counts = (
         base.crossJoin(F.broadcast(bounds))
         .select(
@@ -1343,25 +1338,15 @@ def gains_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = typed_table(spark, sf_dir, "orders")
     urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     out = _gains_metric(
-        li,
-        "lineitem.discount->returned",
-        "l_discount",
-        F.col("l_returnflag") == "R",
-        0.01,
+        li, "lineitem.discount->returned", "l_discount", F.col("l_returnflag") == "R"
     )
     out = out.unionByName(
         _gains_metric(
-            li,
-            "lineitem.quantity->returned",
-            "l_quantity",
-            F.col("l_returnflag") == "R",
-            1.0,
+            li, "lineitem.quantity->returned", "l_quantity", F.col("l_returnflag") == "R"
         )
     )
     return out.unionByName(
-        _gains_metric(
-            orders, "orders.totalprice->urgent", "o_totalprice", urgent, 1000.0
-        )
+        _gains_metric(orders, "orders.totalprice->urgent", "o_totalprice", urgent)
     ).orderBy("metric", "depth")
 
 

@@ -3,10 +3,9 @@
 Replicates the external driver: entry() smoke at sf0.001, then every
 queries()[name] vs oracle_sql()[name] via DuckDB at sf0.01 (row count +
 sorted column names + order-insensitive stringified values). Exits
-non-zero on any mismatch. This is the /verify recipe from
-.claude/skills/verify/SKILL.md, runnable as:
+non-zero on any mismatch. Run as:
 
-    timeout 1800 python scripts/verify_drive.py [--sf /root/testdata/sf0.01] [-k substr]
+    timeout 1800 python scripts/verify_drive.py [--sf /root/testdata/sf0.01] [-k substr[,substr...]]
 """
 
 from __future__ import annotations
@@ -55,7 +54,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--smoke-sf", default="/root/testdata/sf0.001")
-    ap.add_argument("-k", default="", help="only run queries whose name contains this")
+    ap.add_argument(
+        "-k",
+        default="",
+        help="only run queries whose name contains one of these comma-separated substrings",
+    )
     ap.add_argument(
         "--first",
         type=int,
@@ -94,7 +97,8 @@ def main() -> int:
 
     qs, osql = mod.queries(), mod.oracle_sql()
     failed, skipped = [], []
-    names = [n for n in qs if args.k in n]
+    pats = [p for p in args.k.split(",") if p] or [""]
+    names = [n for n in qs if any(p in n for p in pats)]
     if args.first:
         names = names[: args.first]
     for i, name in enumerate(names):

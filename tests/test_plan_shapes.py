@@ -556,6 +556,31 @@ def test_boundary_tiles_no_raw_row_ntile(spark, sf_dir):
         assert "ntile" not in plan, plan[:3000]
 
 
+def test_rfm_no_global_metric_windows(spark, sf_dir):
+    """r7 VERDICT task #2: the RFM quintile boundaries must come from
+    ceil_rank_bounds (histogram/dictionary windows), never a global
+    row_number sort of the customer aggregate — no windowspecdefinition
+    may order by a raw RFM metric column."""
+    from etl_mini_dw_spark.plans import behavior
+
+    plan = _plan(behavior.customer_rfm_segments(spark, sf_dir))
+    assert "ntile(" not in plan, plan[:3000]  # output cols are *_quintile
+    assert not re.search(
+        r"windowspecdefinition\((recency_days|frequency|monetary)#", plan
+    ), plan[:3000]
+
+
+def test_abc_xyz_no_global_cumulative_window(spark, sf_dir):
+    """r7 VERDICT task #2: the ABC cumulative share must decompose as
+    S(>r) + tie_rank·r — the only unpartitioned windows scan the coarse
+    histogram (hb), never the per-part revenue frame (no
+    windowspecdefinition starting at r DESC)."""
+    from etl_mini_dw_spark.plans import classic
+
+    plan = _plan(classic.abc_xyz_matrix(spark, sf_dir))
+    assert not re.search(r"windowspecdefinition\(r#\d+L? DESC", plan), plan[:3000]
+
+
 def test_quality_deciles_windows_bucket_partitioned(spark, sf_dir):
     """Per-row decile labels must be closed-form from histogram ranks:
     no ntile, and every row-level window partitioned by (lang, bucket) —

@@ -31,25 +31,50 @@ def _bounds_via_ntile(df, k):
 def test_ntile_bounds_matches_ntile_across_shapes(spark):
     rng = random.Random(20260815)
     cases = [
-        # (values, k, width): heavy ties, spread, n % k != 0, n < k
-        ([rng.randint(0, 10) for _ in range(257)], 10, 1.0),
-        ([rng.uniform(0, 1000) for _ in range(301)], 10, 37.0),
-        ([5.0] * 40 + [7.0] * 3, 10, 1.0),  # one value spans many tiles
-        ([rng.randint(0, 3) for _ in range(23)], 5, 0.5),
-        ([1.0, 2.0, 3.0], 10, 1.0),  # n < k: only n-1 edges exist
-        ([4.2], 4, 10.0),  # single row: no edges
+        # (values, k): heavy ties, spread, n % k != 0, n < k,
+        # constant column (min == max → width floor kicks in)
+        ([rng.randint(0, 10) for _ in range(257)], 10),
+        ([rng.uniform(0, 1000) for _ in range(301)], 10),
+        ([5.0] * 40 + [7.0] * 3, 10),  # one value spans many tiles
+        ([rng.randint(0, 3) for _ in range(23)], 5),
+        ([1.0, 2.0, 3.0], 10),  # n < k: only n-1 edges exist
+        ([4.2], 4),  # single row: no edges
+        ([9.0] * 31, 4),  # constant: zero range
+        ([rng.uniform(-1e9, 1e9) for _ in range(101)], 7),  # wide range
     ]
-    for vals, k, width in cases:
+    for vals, k in cases:
         df = spark.createDataFrame([Row(val=float(v)) for v in vals])
         expected = _bounds_via_ntile(df, k)
-        got = ntile_bounds(df, k, width).collect()[0]["barr"]
-        assert got == expected, (vals[:10], k, width, got, expected)
+        got = ntile_bounds(df, k).collect()[0]["barr"]
+        assert got == expected, (vals[:10], k, got, expected)
 
 
 def test_ntile_bounds_empty_input(spark):
     df = spark.createDataFrame([], "val double")
-    got = ntile_bounds(df, 10, 1.0).collect()[0]["barr"]
+    got = ntile_bounds(df, 10).collect()[0]["barr"]
     assert got == []
+
+
+def test_ceil_rank_bounds_matches_row_number_rank(spark):
+    """ceil_rank_bounds must equal the value at sorted rank ⌈i·n/K⌉ —
+    the RFM quintile spelling (min val whose row_number == rank, with
+    any total ordering: boundary VALUES are multiset-determined)."""
+    from etl_mini_dw_spark.functions.quantiles import ceil_rank_bounds
+
+    rng = random.Random(99)
+    cases = [
+        ([rng.randint(0, 6) for _ in range(83)], 5),
+        ([rng.uniform(0, 100) for _ in range(40)], 5),
+        ([2.0] * 17, 5),  # all-ties
+        ([1.0, 2.0], 5),  # n < k: ranks repeat
+    ]
+    for vals, k in cases:
+        df = spark.createDataFrame([Row(val=float(v)) for v in vals])
+        n = len(vals)
+        sv = sorted(vals)
+        expected = sorted(sv[((i * n + k - 1) // k) - 1] for i in range(1, k))
+        got = ceil_rank_bounds(df, k).collect()[0]["barr"]
+        assert got == expected, (vals[:10], k, got, expected)
 
 
 def test_ntile_label_cols_matches_ntile(spark):
