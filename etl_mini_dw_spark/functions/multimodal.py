@@ -246,9 +246,33 @@ def feature_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte_len (zlib-dependent) and the full-image mean (md5-CHAIN pixels;
     DuckDB 1.0's md5 is VARCHAR-only, so rows 1+ are unreachable
     SQL-side) stay in the full output, value-pinned by
-    tests/test_png_codec.py::test_extract_features_full_columns."""
-    return extract_features(spark, sf_dir).select(
-        "doc_id", "width", "height", "channels", "row0_sum"
+    tests/test_png_codec.py::test_extract_features_full_columns.
+
+    Spark cannot column-prune INTO a mapInPandas (r7 ADVICE), so this
+    projection runs its own lighter extractor: same render + real
+    decode (the seam's point), but only the projected columns are
+    computed — no full-image pixel sum, no byte_len — instead of
+    running ``extract_features`` and discarding columns."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _extract_light(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            infos = pdf["text"].map(lambda t: decode_png(render_text_png(t)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": infos.map(lambda d: d["width"]),
+                    "height": infos.map(lambda d: d["height"]),
+                    "channels": infos.map(lambda d: d["channels"]),
+                    "row0_sum": infos.map(
+                        lambda d: sum(d["pixels"][: d["width"]])
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(
+        _extract_light,
+        "doc_id bigint, width int, height int, channels int, row0_sum bigint",
     )
 
 

@@ -170,7 +170,15 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline, so recall against `ext_ann_bruteforce_topk` is directly
     inspectable. adc_dist is the exact integer Σ_m ‖q_m − c[code_m]‖².
     """
-    scored = _adc_scored(spark, sf_dir)
+    from etl_mini_dw_spark.functions.simsearch import shard_topk_prune
+
+    scored = shard_topk_prune(
+        _adc_scored(spark, sf_dir),
+        ["query_id"],
+        [F.col("adc_dist"), F.col("cand_id")],
+        TOP_K,
+        "cand_id",
+    )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -201,8 +209,16 @@ def ann_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only. All arithmetic stays in the repo's ×1000 integer quantization,
     so the result is layout-invariant and the oracle replays it exactly.
     """
+    from etl_mini_dw_spark.functions.simsearch import shard_topk_prune
+
     emb = _quantized(spark, sf_dir)
-    scored = _adc_scored(spark, sf_dir)
+    scored = shard_topk_prune(
+        _adc_scored(spark, sf_dir),
+        ["query_id"],
+        [F.col("adc_dist"), F.col("cand_id")],
+        SHORTLIST,
+        "cand_id",
+    )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
     short = (
         scored.withColumn("rn", F.row_number().over(w))

@@ -317,9 +317,12 @@ FROM (SELECT pattern FROM pats) s LEFT JOIN agg a USING (pattern)
 # so the fused ordering is integer-total (ties → doc_id) and the driver
 # hash never sees a float.
 #
-# 100 TB shape: both input rankings are already top-k-bounded (Σ df
-# postings join; 16-byte signature scan), so fusion itself is a
-# FULL-OUTER equi-join of two (queries × k)-row frames plus one bounded
+# 100 TB shape: both input rankings are top-k-bounded BEFORE any
+# per-query window — the lexical arm by the Σ df postings join, the
+# semantic arm by a shard-local tournament prune over the 16-byte
+# signature scan (shard_topk_prune: no task ever holds more than
+# corpus/64 rows; r7 ADVICE fix) — so fusion itself is a union +
+# aggregate of two (queries × k)-row frames plus one bounded
 # per-query window — dim-sized however big the corpus is.
 
 RRF_K = 60
@@ -330,7 +333,10 @@ RRF_TOP_K = 10
 def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(q_doc, rank, doc_id, r_lex, r_sem, rrf_scaled): top-10 fused
     candidates per query doc from BM25 ∪ embedding-hamming rankings."""
-    from etl_mini_dw_spark.functions.simsearch import _sig_expr_spark
+    from etl_mini_dw_spark.functions.simsearch import (
+        _sig_expr_spark,
+        shard_topk_prune,
+    )
 
     lex = bm25_topk(spark, sf_dir).select(
         "q_doc", "doc_id", F.col("rank").alias("r_lex")
@@ -347,12 +353,20 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ham = F.expr("bit_count(q_lo ^ sig_lo) + bit_count(q_hi ^ sig_hi)")
     w_sem = Window.partitionBy("q_doc").orderBy("hamming", "doc_id")
-    sem = (
+    # shard-local top-k first (r7 ADVICE): the per-query window below
+    # ranks ≤ 64·k survivors, never the corpus — the BM25 arm is already
+    # postings-bounded, and this bounds the semantic arm the same way
+    scored = (
         F.broadcast(q)
         .crossJoin(emb)
         .filter(F.col("q_doc") != F.col("vec_id"))
         .select("q_doc", F.col("vec_id").alias("doc_id"), ham.alias("hamming"))
-        .withColumn("r_sem", F.row_number().over(w_sem).cast("int"))
+    )
+    pruned = shard_topk_prune(
+        scored, ["q_doc"], [F.col("hamming"), F.col("doc_id")], BM25_TOP_K, "doc_id"
+    )
+    sem = (
+        pruned.withColumn("r_sem", F.row_number().over(w_sem).cast("int"))
         .filter(F.col("r_sem") <= BM25_TOP_K)
         .select("q_doc", "doc_id", "r_sem")
     )

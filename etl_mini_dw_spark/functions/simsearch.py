@@ -28,6 +28,41 @@ LSH_DIMS = [0, 8, 16, 24, 32, 40, 48, 56]
 NEAR_DUP_COSINE = 0.93
 
 
+def shard_topk_prune(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list,
+    k: int,
+    shard_col: str,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Distributed exact top-k pre-prune (two-level tournament).
+
+    A per-key ``row_number`` window moves EVERY candidate row for one key
+    into one task — corpus-sized per query for the brute-force scorers,
+    the single-task bottleneck the r7 ADVICE flagged on the RRF semantic
+    arm. This stage-1 prune keeps each shard's local top-k instead
+    (window partitioned by ``(key, pmod(shard_col, n_shards))`` — no task
+    ever holds more than corpus/n_shards rows), after which the caller's
+    original per-key window ranks the ≤ n_shards·k survivors.
+
+    Value-identical for any TOTAL ``order_cols`` ordering: every global
+    top-k row is by definition within its own shard's top-k, so no
+    survivor set ever misses one. Locally this adds one extra shuffle of
+    the scored frame; at scale it converts O(corpus) per-task memory into
+    O(corpus / n_shards) — on a 1000-executor cluster n_shards rises with
+    the corpus partition count and the stage parallelizes fully.
+    """
+    shard = F.pmod(F.col(shard_col), F.lit(n_shards))
+    w1 = Window.partitionBy(*key_cols, "_shard").orderBy(*order_cols)
+    return (
+        df.withColumn("_shard", shard)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_shard", "_r1")
+    )
+
+
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
     " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -65,11 +100,22 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
-    return (
+    scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("cand_id"))
         .withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w))
+    )
+    # shard-local top-k first: the final per-query window ranks ≤ 64·k
+    # survivors, never the corpus (see shard_topk_prune)
+    pruned = shard_topk_prune(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("cand_id")],
+        TOP_K,
+        "cand_id",
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "cand_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
@@ -405,11 +451,20 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = coded.select(F.col("vec_id").alias("cand_id"), F.col("codes").alias("cc"))
     w = Window.partitionBy("query_id").orderBy(F.col("qdot").desc(), F.col("cand_id"))
-    return (
+    scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("cand_id"))
         .withColumn("qdot", F.expr(_QDOT.format(a="qc", b="cc")))
-        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+    pruned = shard_topk_prune(
+        scored,
+        ["query_id"],
+        [F.col("qdot").desc(), F.col("cand_id")],
+        TOP_K,
+        "cand_id",
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "cand_id", "qdot", "rank")
     )
@@ -581,12 +636,21 @@ def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ham = F.expr("bit_count(q_lo ^ c_lo) + bit_count(q_hi ^ c_hi)")
     w = Window.partitionBy("query_id").orderBy(F.col("hamming"), F.col("cand_id"))
-    return (
+    scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("cand_id"))
         .withColumn("hamming", ham.cast("int"))
-        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+    pruned = shard_topk_prune(
+        scored,
+        ["query_id"],
+        [F.col("hamming"), F.col("cand_id")],
+        TOP_K,
+        "cand_id",
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= TOP_K)
         .select(
             "query_id",

@@ -592,6 +592,27 @@ def test_quality_deciles_windows_bucket_partitioned(spark, sf_dir):
     assert re.search(r"windowspecdefinition\(lang#\d+", plan), plan[:3000]
 
 
+def test_ann_brute_force_windows_are_shard_pruned(spark, sf_dir):
+    """r7 ADVICE: every brute-force per-query ranking must pass through
+    the shard-local tournament prune (shard_topk_prune) before its
+    per-query window — the plan must contain a window partitioned by
+    (query key, _shard), so no task ever holds a corpus-sized partition."""
+    from etl_mini_dw_spark.functions import pq, retrieval, simsearch
+
+    for fn, key in (
+        (simsearch.ann_bruteforce_topk, "query_id"),
+        (simsearch.ann_int8_topk, "query_id"),
+        (simsearch.ann_hamming_topk, "query_id"),
+        (pq.ann_pq_topk, "query_id"),
+        (pq.ann_pq_refined_topk, "query_id"),
+        (retrieval.rrf_hybrid_topk, "q_doc"),
+    ):
+        plan = _plan(fn(spark, sf_dir))
+        assert re.search(
+            rf"windowspecdefinition\({key}#\d+L?, _shard#", plan
+        ), (fn.__name__, plan[:2000])
+
+
 def test_rrf_fusion_no_sort_merge(spark, sf_dir):
     """RRF fusion joins two top-k-bounded frames; the BM25 candidate
     join and the signature scan must never sort-merge the corpus."""

@@ -5,9 +5,13 @@ delta replace same-key current rows, unmatched current rows survive,
 new keys insert (the reference's UPDATE-from-join + INSERT pair,
 `code/SQL_1…sql:924–990`, as one call). The Delta backend exercises the
 same contract through a native MERGE INTO when delta-spark is on the
-classpath; in this container it is not, so those tests skip — the
-contract is proven on ParquetStore and the DeltaStore call shapes are
-compile-checked by import.
+classpath; in this container it is not AND cannot be (package installs
+are prohibited in this environment — verified r8, not just "absent"),
+so those tests skip permanently here: the parquet path carries the full
+contract (including the crash-safety sweep in test_store_crash_safety),
+and the DeltaStore call shapes are compile-checked by import. On any
+deployment with delta-spark installed, the skips lift automatically and
+the same assertions run against the Delta commit log.
 """
 
 from __future__ import annotations
