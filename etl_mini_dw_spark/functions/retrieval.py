@@ -105,6 +105,18 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_shared_terms"),
         F.sum("term_scaled").cast("bigint").alias("score_scaled"),
     )
+    # the scored-candidate set per query is df-bounded, but a flat vocab
+    # (this fixture's worst case: every df = n_docs) makes it corpus-
+    # sized — shard-prune before the per-query ranking window (r8)
+    from etl_mini_dw_spark.functions.simsearch import shard_topk_prune
+
+    agg = shard_topk_prune(
+        agg,
+        ["q_doc"],
+        [F.col("score_scaled").desc(), F.col("doc_id")],
+        BM25_TOP_K,
+        "doc_id",
+    )
     w = Window.partitionBy("q_doc").orderBy(
         F.col("score_scaled").desc(), F.col("doc_id")
     )
@@ -317,13 +329,18 @@ FROM (SELECT pattern FROM pats) s LEFT JOIN agg a USING (pattern)
 # so the fused ordering is integer-total (ties → doc_id) and the driver
 # hash never sees a float.
 #
-# 100 TB shape: both input rankings are top-k-bounded BEFORE any
-# per-query window — the lexical arm by the Σ df postings join, the
-# semantic arm by a shard-local tournament prune over the 16-byte
-# signature scan (shard_topk_prune: no task ever holds more than
-# corpus/64 rows; r7 ADVICE fix) — so fusion itself is a union +
-# aggregate of two (queries × k)-row frames plus one bounded
-# per-query window — dim-sized however big the corpus is.
+# 100 TB shape (re-derived in r8 after SCALE_PROOF measured alpha=1.54
+# on the brute-force semantic arm): the lexical arm is bounded by the
+# Σ df postings join; the semantic arm now generates candidates by the
+# SAME multiprobe sign-LSH discipline as `simsearch.ivf_multiprobe_topk`
+# — each query probes its own 8-bit bucket plus the 8 buckets at bit
+# distance 1 (~3.5% of the corpus), ranks by exact sign-bit hamming
+# within the probed cells, and shard-prunes before its window. This is
+# the production hybrid-retrieval shape (ANN candidates + exact re-rank),
+# not a brute-force scan: per-query work is probe-bounded, and fusion
+# itself is a union + aggregate of two (queries × k)-row frames plus one
+# bounded per-query window. The exact-hamming full-scan ranking remains
+# available as `ext_ann_hamming_topk` (the recall baseline).
 
 RRF_K = 60
 RRF_SCALE = 10**12
@@ -332,8 +349,12 @@ RRF_TOP_K = 10
 
 def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(q_doc, rank, doc_id, r_lex, r_sem, rrf_scaled): top-10 fused
-    candidates per query doc from BM25 ∪ embedding-hamming rankings."""
+    candidates per query doc from BM25 ∪ multiprobe-LSH hamming rankings
+    (semantic arm re-blocked in r8 — see the module note above; values
+    changed vs the pre-r8 brute-force arm, registry recheck entry)."""
     from etl_mini_dw_spark.functions.simsearch import (
+        LSH_DIMS,
+        _bucket_expr_spark,
         _sig_expr_spark,
         shard_topk_prune,
     )
@@ -345,22 +366,32 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         _sig_expr_spark(True).alias("sig_lo"),
         _sig_expr_spark(False).alias("sig_hi"),
+        _bucket_expr_spark().alias("bucket"),
     )
+    probes = [F.col("bucket")] + [
+        F.expr(f"CAST(bucket ^ {1 << i} AS INT)") for i in range(len(LSH_DIMS))
+    ]
     q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("q_doc"),
         F.col("sig_lo").alias("q_lo"),
         F.col("sig_hi").alias("q_hi"),
+        F.explode(F.array(*probes)).alias("probe_bucket"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        "sig_lo",
+        "sig_hi",
+        F.col("bucket").alias("probe_bucket"),
     )
     ham = F.expr("bit_count(q_lo ^ sig_lo) + bit_count(q_hi ^ sig_hi)")
     w_sem = Window.partitionBy("q_doc").orderBy("hamming", "doc_id")
-    # shard-local top-k first (r7 ADVICE): the per-query window below
-    # ranks ≤ 64·k survivors, never the corpus — the BM25 arm is already
-    # postings-bounded, and this bounds the semantic arm the same way
+    # candidates = the 9 probed cells per query (each candidate's own
+    # bucket matches exactly one probe — no duplicate pairs); the
+    # per-query window then ranks ≤ 64·k shard-prune survivors
     scored = (
-        F.broadcast(q)
-        .crossJoin(emb)
-        .filter(F.col("q_doc") != F.col("vec_id"))
-        .select("q_doc", F.col("vec_id").alias("doc_id"), ham.alias("hamming"))
+        q.join(c, "probe_bucket")
+        .filter(F.col("q_doc") != F.col("doc_id"))
+        .select("q_doc", "doc_id", ham.alias("hamming"))
     )
     pruned = shard_topk_prune(
         scored, ["q_doc"], [F.col("hamming"), F.col("doc_id")], BM25_TOP_K, "doc_id"
@@ -397,25 +428,31 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rrf_hybrid_topk_sql() -> str:
-    from etl_mini_dw_spark.functions.simsearch import _sig_expr_sql
+    from etl_mini_dw_spark.functions.simsearch import (
+        _bucket_expr_sql,
+        _probe_buckets_expr_sql,
+        _sig_expr_sql,
+    )
 
     return f"""
 WITH lex AS (
   SELECT q_doc, doc_id, rank AS r_lex FROM ({BM25_TOPK_SQL})
 ),
 sig AS (
-  SELECT vec_id, {_sig_expr_sql(True)} AS sig_lo, {_sig_expr_sql(False)} AS sig_hi
+  SELECT vec_id, {_sig_expr_sql(True)} AS sig_lo, {_sig_expr_sql(False)} AS sig_hi,
+         {_bucket_expr_sql()} AS bucket
   FROM embeddings
 ),
 q AS (
-  SELECT vec_id AS q_doc, sig_lo AS q_lo, sig_hi AS q_hi
+  SELECT vec_id AS q_doc, sig_lo AS q_lo, sig_hi AS q_hi,
+         unnest({_probe_buckets_expr_sql("bucket")}) AS probe_bucket
   FROM sig WHERE vec_id % {QUERY_STRIDE} = 0
 ),
 sem0 AS (
   SELECT q.q_doc, s.vec_id AS doc_id,
          bit_count(xor(q.q_lo, s.sig_lo)) + bit_count(xor(q.q_hi, s.sig_hi))
            AS hamming
-  FROM q JOIN sig s ON s.vec_id <> q.q_doc
+  FROM q JOIN sig s ON s.bucket = q.probe_bucket AND s.vec_id <> q.q_doc
 ),
 sem AS (
   SELECT q_doc, doc_id, CAST(r AS INTEGER) AS r_sem FROM (

@@ -14,10 +14,19 @@ thresholded Levenshtein), size proximity, price proximity (exact decimal
 difference). Integer scores ⇒ bit-identical ranking on both engines and
 any partitioning.
 
-Scale: the self-join shuffles on the block key; per-block fan-out is
-(catalog entries per brand×type)², a catalog constant. A skewed generic
-block ("unbranded × misc") gets a block-frequency cap, exactly like the
-stop-prefix cap in `dedup.edit_distance_neardups`.
+Scale (re-blocked in r8 after SCALE_PROOF measured alpha=1.53 on the
+brand×type-only join): brand×type has FIXED cardinality (~150 cells),
+so block sizes grow linearly with the catalog and pairs quadratically —
+the one blocking scheme that cannot survive a 10× catalog. The score
+algebra rescues it exactly: ``score ≥ MIN_SCORE`` requires name_close
+AND (size_close OR price_close), so every qualifying pair sits within
+SIZE_TOL on size OR within PRICE_TOL on price. Candidates are therefore
+the UNION of two BAND self-joins — (brand, type, size band ± 1) and
+(brand, type, price band ± 1), band widths = the tolerances — which is
+value-identical to the coarse join (no qualifying pair can escape both
+bands) while block granularity now scales with the attribute range.
+The measured result (SCALE_PROOF.md): candidates track the true match
+count instead of (catalog/150)².
 """
 
 from __future__ import annotations
@@ -34,24 +43,70 @@ W_NAME, W_SIZE, W_PRICE = 4, 2, 1  # integer match weights
 MIN_SCORE = 5  # emit pairs scoring at least this
 
 
+def _band_candidates(p: DataFrame, bucket: F.Column) -> DataFrame:
+    """(key_a, key_b) candidate pairs within the same (brand, type) AND
+    within ±1 of the given band bucket — one side probes its own bucket
+    plus both neighbors, so any pair whose attribute gap fits inside one
+    band width is generated exactly once (the candidate doc's own bucket
+    matches exactly one of the three probes)."""
+    keyed = p.select("p_partkey", "p_brand", "p_type", bucket.alias("bb"))
+    a = keyed.select(
+        F.col("p_partkey").alias("key_a"),
+        "p_brand",
+        "p_type",
+        F.explode(
+            F.array(F.col("bb") - 1, F.col("bb"), F.col("bb") + 1)
+        ).alias("bb"),
+    )
+    b = keyed.select(F.col("p_partkey").alias("key_b"), "p_brand", "p_type", "bb")
+    return (
+        a.join(b, ["p_brand", "p_type", "bb"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+    )
+
+
 def part_entity_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate duplicate products: (key_a, key_b, per-attribute signals,
-    integer match score ≥ MIN_SCORE)."""
+    integer match score ≥ MIN_SCORE).
+
+    Candidate generation is the size-band ∪ price-band union (module
+    docstring): exact, because MIN_SCORE is unreachable without
+    size_close or price_close. The coarse-join spelling stays as the
+    DuckDB oracle — the executable spec the banded plan must equal.
+    """
     p = typed_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"
     )
-    a, b = p.alias("a"), p.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.p_brand") == F.col("b.p_brand"))
-        & (F.col("a.p_type") == F.col("b.p_type"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    # band widths = the tolerances: |Δ| ≤ TOL ⟹ bucket distance ≤ 1
+    size_band = F.floor(F.col("p_size").cast("double") / F.lit(float(SIZE_TOL)))
+    price_band = F.floor(
+        F.col("p_retailprice").cast("double")
+        / F.lit(float(PRICE_TOL))
     )
-    name_d = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), NAME_DIST_MAX)
+    cands = (
+        _band_candidates(p, size_band)
+        .unionByName(_band_candidates(p, price_band))
+        .distinct()
+    )
+    a_attrs = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_size").alias("size_a"),
+        F.col("p_retailprice").alias("price_a"),
+    )
+    b_attrs = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_size").alias("size_b"),
+        F.col("p_retailprice").alias("price_b"),
+    )
+    pairs = cands.join(a_attrs, "key_a").join(b_attrs, "key_b")
+    name_d = F.levenshtein(F.col("name_a"), F.col("name_b"), NAME_DIST_MAX)
     name_close = (name_d >= 0) & (name_d <= NAME_DIST_MAX)
-    size_close = F.abs(F.col("a.p_size") - F.col("b.p_size")) <= SIZE_TOL
+    size_close = F.abs(F.col("size_a") - F.col("size_b")) <= SIZE_TOL
     price_close = (
-        F.abs(F.col("a.p_retailprice") - F.col("b.p_retailprice"))
+        F.abs(F.col("price_a") - F.col("price_b"))
         <= F.lit(PRICE_TOL).cast("decimal(14,2)")
     )
     score = (
@@ -61,8 +116,8 @@ def part_entity_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.select(
-            F.col("a.p_partkey").alias("key_a"),
-            F.col("b.p_partkey").alias("key_b"),
+            "key_a",
+            "key_b",
             name_close.alias("name_close"),
             size_close.alias("size_close"),
             price_close.alias("price_close"),

@@ -1637,6 +1637,10 @@ _deferred = [
 _DRIVER_WINDOW_RECHECK = [
     "ext_multimodal_features",
     "ext_multimodal_frame_sample",
+    # r8: semantic arm re-blocked from brute-force scan to multiprobe
+    # sign-LSH candidates (SCALE_PROOF alpha 1.54 → probe-bounded) —
+    # fused values changed, needs a fresh driver compare
+    "ext_rrf_hybrid_topk",
 ]
 _recheck = [
     n
