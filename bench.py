@@ -62,7 +62,7 @@ FLOORS = {
     "fact_order_lifecycle": 1.73,
     "fact_customer_monthly_snapshot": 3.8,
     "scd2_customer_asof_snapshot": 1.3,
-    "ext_part_golden_records": 6.5,
+    "ext_part_golden_records": 6.20,
     "ext_edit_distance_neardups": 6.6,
     "ext_pagerank_parts": 5.3,
     "ext_power_iteration_direction": 5.7,
@@ -72,15 +72,15 @@ FLOORS = {
     "ext_heavy_hitter_tokens": 0.90,
     "ext_containment_neardups": 2.3,
     "ext_bloom_membership_report": 1.9,
-    "ext_customer_rfm_segments": 2.2,
+    "ext_customer_rfm_segments": 1.93,
     "ext_part_association_rules": 1.5,
     "ext_value_exact_median": 0.94,
     "ext_embedding_dim_stats": 2.3,
     "ext_revenue_by_category_asof": 1.7,
     "ext_customer_version_churn": 0.75,
-    "ext_part_entity_matches": 2.9,
+    "ext_part_entity_matches": 1.82,
     "ext_lm_surprisal_score": 1.0,
-    "ext_ann_pq_topk": 1.8,
+    "ext_ann_pq_topk": 1.49,
     "ext_pq_codes": 0.46,
     "ext_ann_recall_report": 2.1,
     "ext_corpus_pipeline_summary": 2.6,
@@ -94,12 +94,12 @@ FLOORS = {
     "ext_multimodal_frame_digest": 0.56,
     "ext_hll_register_rollup": 0.91,
     "ext_dup_ngram_coverage": 1.64,
-    "ext_bm25_topk": 1.51,
+    "ext_bm25_topk": 1.30,
     "ext_leakage_free_split": 2.38,
     "ext_bpe_fertility_by_lang": 2.73,
     "ext_streaming_cms_activity": 6.21,  # streaming fixture (3 batches + ckpt)
     "ext_trigram_search": 2.69,
-    "ext_ann_hamming_topk": 0.91,
+    "ext_ann_hamming_topk": 0.79,
     "ext_psi_drift_report": 3.18,  # re-floored r7: two-pass bounds (no global sort)
     "ext_cms_join_size_estimate": 3.14,
     "ext_revenue_cusum_shifts": 2.46,
@@ -140,7 +140,7 @@ FLOORS = {
     "ext_hash_uniformity_audit": 0.58,
     "ext_pareto_skyline_parts": 0.86,
     "ext_mde_power_report": 0.64,
-    "ext_abc_xyz_matrix": 1.32,
+    "ext_abc_xyz_matrix": 2.26,  # r8 histogram decomposition (no global window) — local cost up, scale-correct
     "ext_dedup_threshold_sweep": 1.62,  # warm staged frames
     "ext_poststratified_lift": 1.16,
     "ext_sales_opportunity": 0.61,
@@ -157,15 +157,15 @@ FLOORS = {
     "ext_supplier_scorecard": 1.64,
     # round-7 (min-of-3 isolated, 2026-08-15, load < 1)
     "ext_quality_deciles": 0.63,  # closed-form rank labels
-    "ext_multimodal_features": 0.57,  # per-doc oracled projection
+    "ext_multimodal_features": 0.55,  # per-doc oracled projection
     "ext_ab_srm_check": 0.26,
     "ext_token_pmi_pairs": 0.60,  # warm token-frame memo
-    "ext_rrf_hybrid_topk": 2.56,  # BM25 postings + signature scan + union-fused
+    "ext_rrf_hybrid_topk": 1.95,  # BM25 postings + signature scan + union-fused
     "ext_weighted_median_price": 1.62,  # weighted two-pass selection
     "ext_price_volume_mix": 1.20,  # one fact shuffle + broadcast part
     "ext_hll_cumulative_users": 1.27,  # register build + 256-partition cum merge
     "ext_quantile_forecast_pinball": 0.68,  # daily rollup + 28-row frames
-    "ext_hard_negative_mining": 1.29,  # re-rank of the BM25 top-k pool
+    "ext_hard_negative_mining": 1.54,  # r8: re-rank of the shard-pruned BM25 pool
     # heaviest previously-unfloored lines (min-of-3 isolated, load < 2)
     "ext_fact_diff_digest": 7.89,  # builds + row-hashes the fact table
     "ext_streaming_click_attribution": 5.90,  # streaming fixture (3 batches)
@@ -179,6 +179,31 @@ FLOORS = {
     "ext_streaming_dedup_within_watermark": 2.86,
     "ext_lineitem_corr_matrix": 1.49,
     "validate_expected_tables": 2.53,
+    # round-8: every remaining >2s clean-bench line floored (min-of-3,
+    # load < 2 at start — r7 VERDICT task #6)
+    "ext_triangle_count_parts": 1.85,
+    "current_member_counts_customer": 2.13,
+    "ext_ks_drift_report": 1.76,
+    "validate_dup_current_customer": 2.25,
+    "scd2_customer_late_splice": 1.87,
+    "ext_ind_violation_report": 1.73,
+    "validate_overlaps_customer": 2.61,
+    "ext_events_streaming_tumbling": 1.20,
+    "validate_dup_versions_customer": 2.18,
+    "ext_part_cooccurrence": 1.15,
+    "ext_ann_pq_refined_topk": 1.67,
+    "validate_dup_versions_product": 1.54,
+    "validate_null_validity_customer": 1.87,
+    "scd2_product_two_phase": 1.46,
+    "validate_dup_current_product": 1.38,
+    "validate_dup_versions_salesperson": 1.47,
+    "ext_streaming_stateful_user_totals": 1.64,
+    "ext_simhash64_neardups": 2.13,
+    "bilateral_nation_trade": 1.39,
+    "ext_nation_share_of_region": 1.38,
+    # round-8 re-floors: plans changed this round (shard prune, banded ER
+    # blocking, multiprobe RRF arm, histogram-decomposed ABC)
+    "ext_prefix_filter_capped": 3.20,  # new op: stop-shingle capped PPJoin
 }
 
 

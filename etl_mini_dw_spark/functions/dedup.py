@@ -921,6 +921,7 @@ LIMIT 100
 
 # --- prefix-filter set-similarity join (PPJoin-style) -----------------------
 PREFIX_JACCARD_T = 0.9  # similarity threshold (corpus near-dups are all ≥0.92)
+PREFIX_DF_CAP = 256  # stop-shingle cap for the capped scale-path variant
 
 
 def prefix_filter_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -947,7 +948,37 @@ def prefix_filter_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     - word tokens are NOT usable here: this corpus's 31-word vocabulary
       makes word prefixes non-discriminative (near-all-pairs candidates,
       31 s); 8-char shingle dfs are Zipfian and the prefix prunes.
+
+    Scale (measured, SCALE_PROOF_DOCS r8): exact prefix filtering read
+    alpha=1.35 at a 50 k → 500 k doc step — this corpus's shingle DOMAIN
+    is bounded (31-word vocabulary), so per-shingle dfs grow ∝ corpus
+    and the Σ df_prefix² candidate volume grows ∝ corpus². That is the
+    textbook PPJoin failure mode on low-entropy corpora; the production
+    mitigation is stop-shingle df-capped prefixes —
+    ``prefix_filter_capped_neardups`` below, the scale-path sibling.
     """
+    return _prefix_filter(spark, sf_dir, df_cap=None)
+
+
+def prefix_filter_capped_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin with STOP-SHINGLE df-capped prefixes — the scale path.
+
+    Identical pipeline to ``prefix_filter_neardups`` except shingles with
+    df > PREFIX_DF_CAP are excluded from the PREFIX equi-join (they stay
+    in the sets, so surviving pairs get the exact Jaccard): candidate
+    volume is then Σ_{df ≤ cap} df² ≤ cap · Σ df = cap · corpus-tokens —
+    LINEAR in the corpus by construction, at the cost of missing pairs
+    whose every prefix shingle is a stop-shingle (the standard
+    stop-word/rare-feature tradeoff; precedent: the containment op's
+    rare-shingle postings). Deterministic and oracle-replayed, so the
+    recall tradeoff is visible: diff against the exact sibling.
+    """
+    return _prefix_filter(spark, sf_dir, df_cap=PREFIX_DF_CAP)
+
+
+def _prefix_filter(
+    spark: SparkSession, sf_dir: str, df_cap: int | None
+) -> DataFrame:
     hashed = (
         _shingle_hash_arrays(spark, sf_dir)
         .select("doc_id", F.array_distinct("hs").alias("hs"))
@@ -977,6 +1008,12 @@ def prefix_filter_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.posexplode(F.slice("sorted_toks", 1, F.col("L"))).alias("pos0", "token"),
     ).select("doc_id", "n", "token", (F.col("n") - F.col("pos0")).alias("rem"))
+    if df_cap is not None:
+        # stop-shingle cap: drop non-discriminative prefix entries
+        prefixes = prefixes.join(
+            F.broadcast(df_tab.filter(F.col("df") <= df_cap).select("token")),
+            "token",
+        )
     a, b = prefixes.alias("a"), prefixes.alias("b")
     # positional filter (PPJoin): overlap upper bound from the shared
     # prefix position must reach α = ⌈(t/(1+t))·(n_a+n_b)⌉ = ⌈9(n_a+n_b)/19⌉
@@ -1038,7 +1075,16 @@ FROM ({_SHINGLE_ARRAYS_SQL})
 WHERE len(sh_arr) > 0
 """
 
-PREFIX_FILTER_SQL = f"""
+def _prefix_filter_sql(df_cap: int | None) -> str:
+    capped = (
+        f"""prefixes AS (
+  SELECT p.* FROM prefixes0 p JOIN df_tab d USING (token)
+  WHERE d.df <= {df_cap}
+),"""
+        if df_cap is not None
+        else "prefixes AS (SELECT * FROM prefixes0),"
+    )
+    return f"""
 WITH hashed AS ({_HASHED_SETS_SQL}),
 tok AS (SELECT doc_id, unnest(hs) AS token FROM hashed),
 df_tab AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY 1),
@@ -1050,12 +1096,13 @@ ranked AS (
   FROM tok t JOIN df_tab d USING (token)
   GROUP BY t.doc_id
 ),
-prefixes AS (
+prefixes0 AS (
   SELECT doc_id, n,
          unnest(sorted_toks[1:CAST(L AS INT)]) AS token,
          n - unnest(range(CAST(L AS INT))) AS rem
   FROM ranked
 ),
+{capped}
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM prefixes a JOIN prefixes b
@@ -1079,6 +1126,10 @@ WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
 ORDER BY jaccard DESC, doc_a, doc_b
 LIMIT 100
 """
+
+
+PREFIX_FILTER_SQL = _prefix_filter_sql(None)
+PREFIX_FILTER_CAPPED_SQL = _prefix_filter_sql(PREFIX_DF_CAP)
 
 
 def neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -840,6 +840,11 @@ _register("ext_gopher_rule_filter", text.gopher_rule_filter, text.GOPHER_RULES_S
 _register(
     "ext_prefix_filter_neardups", dedup.prefix_filter_neardups, dedup.PREFIX_FILTER_SQL
 )
+_register(
+    "ext_prefix_filter_capped",
+    dedup.prefix_filter_capped_neardups,
+    dedup.PREFIX_FILTER_CAPPED_SQL,
+)
 
 # --- round 3c: containment near-dups (subset duplication) -------------------
 _register(
