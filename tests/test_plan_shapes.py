@@ -592,6 +592,20 @@ def test_quality_deciles_windows_bucket_partitioned(spark, sf_dir):
     assert re.search(r"windowspecdefinition\(lang#\d+", plan), plan[:3000]
 
 
+def test_entity_blocking_is_banded(spark, sf_dir):
+    """r8 SCALE_PROOF fix: ER candidates must come from the banded
+    (brand, type, bucket±1) self-joins — the join keys must include the
+    band bucket `bb`, never a bare (brand, type) equi-join (fixed
+    cardinality ⇒ quadratic blocks at scale)."""
+    from etl_mini_dw_spark.plans import entity
+
+    plan = _plan(entity.part_entity_matches(spark, sf_dir))
+    # both band passes join on [p_brand, p_type, bb]
+    assert len(re.findall(r"p_brand#\d+[^\n]*p_type#\d+[^\n]*bb#\d+", plan)) >= 2, (
+        plan[:3000]
+    )
+
+
 def test_ann_brute_force_windows_are_shard_pruned(spark, sf_dir):
     """r7 ADVICE: every brute-force per-query ranking must pass through
     the shard-local tournament prune (shard_topk_prune) before its

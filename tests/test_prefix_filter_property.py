@@ -58,3 +58,24 @@ def test_candidates_superset_of_true_pairs(sets):
             union = len(sets[i] | sets[j])
             if inter * T_DEN >= union * T_NUM:  # jaccard ≥ t (exact rational)
                 assert (i, j) in cands, (sets[i], sets[j], inter, union)
+
+
+def test_capped_variant_is_subset_of_exact(spark, sf_dir):
+    """The stop-shingle capped PPJoin (r8 scale path) may only LOSE
+    pairs relative to the exact op — surviving pairs carry the exact
+    Jaccard, so every capped row must appear in the exact output with
+    an identical score. At the test sf the cap does not bind, so the
+    two outputs are identical (also pinning that the refactor into
+    _prefix_filter changed nothing for the exact spelling)."""
+    from etl_mini_dw_spark.functions import dedup
+
+    exact = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.prefix_filter_neardups(spark, sf_dir).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.prefix_filter_capped_neardups(spark, sf_dir).collect()
+    }
+    assert capped <= exact
+    assert capped == exact  # cap (df>256) never binds at sf0.001
