@@ -1640,8 +1640,8 @@ _deferred = [
 # (r7: ext_multimodal_features went rows-only → per-doc oracled), which
 # need a fresh compare ahead of the green backlog ...
 _DRIVER_WINDOW_RECHECK = [
-    "ext_multimodal_features",
-    "ext_multimodal_frame_sample",
+    # (r7's multimodal rechecks landed green rows in CORRECTNESS_r07 —
+    # removed so they stop pinning window slots)
     # r8: semantic arm re-blocked from brute-force scan to multiprobe
     # sign-LSH candidates (SCALE_PROOF alpha 1.54 → probe-bounded) —
     # fused values changed, needs a fresh driver compare
