@@ -93,6 +93,26 @@ def main() -> int:
     spark = get_spark("etl_mini_dw_spark-scale-proof")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
+    def _dump(results: dict) -> None:
+        # written after EVERY op: a mid-run crash (e.g. an op whose big-
+        # scale shuffle spill fills the disk — bm25 at 500k flat-vocab
+        # docs did exactly that) must not lose completed measurements
+        try:
+            load_now = round(os.getloadavg()[0], 2)
+        except OSError:
+            load_now = -1.0
+        out = {
+            "ratio": args.ratio,
+            "reps": args.reps,
+            "small_dir": args.small,
+            "big_dir": args.big,
+            "machine_load_avg_1m_at_start": load_start,
+            "machine_load_avg_1m_at_end": load_now,
+            "ops": results,
+        }
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2, sort_keys=True)
+
     results: dict[str, dict] = {}
     for name in ops:
         row: dict = {}
@@ -107,22 +127,7 @@ def main() -> int:
         row["low_confidence"] = row["small"] < 1.0
         results[name] = row
         print(f"{name}: alpha={row['alpha']}", flush=True)
-
-    try:
-        load_end = round(os.getloadavg()[0], 2)
-    except OSError:
-        load_end = -1.0
-    out = {
-        "ratio": args.ratio,
-        "reps": args.reps,
-        "small_dir": args.small,
-        "big_dir": args.big,
-        "machine_load_avg_1m_at_start": load_start,
-        "machine_load_avg_1m_at_end": load_end,
-        "ops": results,
-    }
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=2, sort_keys=True)
+        _dump(results)
     bad = [n for n, r in results.items() if r["alpha"] > 1.3 and not r["low_confidence"]]
     print(f"\nscale_proof: {len(results)} ops, superlinear (>1.3): {bad}")
     return 0
