@@ -63,7 +63,7 @@ FLOORS = {
     "fact_customer_monthly_snapshot": 3.8,
     "scd2_customer_asof_snapshot": 1.3,
     "ext_part_golden_records": 6.20,
-    "ext_edit_distance_neardups": 6.6,
+    "ext_edit_distance_neardups": 0.53,  # r8: capped blocks + broadcast probe (was 1-task AQE coalesce)
     "ext_pagerank_parts": 5.3,
     "ext_power_iteration_direction": 5.7,
     "ext_streaming_left_outer_attribution": 10.1,

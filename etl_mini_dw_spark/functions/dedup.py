@@ -23,7 +23,7 @@ UDFs — with value-identical DuckDB mirrors.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_mini_dw_spark.sources.tables import fanout_scan, load_table, stage_memo
@@ -690,6 +690,10 @@ FROM labeled
 # production shape is block → thresholded verify, which is what this does.
 
 EDIT_PREFIX_LEN = 40
+# per-block membership cap (first N by doc_id): the leading-word block
+# DOMAIN is fixed, so uncapped blocks grow with the corpus and pair work
+# quadratically (SCALE_PROOF r8). Never binds at driver gate scales.
+EDIT_BLOCK_CAP = 1024
 EDIT_MAX_DIST = 10
 
 
@@ -700,10 +704,15 @@ def edit_distance_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
        per-pair cost is bounded regardless of document length.
     2. Block on the leading word: candidate pairs only form inside a
        block, so the self-join is bounded by Σ b² (the same argument as
-       the LSH bands above — never all-pairs). At 100 TB the block key
-       is the shuffle key; a skewed "stop-prefix" block would be capped
-       with a block-frequency filter exactly like the decontamination
-       shingle-df cap in sampling.py.
+       the LSH bands above — never all-pairs). The leading-word DOMAIN
+       is data-independent though (31 words on this corpus), so block
+       sizes grow ∝ corpus and pairs ∝ corpus² — SCALE_PROOF r8 measured
+       the uncapped join as DNF (>10 min for one rep) at 50 k docs. The
+       promised block cap is therefore now real: each block pairs only
+       its first ``EDIT_BLOCK_CAP`` members by doc_id (deterministic
+       total order, mirrored in the oracle), bounding pair work at
+       Σ min(b, cap)² while the cap never binds at the driver gate
+       scales (max block ≈ 160 docs at sf0.1) — values there unchanged.
     3. Verify with the 3-arg thresholded ``levenshtein``: Spark abandons
        the DP row once the running minimum exceeds the bound — O(len·k)
        per pair, not O(len²) — and returns -1 past the threshold, which
@@ -718,7 +727,20 @@ def edit_distance_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("blk", F.regexp_extract("pfx", "^[a-z]+", 0))
     )
-    a, b = d.alias("a"), d.alias("b")
+    w_blk = Window.partitionBy("blk").orderBy("doc_id")
+    d = (
+        d.withColumn("_bn", F.row_number().over(w_blk))
+        .filter(F.col("_bn") <= EDIT_BLOCK_CAP)
+        .drop("_bn")
+    )
+    # the capped frame is KB-scale, so AQE's byte-based coalescing would
+    # run the whole Levenshtein fan-out in ~1 task (measured 128 s vs
+    # 14 s, r8) — broadcast one side and spread the probe side across
+    # all cores; a shuffle join on blk would cap parallelism at #blocks
+    a = d.alias("a").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    b = F.broadcast(d.alias("b"))
     return (
         a.join(
             b,
@@ -735,11 +757,17 @@ def edit_distance_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EDIT_DISTANCE_SQL = f"""
-WITH d AS (
+WITH d0 AS (
   SELECT doc_id,
          substr(lower(text), 1, {EDIT_PREFIX_LEN}) AS pfx,
          regexp_extract(substr(lower(text), 1, {EDIT_PREFIX_LEN}), '^[a-z]+') AS blk
   FROM documents
+),
+d AS (
+  SELECT doc_id, pfx, blk FROM (
+    SELECT *, row_number() OVER (PARTITION BY blk ORDER BY doc_id) AS _bn
+    FROM d0)
+  WHERE _bn <= {EDIT_BLOCK_CAP}
 )
 SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
        CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
