@@ -889,3 +889,271 @@ SELECT 'mean_cosine', CAST(-1 AS BIGINT), n_edges,
 FROM totals
 ORDER BY metric, k
 """
+
+
+# --- per-label centroid drift matrix (embedding-space source monitoring) ----
+# The drift readout an embedding-pipeline owner watches between corpus
+# snapshots: has any label's (or source's) centroid rotated away from
+# the others / from where it used to sit? Cosine between centroids is
+# scale-invariant, so it is computed directly off the per-label
+# per-dimension SUMS (cos(mean_a, mean_b) == cos(sum_a, sum_b)) — the
+# 1/n never needs to materialize and the whole operator is one
+# partial-aggregable groupBy.
+
+
+def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine matrix between per-label embedding centroids.
+
+    Output: (label_a, label_b, n_a, n_b, centroid_cos) for label_a <=
+    label_b — the diagonal rows are the self-check (cos 1.0) and the
+    off-diagonal the drift signal.
+
+    Scale design: like ``embedding_dim_stats``, this is NOT a
+    posexplode + groupBy(label, dim) (which shuffles n_vectors x 64
+    rows). One ``groupBy(label)`` with 64 JVM-side SUM partials reduces
+    every partition map-side to |labels| rows of width 64; the pairwise
+    matrix is then a broadcast self-join of that |labels|-row frame —
+    zero data-sized shuffle at any corpus size. Float sums are
+    order-dependent in the low bits -> cosine rounded to 6 on both
+    sides (repo precedent: cosines); the norm sqrt operand is a sum of
+    squares, exactly >= 0 on both engines, so no sqrt gate is needed.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")] + [
+        F.sum(F.col("embedding")[i].cast("double")).alias(f"s{i}")
+        for i in range(EMB_DIM)
+    ]
+    cent = emb.groupBy(F.col("label").cast("int").alias("label")).agg(*aggs)
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        F.col("n").alias("n_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(EMB_DIM)],
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("n").alias("n_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(EMB_DIM)],
+    )
+    dot = None
+    na2 = None
+    nb2 = None
+    for i in range(EMB_DIM):
+        term = F.col(f"a{i}") * F.col(f"b{i}")
+        ta = F.col(f"a{i}") * F.col(f"a{i}")
+        tb = F.col(f"b{i}") * F.col(f"b{i}")
+        dot = term if dot is None else dot + term
+        na2 = ta if na2 is None else na2 + ta
+        nb2 = tb if nb2 is None else nb2 + tb
+    return (
+        a.join(F.broadcast(b), F.col("label_a") <= F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(dot / (F.sqrt(na2) * F.sqrt(nb2)), 6).alias("centroid_cos"),
+        )
+    )
+
+
+EMBEDDING_LABEL_DRIFT_SQL = f"""
+WITH per AS (
+  SELECT CAST(label AS INT) AS label, i AS dim,
+         CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS v
+  FROM embeddings, (SELECT unnest(range({EMB_DIM})) AS i)
+),
+cent AS (
+  SELECT label, dim, SUM(v) AS s FROM per GROUP BY label, dim
+),
+cnt AS (SELECT CAST(label AS INT) AS label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM embeddings GROUP BY 1),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         SUM(a.s * b.s) AS dot
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <= b.label
+  GROUP BY 1, 2
+),
+norms AS (SELECT label, sqrt(SUM(s * s)) AS nm FROM cent GROUP BY label)
+SELECT d.label_a, d.label_b, ca.n AS n_a, cb.n AS n_b,
+       round(d.dot / (na.nm * nb.nm), 6) AS centroid_cos
+FROM dots d
+JOIN norms na ON na.label = d.label_a
+JOIN norms nb ON nb.label = d.label_b
+JOIN cnt ca ON ca.label = d.label_a
+JOIN cnt cb ON cb.label = d.label_b
+"""
+
+
+# --- MMR diverse top-k (training-data diversity selection) -------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998) over the int8
+# code space: greedily pick k items per query maximizing
+# lambda*relevance - (1-lambda)*max-similarity-to-already-picked. With
+# lambda = 0.7 in tenths the score is the EXACT integer
+# 7*rel - 3*max_sim over the centered int8 dot products (_QDOT), so the
+# greedy argmax (ties by cand_id) is bit-identical across engines,
+# partitionings, and runs — no float anywhere in a selection decision.
+MMR_POOL = 20  # candidate pool per query (relevance top-P, exact)
+MMR_K = 5  # picks per query
+_MMR_L = 7  # lambda in tenths: score = 7*rel - 3*max_sim
+
+
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR selection of ``MMR_K`` diverse-but-relevant items per
+    query from a relevance-ranked pool of ``MMR_POOL``.
+
+    The training-data curation primitive: pure relevance top-k returns
+    near-duplicates of the query's neighborhood; MMR trades relevance
+    against redundancy so the selected set covers the neighborhood.
+
+    Scale design: the only corpus-sized stage is the relevance scan,
+    and it goes through ``shard_topk_prune`` (no per-query window ever
+    holds more than corpus/64 rows). Everything after operates on the
+    |queries| x MMR_POOL pool — broadcast joins, |queries|-row argmax
+    aggregates per round, MMR_K bounded rounds. Lazy localCheckpoints
+    cut the iterative lineage (CLAUDE.md: Generate/iteration plan
+    growth). Scores are exact int64; argmax ties break on cand_id.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = emb.select(
+        "vec_id", F.expr(_CODE.format(a="embedding")).alias("codes")
+    ).localCheckpoint(eager=False)
+    q = coded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("qc")
+    )
+    c = coded.select(F.col("vec_id").alias("cand_id"), F.col("codes").alias("cc"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(_QDOT.format(a="qc", b="cc")).cast("bigint").alias("rel"),
+            "cc",
+        )
+    )
+    wpool = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("cand_id")
+    )
+    pool = (
+        shard_topk_prune(
+            scored,
+            ["query_id"],
+            [F.col("rel").desc(), F.col("cand_id")],
+            MMR_POOL,
+            "cand_id",
+        )
+        .withColumn("prank", F.row_number().over(wpool))
+        .filter(F.col("prank") <= MMR_POOL)
+        .drop("prank")
+        .localCheckpoint(eager=False)
+    )
+    pool_codes = pool.select("query_id", "cand_id", "cc")
+    selected = None
+    remaining = pool.select("query_id", "cand_id", "rel")
+    for r in range(1, MMR_K + 1):
+        if selected is None:
+            cand = remaining.withColumn("max_sim", F.lit(0).cast("bigint"))
+        else:
+            sel = selected.select(
+                F.col("query_id").alias("sq"), F.col("cc").alias("sc")
+            )
+            cand = (
+                remaining.join(
+                    F.broadcast(pool_codes), ["query_id", "cand_id"]
+                )
+                .join(F.broadcast(sel), F.col("query_id") == F.col("sq"))
+                .withColumn(
+                    "sim", F.expr(_QDOT.format(a="cc", b="sc")).cast("bigint")
+                )
+                .groupBy("query_id", "cand_id")
+                .agg(F.max("rel").alias("rel"), F.max("sim").alias("max_sim"))
+            )
+        scored_r = cand.withColumn(
+            "score",
+            (F.lit(_MMR_L) * F.col("rel") - F.lit(10 - _MMR_L) * F.col("max_sim")).cast(
+                "bigint"
+            ),
+        )
+        wr = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("cand_id")
+        )
+        pick = (
+            scored_r.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .join(F.broadcast(pool_codes), ["query_id", "cand_id"])
+            .select(
+                "query_id",
+                F.lit(r).cast("int").alias("pick_round"),
+                "cand_id",
+                "score",
+                "rel",
+                "cc",
+            )
+            .localCheckpoint(eager=False)
+        )
+        selected = pick if selected is None else selected.unionByName(pick)
+        remaining = remaining.join(
+            F.broadcast(pick.select("query_id", "cand_id")),
+            ["query_id", "cand_id"],
+            "left_anti",
+        )
+    return selected.select("query_id", "pick_round", "cand_id", "score", "rel")
+
+
+def mmr_diverse_topk_sql() -> str:
+    """Unrolled greedy rounds as MATERIALIZED CTEs (CLAUDE.md: DuckDB
+    inlines non-materialized CTEs -> exponential re-evaluation in an
+    iteration chain; Bradley-Terry precedent)."""
+    code = _CODE_SQL.format(a="embedding")
+    parts = [
+        f"""WITH coded AS MATERIALIZED (
+  SELECT vec_id, {code} AS codes FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         CAST({_QDOT_SQL.format(a="q.codes", b="c.codes")} AS BIGINT) AS rel,
+         c.codes AS cc
+  FROM coded q, coded c
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id),
+pool AS MATERIALIZED (
+  SELECT query_id, cand_id, rel, cc FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, cand_id) AS rn
+    FROM scored) WHERE rn <= {MMR_POOL}),
+sel1 AS MATERIALIZED (
+  SELECT query_id, 1 AS pick_round, cand_id,
+         CAST({_MMR_L} * rel AS BIGINT) AS score, rel, cc FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY {_MMR_L} * rel DESC, cand_id) AS rn
+    FROM pool) WHERE rn = 1),
+selall1 AS MATERIALIZED (SELECT * FROM sel1)"""
+    ]
+    for r in range(2, MMR_K + 1):
+        parts.append(
+            f"""cand{r} AS MATERIALIZED (
+  SELECT p.query_id, p.cand_id, MAX(p.rel) AS rel,
+         MAX(CAST({_QDOT_SQL.format(a="p.cc", b="s.cc")} AS BIGINT)) AS max_sim
+  FROM pool p JOIN selall{r - 1} s ON p.query_id = s.query_id
+  WHERE NOT EXISTS (SELECT 1 FROM selall{r - 1} x
+                    WHERE x.query_id = p.query_id AND x.cand_id = p.cand_id)
+  GROUP BY p.query_id, p.cand_id),
+sel{r} AS MATERIALIZED (
+  SELECT c.query_id, {r} AS pick_round, c.cand_id,
+         CAST({_MMR_L} * c.rel - {10 - _MMR_L} * c.max_sim AS BIGINT) AS score,
+         c.rel, p.cc
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY {_MMR_L} * rel - {10 - _MMR_L} * max_sim DESC, cand_id) AS rn
+        FROM cand{r}) c
+  JOIN pool p ON p.query_id = c.query_id AND p.cand_id = c.cand_id
+  WHERE c.rn = 1),
+selall{r} AS MATERIALIZED (
+  SELECT * FROM selall{r - 1} UNION ALL SELECT * FROM sel{r})"""
+        )
+    body = ",\n".join(parts)
+    return (
+        body
+        + f"""
+SELECT query_id, CAST(pick_round AS INT) AS pick_round, cand_id,
+       score, rel
+FROM selall{MMR_K}
+"""
+    )

@@ -1831,3 +1831,125 @@ SELECT m AS stratum, CAST(tot AS BIGINT) AS total_qty,
        CAST(p AS DOUBLE) AS weighted_median_price
 FROM c WHERE cum >= (tot + 1) // 2 AND cum - w < (tot + 1) // 2
 """
+
+
+# --- Poisson bootstrap CI for total revenue (deterministic resampling) -------
+# The distributed bootstrap: independent Poisson(1) replicate weights
+# per (unit, replicate) approximate multinomial resampling without any
+# global coordination (Chamandy et al., "Estimating Uncertainty for
+# Massive Data Streams", Google 2012 — the standard trick at cluster
+# scale because the weight is a pure function of the unit key). Here
+# the uniform driving each weight is an md5-derived 28-bit integer
+# (dedup/bloom's conv-vs-0x portable-hash trick) compared against
+# PRECOMPUTED integer CDF thresholds, so every weight — and therefore
+# every replicate total — is bit-identical across engines, runs, and
+# partitionings, and the replicate totals are EXACT DECIMAL sums.
+BOOT_REPS = 32
+_BOOT_U_MOD = 1 << 28  # 7 hex chars of md5
+# floor(CDF_Poisson(1)(k) * 2^28) for k = 0..7; u >= all => weight 8.
+_BOOT_CDF28 = [
+    98751885,
+    197503771,
+    246879713,
+    263338361,
+    267453023,
+    268275955,
+    268413111,
+    268432704,
+]
+
+
+def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-replicate Poisson-bootstrap totals of orders revenue.
+
+    Output: (rep, boot_total) for rep 0..BOOT_REPS-1, plus the
+    unweighted point estimate as rep = -1. The spread of the replicate
+    totals IS the sampling distribution — any CI convention (normal,
+    percentile) reads off these rows; keeping the per-rep totals in the
+    output keeps every compared value an exact decimal sum (no sqrt /
+    float variance crosses the oracle hash).
+
+    Scale design: project (key, revenue) FIRST, then fan out xB via a
+    sequence explode (cheap literal array — not the expensive-array
+    Generate trap), weight = CASE over an md5 integer (map-only), and
+    ONE groupBy(rep) whose partial aggregation reduces every partition
+    map-side to B rows. No corpus-sized shuffle; at 100 TB the xB
+    fan-out of a 2-column projection is the textbook Poisson-bootstrap
+    cost and B caps executor agg-buffer width. Weights are pure
+    functions of (o_orderkey, rep): a backfill or repartition cannot
+    move a unit across replicates (same property the sampling family
+    keys on, sampling.py module docstring).
+
+    Decimal contract: weight (0..8) is cast to DECIMAL(2,0) before the
+    multiply — Spark's bigint*decimal precision rule would shed scale
+    (CLAUDE.md) — giving DECIMAL(17,2) products whose int64 fast path
+    cannot overflow in DuckDB (10^14 * 10^2 << 2^63); totals compared
+    via CAST(... AS DOUBLE) at the very end on both sides.
+    """
+    o = typed_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    reps = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))).alias("rep"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("rep").cast("string"),
+                )
+            ),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = F.lit(8)
+    for k in range(len(_BOOT_CDF28) - 1, -1, -1):
+        w = F.when(u < _BOOT_CDF28[k], F.lit(k)).otherwise(w)
+    boot = (
+        reps.withColumn("w", w.cast("decimal(2,0)"))
+        .groupBy(F.col("rep").cast("int").alias("rep"))
+        .agg(
+            F.sum(F.col("o_totalprice") * F.col("w"))
+            .cast("double")
+            .alias("boot_total")
+        )
+    )
+    point = o.agg(
+        F.lit(-1).cast("int").alias("rep"),
+        F.sum("o_totalprice").cast("double").alias("boot_total"),
+    )
+    return boot.unionByName(point)
+
+
+def bootstrap_ci_revenue_sql() -> str:
+    cases = " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF28)
+    )
+    return f"""
+WITH reps AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(14,2)) AS p,
+         CAST(r AS INT) AS rep
+  FROM orders, (SELECT unnest(range({BOOT_REPS})) AS r)
+),
+hashed AS (
+  SELECT rep, p,
+         ('0x' || substr(md5(o_orderkey::VARCHAR || ':' || rep::VARCHAR),
+                         1, 7))::BIGINT AS u
+  FROM reps
+),
+weighted AS (
+  SELECT rep, p, CAST(CASE {cases} ELSE 8 END AS DECIMAL(2,0)) AS w
+  FROM hashed
+)
+SELECT rep, CAST(SUM(p * w) AS DOUBLE) AS boot_total
+FROM weighted GROUP BY rep
+UNION ALL
+SELECT CAST(-1 AS INT) AS rep,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS boot_total
+FROM orders
+"""

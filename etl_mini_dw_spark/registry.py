@@ -1513,6 +1513,23 @@ _register(
     _retrieval.hard_negative_mining_sql(),
 )
 
+# --- round 8: embedding drift / diversity selection / resampling -----------
+_register(
+    "ext_embedding_label_drift",
+    simsearch.embedding_label_drift,
+    simsearch.EMBEDDING_LABEL_DRIFT_SQL,
+)
+_register(
+    "ext_mmr_diverse_topk",
+    simsearch.mmr_diverse_topk,
+    simsearch.mmr_diverse_topk_sql(),
+)
+_register(
+    "ext_bootstrap_ci_revenue",
+    _stats.bootstrap_ci_revenue,
+    _stats.bootstrap_ci_revenue_sql(),
+)
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). The rotation is fully

@@ -1,0 +1,108 @@
+"""Semantic properties of the round-8 additions (value parity with the
+DuckDB oracles is covered for all three by tests/test_oracle_parity.py):
+
+- ``ext_embedding_label_drift`` — per-label centroid cosine matrix,
+- ``ext_mmr_diverse_topk``      — greedy integer-exact MMR selection,
+- ``ext_bootstrap_ci_revenue``  — deterministic Poisson bootstrap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_mini_dw_spark.functions import simsearch
+from etl_mini_dw_spark.plans import stats
+from etl_mini_dw_spark.sources.tables import typed_table
+
+
+def test_label_drift_matrix_shape_and_diagonal(spark, sf_dir):
+    rows = simsearch.embedding_label_drift(spark, sf_dir).collect()
+    labels = sorted({r.label_a for r in rows} | {r.label_b for r in rows})
+    n = len(labels)
+    # upper-triangular incl. diagonal over every label pair
+    assert len(rows) == n * (n + 1) // 2
+    for r in rows:
+        assert r.label_a <= r.label_b
+        assert -1.0 <= r.centroid_cos <= 1.0
+        if r.label_a == r.label_b:
+            assert r.centroid_cos == 1.0
+            assert r.n_a == r.n_b
+
+
+def test_mmr_picks_are_distinct_relevant_and_diversified(spark, sf_dir):
+    sel = simsearch.mmr_diverse_topk(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in sel:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(simsearch.N_QUERIES))
+    diversified = 0
+    # pure relevance top-k over the same int8 algebra, for comparison
+    emb = typed_table(spark, sf_dir, "embeddings")
+    coded = emb.select(
+        "vec_id", F.expr(simsearch._CODE.format(a="embedding")).alias("codes")
+    )
+    q = coded.filter(F.col("vec_id") < simsearch.N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("codes").alias("qc")
+    )
+    c = coded.select(F.col("vec_id").alias("cid"), F.col("codes").alias("cc"))
+    rel = (
+        q.crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.expr(simsearch._QDOT.format(a="qc", b="cc")).cast("bigint").alias("rel"),
+        )
+        .collect()
+    )
+    rel_by_q: dict[int, dict[int, int]] = {}
+    for r in rel:
+        rel_by_q.setdefault(r.qid, {})[r.cid] = r.rel
+    for qid, picks in by_q.items():
+        picks.sort(key=lambda r: r.pick_round)
+        ids = [p.cand_id for p in picks]
+        assert len(ids) == simsearch.MMR_K
+        assert len(set(ids)) == simsearch.MMR_K  # no repeats
+        # round 1 is the pure relevance argmax (ties by cand_id)
+        best = min(
+            rel_by_q[qid].items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        assert picks[0].cand_id == best[0]
+        assert picks[0].score == simsearch._MMR_L * picks[0].rel
+        # reported rel matches the recomputed dot for every pick
+        for p in picks:
+            assert p.rel == rel_by_q[qid][p.cand_id]
+        top_k_rel = {
+            cid
+            for cid, _ in sorted(
+                rel_by_q[qid].items(), key=lambda kv: (-kv[1], kv[0])
+            )[: simsearch.MMR_K]
+        }
+        if set(ids) != top_k_rel:
+            diversified += 1
+    # the penalty term must actually change at least one selection set
+    assert diversified >= 1
+
+
+def test_bootstrap_point_estimate_and_replicate_spread(spark, sf_dir):
+    rows = stats.bootstrap_ci_revenue(spark, sf_dir).collect()
+    assert len(rows) == stats.BOOT_REPS + 1
+    by_rep = {r.rep: r.boot_total for r in rows}
+    exact = (
+        typed_table(spark, sf_dir, "orders")
+        .agg(F.sum("o_totalprice").cast("double").alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert by_rep[-1] == exact
+    # Poisson(1) replicate totals concentrate around the point estimate
+    reps = [v for k, v in by_rep.items() if k >= 0]
+    assert all(abs(v - exact) / exact < 0.10 for v in reps)
+    mean = sum(reps) / len(reps)
+    assert abs(mean - exact) / exact < 0.02
+    # deterministic: a recompute returns identical totals
+    again = {
+        r.rep: r.boot_total
+        for r in stats.bootstrap_ci_revenue(spark, sf_dir).collect()
+    }
+    assert again == by_rep
