@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_mini_dw_spark.functions.quantiles import ntile_bounds
-from etl_mini_dw_spark.sources.tables import typed_table
+from etl_mini_dw_spark.sources.tables import fanout_scan, typed_table
 
 _REV = "l_extendedprice * (1 - l_discount)"
 _X_EPOCH = "1992-01-01"  # day index origin
@@ -1886,7 +1886,14 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot overflow in DuckDB (10^14 * 10^2 << 2^63); totals compared
     via CAST(... AS DOUBLE) at the very end on both sides.
     """
-    o = typed_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # the xB md5 fan-out is CPU-bound over a KB-scale scan: without the
+    # round-robin fanout the whole hashing stage runs in the scan's few
+    # input splits (measured 8.7 s at sf0.1 in ~7 tasks; the AQE
+    # byte-coalescing blind spot, CLAUDE.md). No-op on a real cluster.
+    o = fanout_scan(
+        spark,
+        typed_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+    )
     reps = o.select(
         "o_orderkey",
         "o_totalprice",
