@@ -204,6 +204,10 @@ FLOORS = {
     # round-8 re-floors: plans changed this round (shard prune, banded ER
     # blocking, multiprobe RRF arm, histogram-decomposed ABC)
     "ext_prefix_filter_capped": 3.20,  # new op: stop-shingle capped PPJoin
+    # late-r8 additions (min-of-3 isolated; ambient load ~4 — generous)
+    "ext_embedding_label_drift": 2.74,  # 64-sum agg codegen dominates (5k rows)
+    "ext_mmr_diverse_topk": 3.13,  # 5 greedy rounds of tiny-frame actions
+    "ext_bootstrap_ci_revenue": 1.24,  # x32 md5 fan-out, fanout_scan-parallel
 }
 
 
