@@ -1529,6 +1529,11 @@ _register(
     _stats.bootstrap_ci_revenue,
     _stats.bootstrap_ci_revenue_sql(),
 )
+_register(
+    "ext_item_item_similarity",
+    olap.item_item_similarity,
+    olap.ITEM_ITEM_SIMILARITY_SQL,
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
