@@ -55,6 +55,11 @@ DEFAULT_OPS = [
     "ext_gopher_rule_filter",
     "ext_customer_rfm_segments",
     "ext_abc_xyz_matrix",
+    # late-r8 additions (first measured in SCALE_PROOF_R8B.json)
+    "ext_embedding_label_drift",
+    "ext_mmr_diverse_topk",
+    "ext_bootstrap_ci_revenue",
+    "ext_item_item_similarity",
 ]
 
 

@@ -106,3 +106,48 @@ def test_bootstrap_point_estimate_and_replicate_spread(spark, sf_dir):
         for r in stats.bootstrap_ci_revenue(spark, sf_dir).collect()
     }
     assert again == by_rep
+
+
+def test_bootstrap_weights_follow_poisson_pmf(spark, sf_dir):
+    """The integer CDF thresholds must actually encode Poisson(1) — a
+    wrong constant would still hash-match the oracle (both engines
+    would share the bug), so pin the weight DISTRIBUTION itself: over
+    n_orders x 32 md5-uniform draws, each weight's frequency must sit
+    near e^-1/k! (binomial 5-sigma slack)."""
+    import math
+
+    o = typed_table(spark, sf_dir, "orders").select("o_orderkey")
+    reps = o.select(
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(0), F.lit(stats.BOOT_REPS - 1))).alias("rep"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("rep").cast("string"),
+                )
+            ),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = F.lit(8)
+    for k in range(len(stats._BOOT_CDF28) - 1, -1, -1):
+        w = F.when(u < stats._BOOT_CDF28[k], F.lit(k)).otherwise(w)
+    counts = {
+        r.w: r.n
+        for r in reps.select(w.alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n = sum(counts.values())
+    for k in range(4):  # tail classes too rare for a tight bound
+        p = math.exp(-1.0) / math.factorial(k)
+        sigma = math.sqrt(n * p * (1 - p))
+        assert abs(counts.get(k, 0) - n * p) < 5 * sigma, (k, counts)
