@@ -209,6 +209,7 @@ FLOORS = {
     "ext_mmr_diverse_topk": 3.13,  # 5 greedy rounds of tiny-frame actions
     "ext_bootstrap_ci_revenue": 1.24,  # x32 md5 fan-out, fanout_scan-parallel
     "ext_item_item_similarity": 3.15,  # basket-pair join + shard-pruned top-k
+    "ext_forecast_reconciliation": 2.52,  # one corpus rollup + series frames
 }
 
 

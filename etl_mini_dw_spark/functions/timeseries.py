@@ -503,3 +503,245 @@ SELECT month, q10, CAST(COUNT(*) AS BIGINT) AS n_days,
        round(CAST(SUM(pin) AS DOUBLE) / (1000.0 * COUNT(*)), 6) AS avg_pinball
 FROM pins GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# --- hierarchical forecast reconciliation (nation -> region, exact) ---------
+# Forecasts made independently per level of a rollup hierarchy do not
+# add up (the "incoherence" every planning pipeline hits); this operator
+# measures that gap and produces a top-down reconciled set that IS
+# coherent — to the cent — via the penny allocator's largest-remainder
+# rule. Everything runs in integer cents: the drift forecast is
+# y_last + (y_last - y_first) div (n-1) (both engines truncate integer
+# division toward zero — verified), and the proportional allocation
+# uses DECIMAL(38,0)/HUGEINT cross products (R * t_i overflows int64 at
+# bench scale already), so every output cell is exact — no rounding,
+# no float, bit-identical on any layout.
+
+
+def forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation drift forecasts vs the region-level forecast, plus the
+    Hamilton-reconciled top-down set.
+
+    Output (region, nation, hist_cents, fc_base_cents,
+    fc_reconciled_cents, adj_cents): one row per nation (adj = base −
+    reconciled) and one 'ALL' row per region where fc_base is the
+    region's own drift forecast, fc_reconciled the clamped allocation
+    total, and adj the INCOHERENCE (region forecast − sum of nation
+    forecasts) the reconciliation removed.
+
+    Scale design: the corpus is touched ONCE by the (region, nation,
+    month) rollup (partial-aggregable); every later step runs on the
+    ~|nations × months| series frame and |nations|-row allocation
+    frames — broadcast joins and region-bounded windows (≤ |nations per
+    region| rows). A negative region forecast is clamped to 0 before
+    allocation (demand is non-negative; documented on both sides).
+    """
+    li = typed_table(spark, sf_dir, "lineitem")
+    orders = typed_table(spark, sf_dir, "orders")
+    cust = typed_table(spark, sf_dir, "customer")
+    nation = typed_table(spark, sf_dir, "nation")
+    region = typed_table(spark, sf_dir, "region")
+    monthly = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("idx"),
+        )
+        .agg(
+            # explicit floor on BOTH sides: Spark's decimal(38,0) rescale
+            # rounds HALF_UP while DuckDB's decimal->BIGINT cast rounds
+            # differently at exact-tie cents (Benford-trap family) — floor
+            # of a positive decimal is the one rounding both agree on
+            F.floor(F.sum(F.expr("l_extendedprice * (1 - l_discount)")) * 100)
+            .cast("bigint")
+            .alias("y")
+        )
+        .localCheckpoint(eager=False)  # tiny series frame, joined 4 ways
+    )
+
+    def _drift(series: DataFrame, keys: list[str]) -> DataFrame:
+        """keys + (hist_cents, fc_base_cents) via endpoint drift."""
+        span = series.groupBy(*keys).agg(
+            F.min("idx").alias("i0"),
+            F.max("idx").alias("i1"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("hist_cents"),
+        )
+        e0 = series.select(*keys, F.col("idx").alias("i0"), F.col("y").alias("y0"))
+        e1 = series.select(*keys, F.col("idx").alias("i1"), F.col("y").alias("y1"))
+        return (
+            span.join(F.broadcast(e0), [*keys, "i0"])
+            .join(F.broadcast(e1), [*keys, "i1"])
+            .select(
+                *keys,
+                "hist_cents",
+                F.when(
+                    F.col("n") > 1,
+                    F.expr("y1 + (y1 - y0) div (n - 1)"),
+                )
+                .otherwise(F.col("y1"))
+                .cast("bigint")
+                .alias("fc_base_cents"),
+            )
+        )
+
+    nat = _drift(monthly, ["region", "nation"]).localCheckpoint(eager=False)
+    reg = _drift(
+        monthly.groupBy("region", "idx").agg(F.sum("y").cast("bigint").alias("y")),
+        ["region"],
+    ).select(
+        "region",
+        F.col("hist_cents").alias("t_total"),
+        F.col("fc_base_cents").alias("fc_region"),
+        F.greatest(F.col("fc_base_cents"), F.lit(0))
+        .cast("bigint")
+        .alias("r_alloc"),
+    )
+    # Hamilton allocation of r_alloc over nation hist shares (exact:
+    # sum(reconciled) == r_alloc by construction)
+    alloc = (
+        nat.join(F.broadcast(reg), "region")
+        .withColumn(
+            "fl",
+            F.expr(
+                "CAST((CAST(r_alloc AS DECIMAL(38,0)) * hist_cents)"
+                " div t_total AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "rem",
+            F.expr(
+                "CAST((CAST(r_alloc AS DECIMAL(38,0)) * hist_cents)"
+                " % t_total AS BIGINT)"
+            ),
+        )
+    )
+    w_left = Window.partitionBy("region")
+    w_rank = Window.partitionBy("region").orderBy(
+        F.col("rem").desc(), F.col("nation")
+    )
+    nat_rows = alloc.select(
+        "region",
+        "nation",
+        "hist_cents",
+        "fc_base_cents",
+        (
+            F.col("fl")
+            + F.when(
+                F.row_number().over(w_rank)
+                <= (F.col("r_alloc") - F.sum("fl").over(w_left)),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("fc_reconciled_cents"),
+    ).withColumn(
+        "adj_cents",
+        (F.col("fc_base_cents") - F.col("fc_reconciled_cents")).cast("bigint"),
+    )
+    reg_rows = (
+        nat.groupBy("region")
+        .agg(F.sum("fc_base_cents").cast("bigint").alias("sum_base"))
+        .join(F.broadcast(reg), "region")
+        .select(
+            "region",
+            F.lit("ALL").alias("nation"),
+            F.col("t_total").alias("hist_cents"),
+            F.col("fc_region").alias("fc_base_cents"),
+            F.col("r_alloc").alias("fc_reconciled_cents"),
+            (F.col("fc_region") - F.col("sum_base"))
+            .cast("bigint")
+            .alias("adj_cents"),
+        )
+    )
+    return nat_rows.unionByName(reg_rows)
+
+
+FORECAST_RECONCILIATION_SQL = """
+WITH monthly AS (
+  -- explicit floor() before the BIGINT cast: DuckDB decimal->BIGINT
+  -- ROUNDS where Spark's DECIMAL(38,0) cast truncates (Benford trap,
+  -- CLAUDE.md); sums are positive so floor == truncate
+  SELECT r_name AS region, n_name AS nation,
+         CAST((EXTRACT(year FROM o_orderdate) - 1995) * 12
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS idx,
+         CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))) * 100)
+              AS BIGINT) AS y
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY 1, 2, 3
+),
+nspan AS (
+  SELECT region, nation, MIN(idx) AS i0, MAX(idx) AS i1,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS hist_cents
+  FROM monthly GROUP BY 1, 2
+),
+nat AS (
+  SELECT s.region, s.nation, s.hist_cents,
+         CAST(CASE WHEN s.n > 1
+              THEN e1.y + (e1.y - e0.y) // (s.n - 1)
+              ELSE e1.y END AS BIGINT) AS fc_base_cents
+  FROM nspan s
+  JOIN monthly e0 ON e0.region = s.region AND e0.nation = s.nation
+                 AND e0.idx = s.i0
+  JOIN monthly e1 ON e1.region = s.region AND e1.nation = s.nation
+                 AND e1.idx = s.i1
+),
+rmonthly AS (
+  SELECT region, idx, CAST(SUM(y) AS BIGINT) AS y
+  FROM monthly GROUP BY 1, 2
+),
+rspan AS (
+  SELECT region, MIN(idx) AS i0, MAX(idx) AS i1,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS t_total
+  FROM rmonthly GROUP BY 1
+),
+reg AS (
+  SELECT s.region, s.t_total,
+         CAST(CASE WHEN s.n > 1
+              THEN e1.y + (e1.y - e0.y) // (s.n - 1)
+              ELSE e1.y END AS BIGINT) AS fc_region,
+         CAST(greatest(CASE WHEN s.n > 1
+              THEN e1.y + (e1.y - e0.y) // (s.n - 1)
+              ELSE e1.y END, 0) AS BIGINT) AS r_alloc
+  FROM rspan s
+  JOIN rmonthly e0 ON e0.region = s.region AND e0.idx = s.i0
+  JOIN rmonthly e1 ON e1.region = s.region AND e1.idx = s.i1
+),
+alloc AS (
+  SELECT n.region, n.nation, n.hist_cents, n.fc_base_cents,
+         r.r_alloc,
+         CAST((CAST(r.r_alloc AS HUGEINT) * n.hist_cents) // r.t_total
+              AS BIGINT) AS fl,
+         CAST((CAST(r.r_alloc AS HUGEINT) * n.hist_cents) % r.t_total
+              AS BIGINT) AS rem
+  FROM nat n JOIN reg r ON r.region = n.region
+),
+nat_rows AS (
+  SELECT region, nation, hist_cents, fc_base_cents,
+         CAST(fl + CASE WHEN row_number() OVER (PARTITION BY region
+                            ORDER BY rem DESC, nation)
+                        <= r_alloc - SUM(fl) OVER (PARTITION BY region)
+                   THEN 1 ELSE 0 END AS BIGINT) AS fc_reconciled_cents
+  FROM alloc
+)
+SELECT region, nation, hist_cents, fc_base_cents, fc_reconciled_cents,
+       CAST(fc_base_cents - fc_reconciled_cents AS BIGINT) AS adj_cents
+FROM nat_rows
+UNION ALL
+SELECT r.region, 'ALL', r.t_total, r.fc_region, r.r_alloc,
+       CAST(r.fc_region - b.sum_base AS BIGINT)
+FROM reg r
+JOIN (SELECT region, CAST(SUM(fc_base_cents) AS BIGINT) AS sum_base
+      FROM nat GROUP BY region) b ON b.region = r.region
+"""

@@ -1534,6 +1534,11 @@ _register(
     olap.item_item_similarity,
     olap.ITEM_ITEM_SIMILARITY_SQL,
 )
+_register(
+    "ext_forecast_reconciliation",
+    _tseries.forecast_reconciliation,
+    _tseries.FORECAST_RECONCILIATION_SQL,
+)
 
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50

@@ -60,6 +60,7 @@ DEFAULT_OPS = [
     "ext_mmr_diverse_topk",
     "ext_bootstrap_ci_revenue",
     "ext_item_item_similarity",
+    "ext_forecast_reconciliation",
 ]
 
 

@@ -108,6 +108,31 @@ def test_bootstrap_point_estimate_and_replicate_spread(spark, sf_dir):
     assert again == by_rep
 
 
+def test_forecast_reconciliation_is_coherent_to_the_cent(spark, sf_dir):
+    from etl_mini_dw_spark.functions import timeseries
+
+    rows = timeseries.forecast_reconciliation(spark, sf_dir).collect()
+    regions = {r.region for r in rows}
+    for reg in regions:
+        nat = [r for r in rows if r.region == reg and r.nation != "ALL"]
+        all_row = next(r for r in rows if r.region == reg and r.nation == "ALL")
+        # history rolls up exactly
+        assert sum(r.hist_cents for r in nat) == all_row.hist_cents
+        # the reconciled set is coherent TO THE CENT (Hamilton exactness)
+        assert (
+            sum(r.fc_reconciled_cents for r in nat)
+            == all_row.fc_reconciled_cents
+        )
+        # ALL row's adj is the measured incoherence the base set had
+        assert all_row.adj_cents == all_row.fc_base_cents - sum(
+            r.fc_base_cents for r in nat
+        )
+    # independent per-level drift forecasts genuinely disagree somewhere
+    assert any(
+        r.adj_cents != 0 for r in rows if r.nation == "ALL"
+    ), "fixture produced perfectly coherent forecasts — test is vacuous"
+
+
 def test_bootstrap_weights_follow_poisson_pmf(spark, sf_dir):
     """The integer CDF thresholds must actually encode Poisson(1) — a
     wrong constant would still hash-match the oracle (both engines
