@@ -1157,3 +1157,175 @@ SELECT query_id, CAST(pick_round AS INT) AS pick_round, cand_id,
 FROM selall{MMR_K}
 """
     )
+
+
+# --- Johnson–Lindenstrauss projection distortion audit ----------------------
+#
+# Achlioptas (2003) "Database-friendly random projections": a ±1 sign
+# matrix (here derived from md5 so both engines share it as a literal —
+# no engine RNG anywhere) projects the 64-dim embeddings to JL_M = 16
+# dims, and the audit measures how well pairwise squared distances
+# survive: ratio = |Pa − Pb|² / (m·|a − b|²), which the JL lemma bounds
+# near 1 ± ε with ε ≈ √(ln n / m). This is the go/no-go report an index
+# owner runs before swapping full-dim ANN for a projected index (the
+# cheap-distance path PQ/IVF families build on).
+#
+# Determinism: embeddings are quantized to integer millis (round-half-up
+# via floor(x·1000 + 0.5) — identical double op both sides), so BOTH
+# distances are exact BIGINT sums; the only doubles are the final
+# per-pair ratio (one IEEE division on identical integers) and the
+# round-6 bucket stats. Mean distortion per bucket is summed in exact
+# integer micro-units (floor(ratio·1e6 + 0.5)) — no order-dependent
+# double accumulation.
+#
+# Scale: pairs come from consecutive-id blocks of JL_BLOCK vectors, so
+# pair count is (JL_BLOCK−1)/2 · n — LINEAR in the corpus, never n².
+# Projections are map-side; the block self-join shuffles on the block id
+# only. A corpus-scale run distributes perfectly: block = partition key.
+
+import hashlib as _hashlib
+
+JL_M = 16  # projected dimensionality
+JL_D = 64  # source dimensionality
+JL_BLOCK = 32  # pair-sampling block width (bounds pairs to ~15.5 n)
+JL_Q = 1000.0  # integer-milli quantization scale
+
+_JL_SIGNS = [
+    [
+        1 if _hashlib.md5(f"jl:{i}:{j}".encode()).digest()[0] % 2 == 0 else -1
+        for i in range(JL_D)
+    ]
+    for j in range(JL_M)
+]
+
+_JL_QV = (
+    "transform({a}, v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+)
+_JL_QV_SQL = (
+    "list_transform({a}, v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+)
+
+
+def _jl_proj_terms(elem_fmt: str) -> list[str]:
+    """The 16 projection expressions as ±-chains over 1-indexed element
+    accesses (``elem_fmt`` e.g. ``'element_at(qv, {i})'`` / ``'qv[{i}]'``)."""
+    exprs = []
+    for j in range(JL_M):
+        terms = "".join(
+            (" + " if _JL_SIGNS[j][i] > 0 else " - ") + elem_fmt.format(i=i + 1)
+            for i in range(JL_D)
+        )
+        exprs.append(f"(CAST(0 AS BIGINT){terms})")
+    return exprs
+
+
+def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, n_pairs, mean_ratio, min_ratio, max_ratio): distribution
+    of the JL distance-distortion ratio over block-sampled vector pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = _jl_proj_terms("element_at(qv, {i})")
+    staged = (
+        emb.select(
+            "vec_id",
+            F.expr("vec_id div 32").alias("blk"),
+            F.expr(_JL_QV.format(a="embedding")).alias("qv"),
+        )
+        .select(
+            "vec_id",
+            "blk",
+            "qv",
+            F.array(*[F.expr(p) for p in proj]).alias("pv"),
+        )
+        .localCheckpoint(eager=False)  # both sides of the pair join
+    )
+    a = staged.alias("a")
+    b = staged.alias("b")
+    d2o = F.expr(
+        "aggregate(zip_with(a.qv, b.qv, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    d2p = F.expr(
+        "aggregate(zip_with(a.pv, b.pv, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(d2o.alias("d2o"), d2p.alias("d2p"))
+        .filter(F.col("d2o") > 0)
+        .select(
+            (
+                F.col("d2p").cast("double")
+                / (F.lit(float(JL_M)) * F.col("d2o").cast("double"))
+            ).alias("ratio")
+        )
+    )
+    binned = pairs.select(
+        F.expr("CAST(floor(ratio * 10.0) AS BIGINT)").alias("bucket"),
+        F.expr("CAST(floor(ratio * 1000000.0 + 0.5) AS BIGINT)").alias("micro"),
+        "ratio",
+    )
+    return (
+        binned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("micro").cast("bigint").alias("sum_micro"),
+            F.min("ratio").alias("mn"),
+            F.max("ratio").alias("mx"),
+        )
+        .select(
+            "bucket",
+            "n_pairs",
+            F.round(
+                F.col("sum_micro").cast("double")
+                / F.col("n_pairs").cast("double")
+                / F.lit(1000000.0),
+                6,
+            ).alias("mean_ratio"),
+            F.round(F.col("mn"), 6).alias("min_ratio"),
+            F.round(F.col("mx"), 6).alias("max_ratio"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def jl_projection_audit_sql() -> str:
+    proj = _jl_proj_terms("qv[{i}]")
+    proj_list = ", ".join(proj)
+    return f"""
+WITH staged AS (
+  SELECT vec_id, vec_id // 32 AS blk,
+         {_JL_QV_SQL.format(a="embedding")} AS qv
+  FROM embeddings
+),
+pv AS (
+  SELECT vec_id, blk, qv, [{proj_list}] AS pv FROM staged
+),
+pairs AS (
+  SELECT list_sum(list_transform(range(1, {JL_D + 1}),
+                                 i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) AS d2o,
+         list_sum(list_transform(range(1, {JL_M + 1}),
+                                 i -> (a.pv[i] - b.pv[i]) * (a.pv[i] - b.pv[i]))) AS d2p
+  FROM pv a JOIN pv b ON a.blk = b.blk AND a.vec_id < b.vec_id
+),
+ratios AS (
+  SELECT CAST(d2p AS DOUBLE) / ({float(JL_M)} * CAST(d2o AS DOUBLE)) AS ratio
+  FROM pairs WHERE d2o > 0
+),
+binned AS (
+  SELECT CAST(floor(ratio * 10.0) AS BIGINT) AS bucket,
+         CAST(floor(ratio * 1000000.0 + 0.5) AS BIGINT) AS micro,
+         ratio
+  FROM ratios
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS mean_ratio,
+       round(MIN(ratio), 6) AS min_ratio,
+       round(MAX(ratio), 6) AS max_ratio
+FROM binned GROUP BY 1 ORDER BY bucket
+"""

@@ -887,3 +887,126 @@ FROM pairs, n
 ORDER BY n_pair DESC, t_a, t_b
 LIMIT {PMI_TOP_PAIRS}
 """
+
+
+# --- Distinctive terms (log-odds with informative Dirichlet prior) ----------
+#
+# Monroe, Colaresi & Quinn (2008), "Fightin' Words": which tokens are
+# over-represented in one language slice vs the rest of the corpus,
+# scored by the z of the log-odds-ratio delta under an informative
+# Dirichlet prior proportional to global counts (total prior mass A0).
+# The corpus-QA / mixture-debugging readout BM25-era pipelines use to
+# answer "what does this slice talk about that the others don't" —
+# e.g. spotting template boilerplate concentrated in one source before
+# it poisons a training mix. (On this fixture the vocabulary is shared
+# across langs — CLAUDE.md — so deltas are small; the REPORT mechanics,
+# ranking and portability are what the oracle pins.)
+#
+# Determinism: counts are exact integers off ONE (lang, word) shuffle;
+# the prior, delta and z are double expressions written in the same
+# evaluation order on both engines, then round-6'd BEFORE ranking so the
+# (z, word) ordering is identical cross-engine even if ln() differs in
+# the last ulp. Ranking window partitions by lang over the vocab-sized
+# aggregate (metadata-sized; same class as the quantile frames).
+#
+# Scale: one partial-aggregable (lang, word) count over the corpus; the
+# word-marginal join is vocab-sized; lang marginals and the total are
+# broadcast one-row/5-row frames. No corpus-sized window, no all-pairs.
+
+DISTINCT_TERMS_A0 = 10.0  # total Dirichlet prior mass
+DISTINCT_TERMS_TOP_K = 5
+
+
+def distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, rnk, word, y, yw, delta, z): top-K tokens per language by
+    the prior-regularized log-odds z vs the rest of the corpus."""
+    wc = (
+        _token_frame(spark, sf_dir)
+        .select("lang", F.explode("toks").alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .localCheckpoint(eager=False)  # read 3x: marginals + main frame
+    )
+    ww = wc.groupBy("word").agg(F.sum("y").cast("bigint").alias("yw"))
+    wl = wc.groupBy("lang").agg(F.sum("y").cast("bigint").alias("ni"))
+    tot = wc.agg(F.sum("y").cast("bigint").alias("n"))
+    base = (
+        wc.join(ww, "word")
+        .join(F.broadcast(wl), "lang")
+        .crossJoin(F.broadcast(tot))
+    )
+    y = F.col("y").cast("double")
+    yw = F.col("yw").cast("double")
+    ni = F.col("ni").cast("double")
+    n = F.col("n").cast("double")
+    a0 = F.lit(DISTINCT_TERMS_A0)
+    aw = F.lit(DISTINCT_TERMS_A0) * yw / n
+    yr = yw - y
+    nr = n - ni
+    t1num = y + aw
+    t1den = ni + a0 - y - aw
+    t2num = yr + aw
+    t2den = nr + a0 - yr - aw
+    delta = F.log(t1num / t1den) - F.log(t2num / t2den)
+    var = F.lit(1.0) / t1num + F.lit(1.0) / t2num
+    z6 = F.round(delta / F.sqrt(var), 6)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("z"), F.asc("word"))
+    scored = base.select(
+        "lang",
+        "word",
+        F.col("y"),
+        F.col("yw"),
+        F.round(delta, 6).alias("delta"),
+        z6.alias("z"),
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= DISTINCT_TERMS_TOP_K)
+        .select("lang", "rnk", "word", "y", "yw", "delta", "z")
+        .orderBy("lang", "rnk")
+    )
+
+
+DISTINCTIVE_TERMS_SQL = f"""
+WITH wc AS (
+  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS y FROM (
+    SELECT lang, unnest(list_transform(regexp_extract_all(text, '{TOKEN_RE}'),
+                                       t -> lower(t))) AS word
+    FROM documents)
+  GROUP BY 1, 2
+),
+ww AS (SELECT word, CAST(SUM(y) AS BIGINT) AS yw FROM wc GROUP BY 1),
+wl AS (SELECT lang, CAST(SUM(y) AS BIGINT) AS ni FROM wc GROUP BY 1),
+tot AS (SELECT CAST(SUM(y) AS BIGINT) AS n FROM wc),
+scored AS (
+  SELECT lang, word, y, yw,
+         round(ln((CAST(y AS DOUBLE) + {DISTINCT_TERMS_A0} * CAST(yw AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(ni AS DOUBLE) + {DISTINCT_TERMS_A0} - CAST(y AS DOUBLE)
+                     - {DISTINCT_TERMS_A0} * CAST(yw AS DOUBLE) / CAST(n AS DOUBLE)))
+               - ln((CAST(yw AS DOUBLE) - CAST(y AS DOUBLE) + {DISTINCT_TERMS_A0} * CAST(yw AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - CAST(ni AS DOUBLE) + {DISTINCT_TERMS_A0}
+                     - (CAST(yw AS DOUBLE) - CAST(y AS DOUBLE))
+                     - {DISTINCT_TERMS_A0} * CAST(yw AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS delta,
+         round((ln((CAST(y AS DOUBLE) + {DISTINCT_TERMS_A0} * CAST(yw AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(ni AS DOUBLE) + {DISTINCT_TERMS_A0} - CAST(y AS DOUBLE)
+                     - {DISTINCT_TERMS_A0} * CAST(yw AS DOUBLE) / CAST(n AS DOUBLE)))
+               - ln((CAST(yw AS DOUBLE) - CAST(y AS DOUBLE) + {DISTINCT_TERMS_A0} * CAST(yw AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - CAST(ni AS DOUBLE) + {DISTINCT_TERMS_A0}
+                     - (CAST(yw AS DOUBLE) - CAST(y AS DOUBLE))
+                     - {DISTINCT_TERMS_A0} * CAST(yw AS DOUBLE) / CAST(n AS DOUBLE))))
+               / sqrt(1.0 / (CAST(y AS DOUBLE) + {DISTINCT_TERMS_A0} * CAST(yw AS DOUBLE) / CAST(n AS DOUBLE))
+                      + 1.0 / (CAST(yw AS DOUBLE) - CAST(y AS DOUBLE)
+                               + {DISTINCT_TERMS_A0} * CAST(yw AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS z
+  FROM wc JOIN ww USING (word) JOIN wl USING (lang) CROSS JOIN tot
+),
+ranked AS (
+  SELECT lang, word, y, yw, delta, z,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY z DESC, word) AS INTEGER) AS rnk
+  FROM scored
+)
+SELECT lang, rnk, word, y, yw, delta, z
+FROM ranked WHERE rnk <= {DISTINCT_TERMS_TOP_K}
+ORDER BY lang, rnk
+"""

@@ -1298,3 +1298,194 @@ SELECT segment, n_units, n_a,
        END AS srm_flag
 FROM base ORDER BY segment
 """
+
+
+# ---------------------------------------------------------------------------
+# Randomization (permutation) test for the A/B revenue lift
+#
+# The exact-null counterpart of the Poisson bootstrap (stats.py): the
+# bootstrap quantifies estimator SPREAD; this answers "could the
+# observed arm difference have arisen under the null of no treatment
+# effect" by re-randomizing units with the same Bernoulli(1/2) hashing
+# mechanism the platform actually assigns with (Fisher randomization
+# test, re-randomization flavor). p = (#{|diff_r| >= |diff_obs|} + 1)
+# / (B + 1) — the add-one convention that keeps the test valid at
+# finite B (Phipson & Smyth 2010).
+#
+# Determinism: the per-(unit, rep) pseudo-arm is the parity of the same
+# md5-derived 28-bit integer the bootstrap uses — a pure function of
+# (c_custkey, rep), bit-identical across engines and partitionings.
+# Per-rep sums are exact BIGINT cents (< 2^53, so the mean-difference
+# doubles are IEEE-identical); the extreme-count comparison happens on
+# identical doubles, so n_extreme is exact on both engines.
+#
+# Scale: one o_custkey groupBy + spine join (the CUPED shape), then a
+# xB explode of a 2-column projection and ONE groupBy(rep) that
+# partial-aggregates to B rows map-side. No corpus-sized shuffle.
+
+PERM_REPS = 64
+
+
+def permutation_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_units, n_a_obs, b_reps, obs_diff, n_extreme, p_value)
+    — randomization test of the hash-assigned A/B revenue difference."""
+    cust = typed_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = typed_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("bigint")).alias("y")
+    )
+    units = cust.join(per_cust, "c_custkey", "left").select(
+        "c_custkey",
+        F.when(
+            F.pmod(F.col("c_custkey") * F.lit(HASH_MULT), F.lit(HASH_MOD))
+            < AB_ARM_CUT,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("in_a"),
+        F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y"),
+    ).localCheckpoint(eager=False)  # consumed by the observed agg AND the fan-out
+    obs = units.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum("in_a").cast("bigint").alias("n_a_obs"),
+        F.sum(F.when(F.col("in_a") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy_a"),
+        F.sum(F.when(F.col("in_a") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy_b"),
+    ).select(
+        "n_units",
+        "n_a_obs",
+        (
+            F.col("sy_a").cast("double") / F.col("n_a_obs").cast("double")
+            - F.col("sy_b").cast("double")
+            / (F.col("n_units") - F.col("n_a_obs")).cast("double")
+        ).alias("obs_diff"),
+    )
+    reps = units.select(
+        "c_custkey",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(PERM_REPS - 1))).alias("rep"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit("perm"),
+                    F.col("c_custkey").cast("string"),
+                    F.col("rep").cast("string"),
+                )
+            ),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    rep_stats = (
+        reps.withColumn("pa", F.pmod(u, F.lit(2)))
+        .groupBy("rep")
+        .agg(
+            F.sum("pa").cast("bigint").alias("n_a"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("pa") == 1, F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias("sy_a"),
+            F.sum(F.when(F.col("pa") == 0, F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias("sy_b"),
+        )
+        .select(
+            "rep",
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_a") < F.col("n")),
+                F.col("sy_a").cast("double") / F.col("n_a").cast("double")
+                - F.col("sy_b").cast("double")
+                / (F.col("n") - F.col("n_a")).cast("double"),
+            ).alias("diff"),
+        )
+    )
+    joined = rep_stats.crossJoin(F.broadcast(obs))
+    return (
+        joined.agg(
+            F.max("n_units").cast("bigint").alias("n_units"),
+            F.max("n_a_obs").cast("bigint").alias("n_a_obs"),
+            F.lit(PERM_REPS).cast("bigint").alias("b_reps"),
+            F.round(F.max("obs_diff"), 6).alias("obs_diff"),
+            F.sum(
+                F.when(F.abs(F.col("diff")) >= F.abs(F.col("obs_diff")), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_extreme"),
+        )
+        .select(
+            "n_units",
+            "n_a_obs",
+            "b_reps",
+            "obs_diff",
+            "n_extreme",
+            F.round(
+                (F.col("n_extreme").cast("double") + F.lit(1.0))
+                / (F.lit(float(PERM_REPS)) + F.lit(1.0)),
+                6,
+            ).alias("p_value"),
+        )
+    )
+
+
+def permutation_test_lift_sql() -> str:
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+units AS (
+  SELECT c.c_custkey,
+         CASE WHEN (c.c_custkey * {HASH_MULT}) % {HASH_MOD} < {AB_ARM_CUT}
+              THEN 1 ELSE 0 END AS in_a,
+         COALESCE(p.y, 0) AS y
+  FROM customer c LEFT JOIN per_cust p USING (c_custkey)
+),
+obs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM(in_a) AS BIGINT) AS n_a_obs,
+         CAST(SUM(CASE WHEN in_a = 1 THEN y ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(in_a) AS DOUBLE)
+         - CAST(SUM(CASE WHEN in_a = 0 THEN y ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) - SUM(in_a) AS DOUBLE) AS obs_diff
+  FROM units
+),
+reps AS (
+  SELECT u.c_custkey, u.y, CAST(r AS INT) AS rep
+  FROM units u, (SELECT unnest(range({PERM_REPS})) AS r)
+),
+assigned AS (
+  SELECT rep, y,
+         ('0x' || substr(md5('perm' || ':' || c_custkey::VARCHAR
+                             || ':' || rep::VARCHAR), 1, 7))::BIGINT % 2 AS pa
+  FROM reps
+),
+rep_stats AS (
+  SELECT rep,
+         CASE WHEN SUM(pa) > 0 AND SUM(pa) < COUNT(*)
+              THEN CAST(SUM(CASE WHEN pa = 1 THEN y ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(pa) AS DOUBLE)
+                   - CAST(SUM(CASE WHEN pa = 0 THEN y ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) - SUM(pa) AS DOUBLE)
+         END AS diff
+  FROM assigned GROUP BY 1
+)
+SELECT CAST(o.n_units AS BIGINT) AS n_units,
+       CAST(o.n_a_obs AS BIGINT) AS n_a_obs,
+       CAST({PERM_REPS} AS BIGINT) AS b_reps,
+       round(MAX(o.obs_diff), 6) AS obs_diff,
+       CAST(SUM(CASE WHEN abs(r.diff) >= abs(o.obs_diff) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_extreme,
+       round((CAST(SUM(CASE WHEN abs(r.diff) >= abs(o.obs_diff) THEN 1 ELSE 0 END)
+                   AS DOUBLE) + 1.0) / ({float(PERM_REPS)} + 1.0), 6) AS p_value
+FROM rep_stats r CROSS JOIN obs o
+GROUP BY o.n_units, o.n_a_obs, o.obs_diff
+"""

@@ -368,3 +368,93 @@ s{r} AS (
         f"SELECT * FROM s{r}" for r in range(1, KCORE_ROUNDS + 1)
     )
     return "".join(parts) + f"\n{sel}\nORDER BY peel_round"
+
+
+# --- degree assortativity ---------------------------------------------------
+
+
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row degree-assortativity report over the part co-occurrence
+    graph: Newman's r (Phys. Rev. Lett. 89, 208701) — the Pearson
+    correlation of end-point degrees over edges. r > 0 means hub parts
+    co-occur with other hubs (assortative basket structure); r < 0 means
+    hubs attach to the periphery (the typical retail long-tail shape).
+
+    Determinism: over the both-orientations directed edge list (M rows,
+    symmetric in u/v) the correlation reduces to THREE exact BIGINT
+    sufficient statistics — Sx = Σ deg(u), Sxx = Σ deg(u)², Sxy =
+    Σ deg(u)·deg(v) — so r = (M·Sxy − Sx²) / (M·Sxx − Sx²). Every sum
+    stays < 2^53 at any plausible catalog size (deg ≤ √(2|E|) dominates
+    after orientation-free counting; Σ deg³ is the binding term), so the
+    final double products are IEEE-identical cross-engine; round-6 per
+    repo convention, gated on a positive denominator (regular graphs
+    have zero degree variance).
+
+    Scale: the degree aggregate and the two degree-enrichment joins are
+    the SAME shuffles the pagerank/triangle family already pays; the
+    output is one row. No window, no sort, no all-pairs.
+    """
+    li = (
+        typed_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    g = cooccurrence_edges(li)
+    edges = g.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        g.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    ).localCheckpoint(eager=False)  # read twice: degree agg + enrichment
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    enriched = (
+        edges.join(deg.withColumnRenamed("src", "u").withColumnRenamed("deg", "du"),
+                   edges.src == F.col("u"))
+        .join(deg.withColumnRenamed("src", "v").withColumnRenamed("deg", "dv"),
+              edges.dst == F.col("v"))
+    )
+    stats = enriched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_edges"),
+        F.count_distinct(F.col("u")).cast("bigint").alias("n_nodes"),
+        F.sum("du").cast("bigint").alias("sx"),
+        F.sum(F.col("du") * F.col("du")).cast("bigint").alias("sxx"),
+        F.sum(F.col("du") * F.col("dv")).cast("bigint").alias("sxy"),
+    )
+    m = F.col("m_edges").cast("double")
+    sx = F.col("sx").cast("double")
+    num = m * F.col("sxy").cast("double") - sx * sx
+    den = m * F.col("sxx").cast("double") - sx * sx
+    return stats.select(
+        "n_nodes",
+        "m_edges",
+        "sx",
+        "sxx",
+        "sxy",
+        F.round(sx / m, 6).alias("mean_degree"),
+        F.when(den > 0, F.round(num / den, 6)).alias("assortativity"),
+    )
+
+
+def degree_assortativity_sql() -> str:
+    return f"""
+WITH {_edges_sql()},
+enr AS (
+  SELECT e.src, e.dst, du.deg AS du, dv.deg AS dv
+  FROM edges e JOIN deg du ON du.src = e.src JOIN deg dv ON dv.src = e.dst
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m_edges,
+         CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+         CAST(SUM(du) AS BIGINT) AS sx,
+         CAST(SUM(du * du) AS BIGINT) AS sxx,
+         CAST(SUM(du * dv) AS BIGINT) AS sxy
+  FROM enr
+)
+SELECT n_nodes, m_edges, sx, sxx, sxy,
+       round(CAST(sx AS DOUBLE) / CAST(m_edges AS DOUBLE), 6) AS mean_degree,
+       CASE WHEN CAST(m_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            THEN round((CAST(m_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       / (CAST(m_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+       END AS assortativity
+FROM st
+"""

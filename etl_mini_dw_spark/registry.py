@@ -1228,7 +1228,22 @@ _register(
     text.lexical_diversity_report,
     text.LEXICAL_DIVERSITY_SQL,
 )
+_register(
+    "ext_jl_projection_audit",
+    simsearch.jl_projection_audit,
+    simsearch.jl_projection_audit_sql(),
+)
+_register(
+    "ext_distinctive_terms",
+    text.distinctive_terms,
+    text.DISTINCTIVE_TERMS_SQL,
+)
 _register("ext_kcore_peel", graph.kcore_peel_report, graph.kcore_peel_report_sql())
+_register(
+    "ext_degree_assortativity",
+    graph.degree_assortativity,
+    graph.degree_assortativity_sql(),
+)
 _register(
     "ext_auc_rank_quality", _stats.auc_rank_quality, _stats.auc_rank_quality_sql()
 )
@@ -1295,6 +1310,11 @@ _register(
     "ext_ab_cuped_lift",
     _experiment.ab_cuped_lift,
     _experiment.ab_cuped_lift_sql(),
+)
+_register(
+    "ext_permutation_test_lift",
+    _experiment.permutation_test_lift,
+    _experiment.permutation_test_lift_sql(),
 )
 _register(
     "ext_calibration_brier",

@@ -61,6 +61,11 @@ DEFAULT_OPS = [
     "ext_bootstrap_ci_revenue",
     "ext_item_item_similarity",
     "ext_forecast_reconciliation",
+    # continuation-session additions (first measured in SCALE_PROOF_R8C.json)
+    "ext_degree_assortativity",
+    "ext_distinctive_terms",
+    "ext_jl_projection_audit",
+    "ext_permutation_test_lift",
 ]
 
 

@@ -1,0 +1,88 @@
+"""Semantic properties of the round-8 continuation additions (value
+parity with the DuckDB oracles is covered by tests/test_oracle_parity.py):
+
+- ``ext_degree_assortativity`` — Newman r over the co-purchase graph,
+- ``ext_distinctive_terms``    — Monroe log-odds-z distinctive tokens,
+- ``ext_jl_projection_audit``  — JL ±1-projection distance distortion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_mini_dw_spark.functions import simsearch, text
+from etl_mini_dw_spark.plans import graph
+from etl_mini_dw_spark.sources.tables import typed_table
+
+
+def test_assortativity_is_a_correlation_and_stats_are_consistent(spark, sf_dir):
+    row = graph.degree_assortativity(spark, sf_dir).collect()[0]
+    # both-orientation edge list: even row count, every node has >= 1 edge
+    assert row.m_edges % 2 == 0
+    assert 0 < row.n_nodes <= row.m_edges
+    # mean degree = Sx / M definitionally (Sx sums deg(u) over directed edges)
+    assert abs(row.mean_degree - row.sx / row.m_edges) < 1e-6
+    if row.assortativity is not None:
+        assert -1.0 <= row.assortativity <= 1.0
+    # Cauchy-Schwarz on the sufficient statistics: M*Sxy - Sx^2 <= M*Sxx - Sx^2
+    assert row.m_edges * row.sxy - row.sx * row.sx <= row.m_edges * row.sxx - row.sx * row.sx
+
+
+def test_distinctive_terms_ranking_contract(spark, sf_dir):
+    rows = text.distinctive_terms(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        assert 1 <= r.rnk <= text.DISTINCT_TERMS_TOP_K
+        assert 0 < r.y <= r.yw  # slice count bounded by the global count
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        # z non-increasing down the ranking (ties broken by word asc)
+        for a, b in zip(rs, rs[1:]):
+            assert a.z > b.z or (a.z == b.z and a.word < b.word)
+
+
+def test_jl_sign_matrix_is_deterministic_and_balanced():
+    assert len(simsearch._JL_SIGNS) == simsearch.JL_M
+    flat = [s for row in simsearch._JL_SIGNS for s in row]
+    assert set(flat) <= {-1, 1}
+    assert all(len(row) == simsearch.JL_D for row in simsearch._JL_SIGNS)
+    # md5-derived signs are an unbiased coin; require non-degeneracy only
+    share_pos = sum(1 for s in flat if s > 0) / len(flat)
+    assert 0.3 < share_pos < 0.7
+
+
+def test_jl_distortion_concentrates_near_one(spark, sf_dir):
+    rows = simsearch.jl_projection_audit(spark, sf_dir).collect()
+    assert rows, "block pairing must produce at least one bucket"
+    total = sum(r.n_pairs for r in rows)
+    # expected pair count: every same-block (a < b) pair with d2o > 0
+    emb = typed_table(spark, sf_dir, "embeddings").select(
+        F.expr("vec_id div 32").alias("blk")
+    )
+    per_blk = emb.groupBy("blk").count().collect()
+    expected = sum(c["count"] * (c["count"] - 1) // 2 for c in per_blk)
+    assert total == expected  # fixture embeddings are distinct => d2o > 0
+    for r in rows:
+        assert r.bucket >= 0
+        assert r.min_ratio <= r.mean_ratio <= r.max_ratio
+        assert r.min_ratio > 0
+    # E[ratio] = 1 under the +-1 JL matrix; weighted mean concentrates
+    wmean = sum(r.n_pairs * r.mean_ratio for r in rows) / total
+    assert 0.7 < wmean < 1.3
+
+
+def test_permutation_test_contract(spark, sf_dir):
+    from etl_mini_dw_spark.plans import experiment
+
+    row = experiment.permutation_test_lift(spark, sf_dir).collect()[0]
+    n_cust = typed_table(spark, sf_dir, "customer").count()
+    assert row.n_units == n_cust
+    assert 0 < row.n_a_obs < row.n_units
+    assert row.b_reps == experiment.PERM_REPS
+    assert 0 <= row.n_extreme <= row.b_reps
+    # add-one convention: p in [1/(B+1), 1]
+    assert 1.0 / (row.b_reps + 1) - 1e-9 <= row.p_value <= 1.0
+    expected_p = round((row.n_extreme + 1) / (row.b_reps + 1), 6)
+    assert abs(row.p_value - expected_p) < 1e-9
