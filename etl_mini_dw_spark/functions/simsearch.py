@@ -1222,7 +1222,14 @@ def _jl_proj_terms(elem_fmt: str) -> list[str]:
 def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(bucket, n_pairs, mean_ratio, min_ratio, max_ratio): distribution
     of the JL distance-distortion ratio over block-sampled vector pairs."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # the 16x 64-term projections are CPU-bound over a KB-scale scan:
+    # without the round-robin fanout the whole projection stage runs in
+    # the scan's single input split (measured 12.9 s at 20k vectors in
+    # ~1 task; the AQE byte-coalescing blind spot, CLAUDE.md). No-op on
+    # a real cluster where the scan already yields many splits.
+    from etl_mini_dw_spark.sources.tables import fanout_scan
+
+    emb = fanout_scan(spark, load_table(spark, sf_dir, "embeddings"))
     proj = _jl_proj_terms("element_at(qv, {i})")
     staged = (
         emb.select(

@@ -1344,6 +1344,14 @@ def permutation_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("in_a"),
         F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y"),
+    ).repartition(
+        # the xB md5 fan-out below is CPU-bound and the spine join's
+        # KB-scale output otherwise lands in ~1 AQE-coalesced partition
+        # (measured 12.1 s at 15k units in one task — the byte-based
+        # coalescing blind spot, CLAUDE.md). The shuffle moves only a
+        # 3-column projection; at cluster scale it spreads the hashing
+        # stage across all cores the same way.
+        spark.sparkContext.defaultParallelism
     ).localCheckpoint(eager=False)  # consumed by the observed agg AND the fan-out
     obs = units.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_units"),
