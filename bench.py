@@ -210,6 +210,11 @@ FLOORS = {
     "ext_bootstrap_ci_revenue": 1.24,  # x32 md5 fan-out, fanout_scan-parallel
     "ext_item_item_similarity": 3.15,  # basket-pair join + shard-pruned top-k
     "ext_forecast_reconciliation": 2.52,  # one corpus rollup + series frames
+    # continuation-session additions (floors at start load 0.06)
+    "ext_degree_assortativity": 1.72,
+    "ext_distinctive_terms": 0.72,
+    "ext_jl_projection_audit": 1.34,  # post-fanout-fix (was ~2.1 single-task)
+    "ext_permutation_test_lift": 1.06,  # post-repartition-fix (was ~12 s single-task)
 }
 
 

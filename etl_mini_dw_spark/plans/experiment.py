@@ -1497,3 +1497,144 @@ SELECT CAST(o.n_units AS BIGINT) AS n_units,
 FROM rep_stats r CROSS JOIN obs o
 GROUP BY o.n_units, o.n_a_obs, o.obs_diff
 """
+
+
+# ---------------------------------------------------------------------------
+# Group-sequential interim analysis (O'Brien-Fleming boundaries)
+#
+# The third leg of the platform's inference kit (bootstrap = spread,
+# randomization test = exact null, this = "when could we have stopped"):
+# K=4 calendar looks over the experiment window, a cumulative two-sample
+# z per look, and the classic O'Brien-Fleming group-sequential bounds
+# (O'Brien & Fleming 1979; constants are the standard K=4, two-sided
+# alpha=0.05 critical values c*sqrt(K/k), c = 2.024) inlined as
+# literals on both engines — no quantile function crosses the oracle.
+#
+# Determinism: per-(look, arm) sufficient statistics are exact (BIGINT
+# cent sums; DECIMAL(38,0)/HUGEINT squared sums), the z expression is
+# written in the same evaluation order on both sides, and z is round-6'd
+# before the boundary comparison so a 1-ulp wide-decimal->double skew
+# (CLAUDE.md) cannot flip `crossed`.
+#
+# Scale: the look fan-out is a <=K x explode of a 3-column projection
+# with ONE groupBy(look) partial-aggregable reduction — the bootstrap's
+# shape with K=4 instead of B=64. Nothing global but a K-row frame.
+
+GS_LOOKS = ["1997-01-01", "1998-01-01", "1999-01-01", "2000-01-01"]
+# O'Brien-Fleming two-sided alpha=0.05, K=4: z_k = 2.024 * sqrt(4 / k)
+GS_BOUNDS = [4.048, 2.862, 2.337, 2.024]
+
+
+def group_sequential_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(look, cut_date, n_a, n_b, mean_diff, z, obf_bound, crossed) —
+    cumulative interim z of the hash-assigned A/B order-revenue
+    difference at each calendar look vs the O'Brien-Fleming bound."""
+    orders = typed_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", (F.col("o_totalprice") * 100).cast("bigint").alias("y")
+    )
+    looks = spark.createDataFrame(
+        [(i + 1, d, GS_BOUNDS[i]) for i, d in enumerate(GS_LOOKS)],
+        "look int, cut_date string, obf_bound double",
+    )
+    fan = orders.crossJoin(F.broadcast(looks)).filter(
+        F.col("o_orderdate") < F.col("cut_date")
+    )
+    arm_a = (
+        F.pmod(F.col("o_custkey") * F.lit(HASH_MULT), F.lit(HASH_MOD)) < AB_ARM_CUT
+    )
+    yd = F.col("y").cast("decimal(19,0)")
+    per_look = fan.groupBy("look", "cut_date", "obf_bound").agg(
+        F.sum(F.when(arm_a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~arm_a, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(arm_a, F.col("y")).otherwise(0)).cast("bigint").alias("sy_a"),
+        F.sum(F.when(~arm_a, F.col("y")).otherwise(0)).cast("bigint").alias("sy_b"),
+        F.sum(F.when(arm_a, yd * yd).otherwise(F.lit(0).cast("decimal(19,0)")))
+        .cast("decimal(38,0)")
+        .alias("syy_a"),
+        F.sum(F.when(~arm_a, yd * yd).otherwise(F.lit(0).cast("decimal(19,0)")))
+        .cast("decimal(38,0)")
+        .alias("syy_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("sy_a").cast("double") / na
+    mb = F.col("sy_b").cast("double") / nb
+    s2a = (F.col("syy_a").cast("double") - F.col("sy_a").cast("double") * F.col("sy_a").cast("double") / na) / (na - F.lit(1.0))
+    s2b = (F.col("syy_b").cast("double") - F.col("sy_b").cast("double") * F.col("sy_b").cast("double") / nb) / (nb - F.lit(1.0))
+    se2 = s2a / na + s2b / nb
+    z6 = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0),
+        F.round((ma - mb) / F.sqrt(se2), 6),
+    )
+    return (
+        per_look.select(
+            "look",
+            "cut_date",
+            "n_a",
+            "n_b",
+            F.round(ma - mb, 6).alias("mean_diff"),
+            z6.alias("z"),
+            "obf_bound",
+            F.when(F.abs(z6) >= F.col("obf_bound"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("crossed"),
+        )
+        .orderBy("look")
+    )
+
+
+def group_sequential_lift_sql() -> str:
+    looks_rows = ", ".join(
+        f"({i + 1}, '{d}', {GS_BOUNDS[i]})" for i, d in enumerate(GS_LOOKS)
+    )
+    return f"""
+WITH looks(look, cut_date, obf_bound) AS (VALUES {looks_rows}),
+fan AS (
+  SELECT l.look, l.cut_date, l.obf_bound,
+         CASE WHEN (o.o_custkey * {HASH_MULT}) % {HASH_MOD} < {AB_ARM_CUT}
+              THEN 1 ELSE 0 END AS in_a,
+         CAST(o.o_totalprice * 100 AS BIGINT) AS y
+  FROM orders o CROSS JOIN looks l
+  WHERE CAST(o.o_orderdate AS VARCHAR) < l.cut_date
+),
+per_look AS (
+  SELECT look, cut_date, obf_bound,
+         CAST(SUM(in_a) AS BIGINT) AS n_a,
+         CAST(COUNT(*) - SUM(in_a) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN in_a = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+         CAST(SUM(CASE WHEN in_a = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+         CAST(SUM(CASE WHEN in_a = 1
+                       THEN CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+                       ELSE CAST(0 AS DECIMAL(19,0)) END) AS DECIMAL(38,0)) AS syy_a,
+         CAST(SUM(CASE WHEN in_a = 0
+                       THEN CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+                       ELSE CAST(0 AS DECIMAL(19,0)) END) AS DECIMAL(38,0)) AS syy_b
+  FROM fan GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT look, cut_date, n_a, n_b, obf_bound,
+         round(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS mean_diff,
+         CASE WHEN n_a > 1 AND n_b > 1
+               AND (CAST(syy_a AS DOUBLE)
+                    - CAST(sy_a AS DOUBLE) * CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                   / (CAST(n_a AS DOUBLE) - 1.0) / CAST(n_a AS DOUBLE)
+                 + (CAST(syy_b AS DOUBLE)
+                    - CAST(sy_b AS DOUBLE) * CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                   / (CAST(n_b AS DOUBLE) - 1.0) / CAST(n_b AS DOUBLE) > 0
+              THEN round((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                          - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                         / sqrt((CAST(syy_a AS DOUBLE)
+                                 - CAST(sy_a AS DOUBLE) * CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                                / (CAST(n_a AS DOUBLE) - 1.0) / CAST(n_a AS DOUBLE)
+                              + (CAST(syy_b AS DOUBLE)
+                                 - CAST(sy_b AS DOUBLE) * CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                                / (CAST(n_b AS DOUBLE) - 1.0) / CAST(n_b AS DOUBLE)), 6)
+         END AS z
+  FROM per_look
+)
+SELECT look, cut_date, n_a, n_b, mean_diff, z, obf_bound,
+       CAST(CASE WHEN abs(z) >= obf_bound THEN 1 ELSE 0 END AS INTEGER) AS crossed
+FROM scored ORDER BY look
+"""

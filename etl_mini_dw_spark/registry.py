@@ -1317,6 +1317,11 @@ _register(
     _experiment.permutation_test_lift_sql(),
 )
 _register(
+    "ext_group_sequential_lift",
+    _experiment.group_sequential_lift,
+    _experiment.group_sequential_lift_sql(),
+)
+_register(
     "ext_calibration_brier",
     _experiment.calibration_brier,
     _experiment.calibration_brier_sql(),

@@ -66,6 +66,7 @@ DEFAULT_OPS = [
     "ext_distinctive_terms",
     "ext_jl_projection_audit",
     "ext_permutation_test_lift",
+    "ext_group_sequential_lift",
 ]
 
 

@@ -86,3 +86,20 @@ def test_permutation_test_contract(spark, sf_dir):
     assert 1.0 / (row.b_reps + 1) - 1e-9 <= row.p_value <= 1.0
     expected_p = round((row.n_extreme + 1) / (row.b_reps + 1), 6)
     assert abs(row.p_value - expected_p) < 1e-9
+
+
+def test_group_sequential_boundary_monotone_and_consistent(spark, sf_dir):
+    from etl_mini_dw_spark.plans import experiment
+
+    rows = experiment.group_sequential_lift(spark, sf_dir).collect()
+    assert [r.look for r in rows] == list(range(1, len(experiment.GS_LOOKS) + 1))
+    for r in rows:
+        # OBF bounds decrease across looks; sample sizes accumulate
+        assert r.obf_bound == experiment.GS_BOUNDS[r.look - 1]
+        if r.z is not None:
+            assert r.crossed == (1 if abs(r.z) >= r.obf_bound else 0)
+    ns = [(r.n_a + r.n_b) for r in rows]
+    assert ns == sorted(ns)  # cumulative looks: n never decreases
+    # null is true (hash split of identical population): the early,
+    # strictest OBF bound should not be crossed on this fixture
+    assert rows[0].crossed == 0
