@@ -1010,3 +1010,155 @@ SELECT lang, rnk, word, y, yw, delta, z
 FROM ranked WHERE rnk <= {DISTINCT_TERMS_TOP_K}
 ORDER BY lang, rnk
 """
+
+
+# --- Zipf rank-frequency fit ------------------------------------------------
+#
+# The corpus-naturalness check (Zipf 1949; Piantadosi 2014 review):
+# natural language shows ln(freq) ~ -1 * ln(rank) over the vocabulary
+# head; template/boilerplate corpora bend the slope. OLS of round-6
+# ln(count) on round-6 ln(rank) over the top-V head — the fitted slope,
+# intercept and R² are the three numbers a corpus owner trends across
+# snapshots to catch a mixture going synthetic.
+#
+# Determinism: the head selection is a TOTAL (count desc, word) order
+# (ASCII vocabulary → identical collation both engines); the two lns
+# are round-6'd, converted to EXACT integer micro-units (floor(x·1e6 +
+# 0.5) on identical doubles), and every OLS sufficient statistic is an
+# exact BIGINT / DECIMAL(38,0) sum — no order-dependent double
+# accumulation anywhere. Final slope/intercept/R² are round-6 doubles.
+#
+# Scale: one (word) count shuffle; the head selection goes through
+# shard_topk_prune (no vocab-sized single-task window — at web scale
+# the vocabulary is corpus-sized); the fit runs on <= V rows.
+
+ZIPF_TOP_V = 1000
+
+
+def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (v_head, n_types, n_tokens, slope, intercept, r2) — the
+    Zipf log-log OLS over the top-V vocabulary head."""
+    from pyspark.sql import Window
+
+    from etl_mini_dw_spark.functions.simsearch import shard_topk_prune
+
+    wc = (
+        _word_frame(spark, sf_dir)
+        .select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # totals + head both read it
+    )
+    totals = wc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+    )
+    head = shard_topk_prune(
+        wc.withColumn("h", F.abs(F.hash("word"))),
+        [],
+        [F.col("c").desc(), F.col("word")],
+        ZIPF_TOP_V,
+        "h",
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("word"))
+    ranked = (
+        head.withColumn("r", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("r") <= ZIPF_TOP_V)
+        .select(
+            F.expr("CAST(floor(round(ln(CAST(r AS DOUBLE)), 6) * 1000000.0 + 0.5) AS BIGINT)").alias("x"),
+            F.expr("CAST(floor(round(ln(CAST(c AS DOUBLE)), 6) * 1000000.0 + 0.5) AS BIGINT)").alias("y"),
+        )
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    st = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sx * sy
+    denx = n * F.col("sxx").cast("double") - sx * sx
+    deny = n * F.col("syy").cast("double") - sy * sy
+    slope = num / denx
+    return st.crossJoin(F.broadcast(totals)).select(
+        F.col("n").alias("v_head"),
+        "n_types",
+        "n_tokens",
+        F.when(denx > 0, F.round(slope, 6)).alias("slope"),
+        F.when(
+            denx > 0,
+            F.round((sy / F.lit(1000000.0) - slope * sx / F.lit(1000000.0)) / n, 6),
+        ).alias("intercept"),
+        F.when(
+            (denx > 0) & (deny > 0), F.round(num * num / (denx * deny), 6)
+        ).alias("r2"),
+    )
+
+
+ZIPF_FIT_SQL = f"""
+WITH wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS word
+    FROM documents)
+  GROUP BY 1
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(c) AS BIGINT) AS n_tokens
+  FROM wc
+),
+ranked AS (
+  SELECT CAST(floor(round(ln(CAST(r AS DOUBLE)), 6) * 1000000.0 + 0.5) AS BIGINT) AS x,
+         CAST(floor(round(ln(CAST(c AS DOUBLE)), 6) * 1000000.0 + 0.5) AS BIGINT) AS y
+  FROM (
+    SELECT c, row_number() OVER (ORDER BY c DESC, word) AS r FROM wc
+  ) WHERE r <= {ZIPF_TOP_V}
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS syy,
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxy
+  FROM ranked
+)
+SELECT n AS v_head, t.n_types, t.n_tokens,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+       END AS slope,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            THEN round((CAST(sy AS DOUBLE) / 1000000.0
+                        - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * CAST(sx AS DOUBLE) / 1000000.0)
+                       / CAST(n AS DOUBLE), 6)
+       END AS intercept,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       END AS r2
+FROM st CROSS JOIN totals t
+"""

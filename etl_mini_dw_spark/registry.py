@@ -1238,6 +1238,7 @@ _register(
     text.distinctive_terms,
     text.DISTINCTIVE_TERMS_SQL,
 )
+_register("ext_zipf_fit", text.zipf_fit_report, text.ZIPF_FIT_SQL)
 _register("ext_kcore_peel", graph.kcore_peel_report, graph.kcore_peel_report_sql())
 _register(
     "ext_degree_assortativity",

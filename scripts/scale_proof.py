@@ -67,6 +67,7 @@ DEFAULT_OPS = [
     "ext_jl_projection_audit",
     "ext_permutation_test_lift",
     "ext_group_sequential_lift",
+    "ext_zipf_fit",
 ]
 
 

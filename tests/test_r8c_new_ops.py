@@ -103,3 +103,60 @@ def test_group_sequential_boundary_monotone_and_consistent(spark, sf_dir):
     # null is true (hash split of identical population): the early,
     # strictest OBF bound should not be crossed on this fixture
     assert rows[0].crossed == 0
+
+
+def test_zipf_fit_contract_and_exact_replication(spark, sf_dir):
+    import math
+
+    from etl_mini_dw_spark.functions import text as text_mod
+
+    row = text_mod.zipf_fit_report(spark, sf_dir).collect()[0]
+    assert row.v_head == min(row.n_types, text_mod.ZIPF_TOP_V)
+    # ln(count) is non-increasing in ln(rank) => OLS slope <= 0
+    assert row.slope is None or row.slope <= 0
+    assert row.r2 is None or 0.0 <= row.r2 <= 1.0
+
+    # exact replication: same counts -> same integer micro-unit
+    # sufficient statistics -> identical round-6 slope
+    wc = (
+        text_mod._word_frame(spark, sf_dir)
+        .select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .count()
+        .collect()
+    )
+    ranked = sorted(((-r["count"], r["word"]) for r in wc))[: text_mod.ZIPF_TOP_V]
+    xs, ys = [], []
+    for i, (negc, _w) in enumerate(ranked, start=1):
+        xs.append(int(math.floor(round(math.log(float(i)), 6) * 1e6 + 0.5)))
+        ys.append(int(math.floor(round(math.log(float(-negc)), 6) * 1e6 + 0.5)))
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(row.slope - round(slope, 6)) < 2e-6
+
+
+def test_assortativity_exact_replication(spark, sf_dir):
+    from etl_mini_dw_spark.plans import graph
+    from etl_mini_dw_spark.sources.tables import typed_table as tt
+
+    li = tt(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    edges = graph.cooccurrence_edges(li).collect()
+    deg: dict[int, int] = {}
+    for e in edges:
+        deg[e.pa] = deg.get(e.pa, 0) + 1
+        deg[e.pb] = deg.get(e.pb, 0) + 1
+    sx = sxx = sxy = m = 0
+    for e in edges:
+        for u, v in ((e.pa, e.pb), (e.pb, e.pa)):
+            sx += deg[u]
+            sxx += deg[u] * deg[u]
+            sxy += deg[u] * deg[v]
+            m += 1
+    row = graph.degree_assortativity(spark, sf_dir).collect()[0]
+    assert (row.m_edges, row.sx, row.sxx, row.sxy) == (m, sx, sxx, sxy)
+    den = m * sxx - sx * sx
+    if den > 0:
+        assert abs(row.assortativity - round((m * sxy - sx * sx) / den, 6)) < 2e-6
