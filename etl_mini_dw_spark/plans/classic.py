@@ -1258,3 +1258,164 @@ SELECT part_type,
        END AS volume_effect
 FROM base
 """
+
+
+# --- Lorenz curve / Gini concentration ---------------------------------------
+#
+# The revenue-concentration readout beside the ABC matrix: the Lorenz
+# curve of per-customer revenue at decile resolution plus its trapezoid
+# Gini — "what share of revenue do the bottom k/10 of customers carry".
+# Decile membership is value-identical to ``ntile(10) OVER (ORDER BY
+# y, c_custkey)`` but derived WITHOUT a global sort: the rank comes from
+# a coarse value-histogram (cumulative-before + in-bucket row_number,
+# the `quality_deciles` discipline) and the closed-form
+# ``ntile_label_cols``. The histogram WIDTH is derived from a max()
+# pass over the same frame (r7 ADVICE: no hard-coded widths) so the
+# histogram stays <= ~1001 rows at any revenue scale.
+#
+# Determinism: per-decile counts and cent sums are exact BIGINTs;
+# shares and the trapezoid Gini are identical-order double expressions
+# over the 10-row rollup, round-6.
+#
+# Scale: one o_custkey groupBy + spine join (dim-sized), the histogram
+# shuffle, in-bucket windows bounded by bucket population, a 10-row
+# rollup. No customer-wide single-partition window.
+
+LORENZ_TILES = 10
+
+
+def lorenz_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(decile, n_customers, revenue_cents, rev_share, cum_rev_share,
+    gini_trapezoid): decile-resolution Lorenz curve of customer revenue."""
+    from pyspark.sql import Window
+
+    from etl_mini_dw_spark.functions.quantiles import ntile_label_cols
+
+    cust = typed_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = typed_table(spark, sf_dir, "orders")
+    per = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("bigint")).alias("y")
+    )
+    units = (
+        cust.join(per, "c_custkey", "left")
+        .select("c_custkey", F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y"))
+        .localCheckpoint(eager=False)  # width pass + histogram + rank join
+    )
+    width = units.agg(
+        F.greatest(
+            F.lit(1).cast("bigint"), F.expr("max(y) div 1000")
+        ).alias("w")
+    )
+    bucketed = units.crossJoin(F.broadcast(width)).select(
+        "c_custkey", "y", F.expr("y div w").alias("hb")
+    )
+    hist = bucketed.groupBy("hb").agg(F.count(F.lit(1)).alias("c"))
+    w_before = Window.orderBy("hb").rowsBetween(Window.unboundedPreceding, -1)
+    hist = hist.select(
+        "hb",
+        F.coalesce(F.sum("c").over(w_before), F.lit(0)).alias("cum_before"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    w_in = Window.partitionBy("hb").orderBy("y", "c_custkey")
+    ranked = bucketed.join(F.broadcast(hist), "hb").withColumn(
+        "rank", F.col("cum_before") + F.row_number().over(w_in)
+    )
+    tiles = (
+        ranked.select(
+            ntile_label_cols(F.col("n"), F.col("rank"), LORENZ_TILES).alias("decile"),
+            "y",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("y").cast("bigint").alias("revenue_cents"),
+        )
+    )
+    tot = tiles.agg(
+        F.sum("n_customers").cast("bigint").alias("nt"),
+        F.sum("revenue_cents").cast("bigint").alias("yt"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        tiles.crossJoin(F.broadcast(tot))
+        .withColumn("cum_rev", F.sum("revenue_cents").over(w_cum).cast("bigint"))
+        .select(
+            "decile",
+            "n_customers",
+            "revenue_cents",
+            "nt",
+            "yt",
+            "cum_rev",
+        )
+    )
+    pop = F.col("n_customers").cast("double") / F.col("nt").cast("double")
+    cum = F.col("cum_rev").cast("double") / F.col("yt").cast("double")
+    prev = (F.col("cum_rev") - F.col("revenue_cents")).cast("double") / F.col(
+        "yt"
+    ).cast("double")
+    scored = curve.select(
+        "decile",
+        "n_customers",
+        "revenue_cents",
+        F.round(
+            F.col("revenue_cents").cast("double") / F.col("yt").cast("double"), 6
+        ).alias("rev_share"),
+        F.round(cum, 6).alias("cum_rev_share"),
+        (pop * (prev + cum)).alias("_trap"),
+    ).localCheckpoint(eager=False)  # 10 rows; read by output and the gini fold
+    gini = scored.agg(
+        F.round(F.lit(1.0) - F.sum("_trap"), 6).alias("gini_trapezoid")
+    )
+    return (
+        scored.drop("_trap")
+        .crossJoin(F.broadcast(gini))
+        .orderBy("decile")
+    )
+
+
+LORENZ_SQL = f"""
+WITH per AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+units AS (
+  SELECT c.c_custkey, COALESCE(p.y, 0) AS y
+  FROM customer c LEFT JOIN per p USING (c_custkey)
+),
+tiled AS (
+  SELECT y, ntile({LORENZ_TILES}) OVER (ORDER BY y, c_custkey) AS decile
+  FROM units
+),
+tiles AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(y) AS BIGINT) AS revenue_cents
+  FROM tiled GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_customers) AS BIGINT) AS nt,
+         CAST(SUM(revenue_cents) AS BIGINT) AS yt
+  FROM tiles
+),
+curve AS (
+  SELECT decile, n_customers, revenue_cents, nt, yt,
+         CAST(SUM(revenue_cents) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev
+  FROM tiles CROSS JOIN tot
+),
+scored AS (
+  SELECT decile, n_customers, revenue_cents,
+         round(CAST(revenue_cents AS DOUBLE) / CAST(yt AS DOUBLE), 6) AS rev_share,
+         round(CAST(cum_rev AS DOUBLE) / CAST(yt AS DOUBLE), 6) AS cum_rev_share,
+         CAST(n_customers AS DOUBLE) / CAST(nt AS DOUBLE)
+           * (CAST(cum_rev - revenue_cents AS DOUBLE) / CAST(yt AS DOUBLE)
+              + CAST(cum_rev AS DOUBLE) / CAST(yt AS DOUBLE)) AS _trap
+  FROM curve
+),
+gini AS (SELECT round(1.0 - SUM(_trap), 6) AS gini_trapezoid FROM scored)
+SELECT decile, n_customers, revenue_cents, rev_share, cum_rev_share,
+       g.gini_trapezoid
+FROM scored CROSS JOIN gini g
+ORDER BY decile
+"""

@@ -553,6 +553,9 @@ _register(
     "regional_market_share", classic.regional_market_share, classic.REGIONAL_MARKET_SHARE_SQL
 )
 _register("product_line_profit", classic.product_line_profit, classic.PRODUCT_LINE_PROFIT_SQL)
+_register(
+    "ext_lorenz_concentration", classic.lorenz_concentration, classic.LORENZ_SQL
+)
 _register("top_supplier_by_quarter", classic.top_supplier_by_quarter, classic.TOP_SUPPLIER_SQL)
 _register(
     "small_quantity_order_revenue",

@@ -68,6 +68,7 @@ DEFAULT_OPS = [
     "ext_permutation_test_lift",
     "ext_group_sequential_lift",
     "ext_zipf_fit",
+    "ext_lorenz_concentration",
 ]
 
 

@@ -160,3 +160,41 @@ def test_assortativity_exact_replication(spark, sf_dir):
     den = m * sxx - sx * sx
     if den > 0:
         assert abs(row.assortativity - round((m * sxy - sx * sx) / den, 6)) < 2e-6
+
+
+def test_lorenz_concentration_exact_replication(spark, sf_dir):
+    from etl_mini_dw_spark.plans import classic
+
+    rows = classic.lorenz_concentration(spark, sf_dir).collect()
+    assert [r.decile for r in rows] == list(range(1, classic.LORENZ_TILES + 1))
+    cums = [r.cum_rev_share for r in rows]
+    assert cums == sorted(cums)
+    assert abs(cums[-1] - 1.0) < 1e-9
+    g = rows[0].gini_trapezoid
+    assert all(r.gini_trapezoid == g for r in rows)
+    assert 0.0 <= g < 1.0
+
+    # exact replication: sorted per-customer revenue -> ntile deciles
+    cust = {
+        r.c_custkey: 0
+        for r in typed_table(spark, sf_dir, "customer").select("c_custkey").collect()
+    }
+    for r in (
+        typed_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum((F.col("o_totalprice") * 100).cast("bigint")).alias("y"))
+        .collect()
+    ):
+        if r.o_custkey in cust:
+            cust[r.o_custkey] = r.y
+    ys = [y for _, y in sorted(cust.items(), key=lambda kv: (kv[1], kv[0]))]
+    n, k = len(ys), classic.LORENZ_TILES
+    q, m = divmod(n, k)
+    sums, counts, i = [], [], 0
+    for t in range(k):
+        size = q + 1 if t < m else q
+        sums.append(sum(ys[i : i + size]))
+        counts.append(size)
+        i += size
+    assert [r.n_customers for r in rows] == counts
+    assert [r.revenue_cents for r in rows] == sums
