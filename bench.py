@@ -215,6 +215,9 @@ FLOORS = {
     "ext_distinctive_terms": 0.72,
     "ext_jl_projection_audit": 1.34,  # post-fanout-fix (was ~2.1 single-task)
     "ext_permutation_test_lift": 1.06,  # post-repartition-fix (was ~12 s single-task)
+    "ext_group_sequential_lift": 1.09,
+    "ext_zipf_fit": 0.46,
+    "ext_lorenz_concentration": 1.03,
 }
 
 
