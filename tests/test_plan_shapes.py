@@ -659,3 +659,31 @@ def test_price_volume_mix_pushdown_and_broadcast(spark, sf_dir):
     assert any("GreaterThanOrEqual(o_orderdate" in p for p in pushed), pushed
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lorenz_no_global_customer_window(spark, sf_dir):
+    """r8 continuation: the Lorenz decile rank must come from the coarse
+    value-histogram (cumulative-before + in-bucket row_number), never a
+    single global window ordering the raw per-customer frame — no
+    windowspecdefinition may order by the raw revenue column y without a
+    bucket partition."""
+    import re as _re
+
+    from etl_mini_dw_spark.plans import classic
+
+    plan = _plan(classic.lorenz_concentration(spark, sf_dir))
+    assert "ntile(" not in plan, plan[:3000]
+    # every window over y must be partitioned by the histogram bucket hb
+    for m in _re.finditer(r"windowspecdefinition\(y#\d+L?", plan):
+        ctx = plan[max(0, m.start() - 200) : m.start()]
+        assert "hb#" in ctx or "partitionBy" not in ctx, plan[:3000]
+
+
+def test_zipf_head_window_is_shard_pruned(spark, sf_dir):
+    """The Zipf head selection must run the shard-prune stage before the
+    final bounded ranking window (two windowspecdefinitions: the _shard
+    partitioned stage-1 and the survivors-only stage-2)."""
+    from etl_mini_dw_spark.functions import text as text_mod
+
+    plan = _plan(text_mod.zipf_fit_report(spark, sf_dir))
+    assert "_shard" in plan, plan[:3000]
