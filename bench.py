@@ -67,7 +67,7 @@ FLOORS = {
     "ext_pagerank_parts": 5.3,
     "ext_power_iteration_direction": 5.7,
     "ext_streaming_left_outer_attribution": 10.1,
-    "ext_prefix_filter_neardups": 3.1,
+    "ext_prefix_filter_neardups": 3.58,  # r8c: verify joins shuffle, not corpus-array broadcast
     "ext_table_profile": 2.72,
     "ext_heavy_hitter_tokens": 0.90,
     "ext_containment_neardups": 2.3,
@@ -104,7 +104,7 @@ FLOORS = {
     "ext_cms_join_size_estimate": 3.14,
     "ext_revenue_cusum_shifts": 2.46,
     "ext_boxplot_digest": 0.79,
-    "ext_minhash_estimate_quality": 1.12,  # warm staged frames
+    "ext_minhash_estimate_quality": 0.67,  # r8c: shuffle joins (faster locally too)
     "ext_mad_outlier_days": 1.72,
     "ext_multimodal_resize_digest": 0.81,
     "ext_shapley_attribution": 1.38,
@@ -203,7 +203,7 @@ FLOORS = {
     "ext_nation_share_of_region": 1.38,
     # round-8 re-floors: plans changed this round (shard prune, banded ER
     # blocking, multiprobe RRF arm, histogram-decomposed ABC)
-    "ext_prefix_filter_capped": 3.20,  # new op: stop-shingle capped PPJoin
+    "ext_prefix_filter_capped": 3.58,  # stop-shingle capped PPJoin; r8c shuffle-join verify
     # late-r8 additions (min-of-3 isolated; ambient load ~4 — generous)
     "ext_embedding_label_drift": 2.74,  # 64-sum agg codegen dominates (5k rows)
     "ext_mmr_diverse_topk": 3.13,  # 5 greedy rounds of tiny-frame actions

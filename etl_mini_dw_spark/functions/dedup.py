@@ -1066,24 +1066,26 @@ def _prefix_filter(
         / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
         6,
     )
+    # verify joins are SHUFFLE hash joins on the doc keys, NOT broadcasts:
+    # arrs carries the per-doc sorted shingle arrays for the WHOLE corpus,
+    # and a broadcast collects it to the driver — measured failure at
+    # 1.5M docs (serialized results 1 GiB > spark.driver.maxResultSize,
+    # SCALE_PROOF doc10→doc30). Never broadcast per-doc ARRAY frames;
+    # candidate-pairs ⋈ corpus on a doc key distributes perfectly.
     return (
         cands.join(
-            F.broadcast(
-                arrs.select(
-                    F.col("doc_id").alias("doc_a"),
-                    F.col("sorted_toks").alias("arr_a"),
-                    F.col("n").alias("na"),
-                )
+            arrs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("sorted_toks").alias("arr_a"),
+                F.col("n").alias("na"),
             ),
             "doc_a",
         )
         .join(
-            F.broadcast(
-                arrs.select(
-                    F.col("doc_id").alias("doc_b"),
-                    F.col("sorted_toks").alias("arr_b"),
-                    F.col("n").alias("nb"),
-                )
+            arrs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sorted_toks").alias("arr_b"),
+                F.col("n").alias("nb"),
             ),
             "doc_b",
         )
@@ -1197,11 +1199,11 @@ def neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     labeled = (
         verified.join(
-            F.broadcast(src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))),
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
             "doc_a",
         )
         .join(
-            F.broadcast(src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))),
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
             "doc_b",
         )
         .select(
@@ -1396,30 +1398,29 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     overestimate columns.
 
     All inputs are the memoized staged frames (signatures, candidate
-    pairs, shingle arrays) — this report adds two broadcast joins and
-    one component-compare, nothing corpus-scale."""
+    pairs, shingle arrays) — this report adds per-doc-keyed shuffle
+    joins and one component-compare, nothing beyond candidate scale."""
     cands = lsh_candidate_pairs(spark, sf_dir)
     mh = _minhash_arrays(spark, sf_dir)
     arrs = _shingle_arrays(spark, sf_dir)
+    # shuffle joins, not broadcasts: mh/arrs carry per-doc ARRAYS for the
+    # whole corpus, and a broadcast collects them to the driver (the
+    # measured maxResultSize failure class, see _prefix_filter verify)
     paired = (
         cands.join(
-            F.broadcast(mh.select(F.col("doc_id").alias("doc_a"), F.col("mh_arr").alias("ma"))),
+            mh.select(F.col("doc_id").alias("doc_a"), F.col("mh_arr").alias("ma")),
             "doc_a",
         )
         .join(
-            F.broadcast(mh.select(F.col("doc_id").alias("doc_b"), F.col("mh_arr").alias("mb"))),
+            mh.select(F.col("doc_id").alias("doc_b"), F.col("mh_arr").alias("mb")),
             "doc_b",
         )
         .join(
-            F.broadcast(
-                arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a"))
-            ),
+            arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a")),
             "doc_a",
         )
         .join(
-            F.broadcast(
-                arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b"))
-            ),
+            arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b")),
             "doc_b",
         )
     )
