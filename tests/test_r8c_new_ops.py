@@ -198,3 +198,45 @@ def test_lorenz_concentration_exact_replication(spark, sf_dir):
         i += size
     assert [r.n_customers for r in rows] == counts
     assert [r.revenue_cents for r in rows] == sums
+
+
+def test_distinctive_terms_exact_replication(spark, sf_dir):
+    import math
+
+    from etl_mini_dw_spark.functions import text as text_mod
+
+    wc = (
+        text_mod._token_frame(spark, sf_dir)
+        .select("lang", F.explode("toks").alias("word"))
+        .groupBy("lang", "word")
+        .count()
+        .collect()
+    )
+    y = {(r.lang, r.word): r["count"] for r in wc}
+    yw: dict[str, int] = {}
+    ni: dict[str, int] = {}
+    for (lang, word), c in y.items():
+        yw[word] = yw.get(word, 0) + c
+        ni[lang] = ni.get(lang, 0) + c
+    n = sum(yw.values())
+    a0 = text_mod.DISTINCT_TERMS_A0
+    scored: dict[str, list] = {}
+    for (lang, word), c in y.items():
+        aw = a0 * yw[word] / n
+        t1 = (c + aw) / (ni[lang] + a0 - c - aw)
+        yr = yw[word] - c
+        t2 = (yr + aw) / (n - ni[lang] + a0 - yr - aw)
+        delta = math.log(t1) - math.log(t2)
+        z = round(delta / math.sqrt(1.0 / (c + aw) + 1.0 / (yr + aw)), 6)
+        scored.setdefault(lang, []).append((-z, word, c, round(delta, 6)))
+    expected = {}
+    for lang, lst in scored.items():
+        lst.sort()
+        for rnk, (negz, word, c, delta) in enumerate(
+            lst[: text_mod.DISTINCT_TERMS_TOP_K], start=1
+        ):
+            expected[(lang, rnk)] = (word, c, -negz, delta)
+    for r in text_mod.distinctive_terms(spark, sf_dir).collect():
+        word, c, z, delta = expected[(r.lang, r.rnk)]
+        assert r.word == word and r.y == c
+        assert abs(r.z - z) < 2e-6 and abs(r.delta - delta) < 2e-6
