@@ -105,6 +105,7 @@ FLOORS = {
     "ext_revenue_cusum_shifts": 2.46,
     "ext_boxplot_digest": 0.79,
     "ext_minhash_estimate_quality": 0.67,  # r8c: shuffle joins (faster locally too)
+    "ext_neardup_source_matrix": 0.81,  # r8c: shuffle-join labels
     "ext_mad_outlier_days": 1.72,
     "ext_multimodal_resize_digest": 0.81,
     "ext_shapley_attribution": 1.38,
