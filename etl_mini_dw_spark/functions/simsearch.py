@@ -1234,7 +1234,7 @@ def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = (
         emb.select(
             "vec_id",
-            F.expr("vec_id div 32").alias("blk"),
+            F.expr(f"vec_id div {JL_BLOCK}").alias("blk"),
             F.expr(_JL_QV.format(a="embedding")).alias("qv"),
         )
         .select(
@@ -1304,7 +1304,7 @@ def jl_projection_audit_sql() -> str:
     proj_list = ", ".join(proj)
     return f"""
 WITH staged AS (
-  SELECT vec_id, vec_id // 32 AS blk,
+  SELECT vec_id, vec_id // {JL_BLOCK} AS blk,
          {_JL_QV_SQL.format(a="embedding")} AS qv
   FROM embeddings
 ),

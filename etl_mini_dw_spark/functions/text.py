@@ -1054,7 +1054,10 @@ def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("n_tokens"),
     )
     head = shard_topk_prune(
-        wc.withColumn("h", F.abs(F.hash("word"))),
+        # raw hash: shard_topk_prune pmods it (non-negative even for
+        # negative inputs); abs(hash) would ANSI-overflow on
+        # Integer.MIN_VALUE — a 2^-32-per-word landmine at web scale.
+        wc.withColumn("h", F.hash("word")),
         [],
         [F.col("c").desc(), F.col("word")],
         ZIPF_TOP_V,

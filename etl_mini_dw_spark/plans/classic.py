@@ -1284,9 +1284,14 @@ FROM base
 LORENZ_TILES = 10
 
 
-def lorenz_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(decile, n_customers, revenue_cents, rev_share, cum_rev_share,
-    gini_trapezoid): decile-resolution Lorenz curve of customer revenue."""
+def _lorenz_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint Lorenz pipeline through the per-decile _trap column.
+
+    Split out (rather than inlined in lorenz_concentration) so plan-shape
+    tests can see the full lineage: the localCheckpoint the public
+    function adds truncates explain() at a LogicalRDD scan, which would
+    make any window-shape assertion on the final frame vacuous.
+    """
     from pyspark.sql import Window
 
     from etl_mini_dw_spark.functions.quantiles import ntile_label_cols
@@ -1353,7 +1358,7 @@ def lorenz_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = (F.col("cum_rev") - F.col("revenue_cents")).cast("double") / F.col(
         "yt"
     ).cast("double")
-    scored = curve.select(
+    return curve.select(
         "decile",
         "n_customers",
         "revenue_cents",
@@ -1362,7 +1367,15 @@ def lorenz_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rev_share"),
         F.round(cum, 6).alias("cum_rev_share"),
         (pop * (prev + cum)).alias("_trap"),
-    ).localCheckpoint(eager=False)  # 10 rows; read by output and the gini fold
+    )
+
+
+def lorenz_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(decile, n_customers, revenue_cents, rev_share, cum_rev_share,
+    gini_trapezoid): decile-resolution Lorenz curve of customer revenue."""
+    scored = _lorenz_scored(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # 10 rows; read by output and the gini fold
     gini = scored.agg(
         F.round(F.lit(1.0) - F.sum("_trap"), 6).alias("gini_trapezoid")
     )

@@ -1634,7 +1634,8 @@ scored AS (
          END AS z
   FROM per_look
 )
-SELECT look, cut_date, n_a, n_b, mean_diff, z, obf_bound,
+SELECT look, cut_date, n_a, n_b, mean_diff, z,
+       CAST(obf_bound AS DOUBLE) AS obf_bound,
        CAST(CASE WHEN abs(z) >= obf_bound THEN 1 ELSE 0 END AS INTEGER) AS crossed
 FROM scored ORDER BY look
 """

@@ -1696,12 +1696,10 @@ _deferred = [
 # (r7: ext_multimodal_features went rows-only → per-doc oracled), which
 # need a fresh compare ahead of the green backlog ...
 _DRIVER_WINDOW_RECHECK = [
-    # (r7's multimodal rechecks landed green rows in CORRECTNESS_r07 —
-    # removed so they stop pinning window slots)
-    # r8: semantic arm re-blocked from brute-force scan to multiprobe
-    # sign-LSH candidates (SCALE_PROOF alpha 1.54 → probe-bounded) —
-    # fused values changed, needs a fresh driver compare
-    "ext_rrf_hybrid_topk",
+    # (r8's ext_rrf_hybrid_topk recheck landed green in CORRECTNESS_r08 —
+    # removed so it stops pinning a window slot; r9's window is pure
+    # stalest-first. Add names here ONLY when a value-changing rewrite
+    # lands after their last green row.)
 ]
 _recheck = [
     n

@@ -671,12 +671,16 @@ def test_lorenz_no_global_customer_window(spark, sf_dir):
 
     from etl_mini_dw_spark.plans import classic
 
-    plan = _plan(classic.lorenz_concentration(spark, sf_dir))
+    # assert on the pre-checkpoint frame: the public function's
+    # localCheckpoint truncates explain() at a LogicalRDD, which made the
+    # previous version of this assertion vacuous (r8 ADVICE).
+    plan = _plan(classic._lorenz_scored(spark, sf_dir))
     assert "ntile(" not in plan, plan[:3000]
-    # every window over y must be partitioned by the histogram bucket hb
-    for m in _re.finditer(r"windowspecdefinition\(y#\d+L?", plan):
-        ctx = plan[max(0, m.start() - 200) : m.start()]
-        assert "hb#" in ctx or "partitionBy" not in ctx, plan[:3000]
+    # a windowspecdefinition whose FIRST argument is y is a global
+    # (unpartitioned) window ordering the raw per-customer frame — a
+    # bucket-partitioned window prints as windowspecdefinition(hb#, y# ...)
+    assert not _re.search(r"windowspecdefinition\(y#\d+", plan), plan[:3000]
+    assert _re.search(r"windowspecdefinition\(hb#\d+", plan), plan[:3000]
 
 
 def test_zipf_head_window_is_shard_pruned(spark, sf_dir):

@@ -59,7 +59,7 @@ def test_jl_distortion_concentrates_near_one(spark, sf_dir):
     total = sum(r.n_pairs for r in rows)
     # expected pair count: every same-block (a < b) pair with d2o > 0
     emb = typed_table(spark, sf_dir, "embeddings").select(
-        F.expr("vec_id div 32").alias("blk")
+        F.expr(f"vec_id div {simsearch.JL_BLOCK}").alias("blk")
     )
     per_blk = emb.groupBy("blk").count().collect()
     expected = sum(c["count"] * (c["count"] - 1) // 2 for c in per_blk)
