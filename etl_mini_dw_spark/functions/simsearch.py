@@ -1219,9 +1219,13 @@ def _jl_proj_terms(elem_fmt: str) -> list[str]:
     return exprs
 
 
-def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(bucket, n_pairs, mean_ratio, min_ratio, max_ratio): distribution
-    of the JL distance-distortion ratio over block-sampled vector pairs."""
+def _jl_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint JL projection stage (fanout scan + qv/pv arrays).
+
+    Split out so plan-shape tests can see the fanout Exchange: the
+    localCheckpoint jl_projection_audit adds truncates explain() at a
+    LogicalRDD scan, hiding everything upstream.
+    """
     # the 16x 64-term projections are CPU-bound over a KB-scale scan:
     # without the round-robin fanout the whole projection stage runs in
     # the scan's single input split (measured 12.9 s at 20k vectors in
@@ -1231,7 +1235,7 @@ def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = fanout_scan(spark, load_table(spark, sf_dir, "embeddings"))
     proj = _jl_proj_terms("element_at(qv, {i})")
-    staged = (
+    return (
         emb.select(
             "vec_id",
             F.expr(f"vec_id div {JL_BLOCK}").alias("blk"),
@@ -1243,8 +1247,15 @@ def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qv",
             F.array(*[F.expr(p) for p in proj]).alias("pv"),
         )
-        .localCheckpoint(eager=False)  # both sides of the pair join
     )
+
+
+def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, n_pairs, mean_ratio, min_ratio, max_ratio): distribution
+    of the JL distance-distortion ratio over block-sampled vector pairs."""
+    staged = _jl_staged(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # both sides of the pair join
     a = staged.alias("a")
     b = staged.alias("b")
     d2o = F.expr(

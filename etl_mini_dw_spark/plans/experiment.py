@@ -1326,15 +1326,19 @@ FROM base ORDER BY segment
 PERM_REPS = 64
 
 
-def permutation_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row: (n_units, n_a_obs, b_reps, obs_diff, n_extreme, p_value)
-    — randomization test of the hash-assigned A/B revenue difference."""
+def _perm_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint permutation-test unit frame (spine join + fanout).
+
+    Split out so plan-shape tests can see the fanout Exchange: the
+    localCheckpoint permutation_test_lift adds truncates explain() at a
+    LogicalRDD scan, hiding everything upstream.
+    """
     cust = typed_table(spark, sf_dir, "customer").select("c_custkey")
     orders = typed_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.sum((F.col("o_totalprice") * 100).cast("bigint")).alias("y")
     )
-    units = cust.join(per_cust, "c_custkey", "left").select(
+    return cust.join(per_cust, "c_custkey", "left").select(
         "c_custkey",
         F.when(
             F.pmod(F.col("c_custkey") * F.lit(HASH_MULT), F.lit(HASH_MOD))
@@ -1352,7 +1356,15 @@ def permutation_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 3-column projection; at cluster scale it spreads the hashing
         # stage across all cores the same way.
         spark.sparkContext.defaultParallelism
-    ).localCheckpoint(eager=False)  # consumed by the observed agg AND the fan-out
+    )
+
+
+def permutation_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_units, n_a_obs, b_reps, obs_diff, n_extreme, p_value)
+    — randomization test of the hash-assigned A/B revenue difference."""
+    units = _perm_units(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # consumed by the observed agg AND the fan-out
     obs = units.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_units"),
         F.sum("in_a").cast("bigint").alias("n_a_obs"),
