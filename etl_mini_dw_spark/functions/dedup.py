@@ -255,7 +255,9 @@ FROM mh GROUP BY doc_id, CAST(seed // {BAND_ROWS} AS INT)
 """
 
 
-def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_candidate_pairs(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+) -> DataFrame:
     """Distinct candidate pairs sharing ≥1 LSH band bucket (a < b).
 
     Formulated as bucket → sorted member list → map-side pair expansion
@@ -264,13 +266,37 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion also bounds the blow-up to Σb² over bucket sizes with no
     shuffle beyond the one bucket groupBy. (The oracle keeps the
     equivalent self-join formulation — DuckDB CTEs evaluate once.)
+
+    ``bucket_cap`` is the stop-bucket rule (the LSH analog of the
+    PPJoin's stop-shingle df cap): a bucket holding more than cap docs
+    is a non-discriminative signature collision — on a saturated
+    vocabulary bucket sizes grow with the corpus and pairs quadratically
+    (measured α 1.22 at 500 k docs, r8 SCALE_PROOF) — so the capped
+    variant skips it, bounding expansion to cap·Σb ∝ corpus.
     """
     bands = _band_sigs(_minhash_arrays(spark, sf_dir))
-    buckets = (
-        bands.groupBy("band", "band_sig")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
+    if bucket_cap is not None:
+        # count-first, THEN collect: filtering after collect_list would
+        # still build the mega-bucket in one agg buffer (a corpus-sized
+        # single-task allocation on a saturated signature). The count
+        # agg partial-aggregates map-side, so the skewed signature never
+        # concentrates rows; collect_list then only sees ≤cap groups.
+        sizes = bands.groupBy("band", "band_sig").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        kept = sizes.filter(
+            (F.col("_bn") > 1) & (F.col("_bn") <= bucket_cap)
+        ).drop("_bn")
+        bands = bands.join(kept, ["band", "band_sig"])
+        buckets = bands.groupBy("band", "band_sig").agg(
+            F.array_sort(F.collect_list("doc_id")).alias("ds")
+        )
+    else:
+        buckets = (
+            bands.groupBy("band", "band_sig")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+            .filter(F.size("ds") > 1)
+        )
     return (
         buckets.select(
             F.explode(
@@ -294,7 +320,9 @@ WHERE a.doc_id < b.doc_id
 """
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ngram_jaccard(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None
+) -> DataFrame:
     """Exact shingle-Jaccard verification of the LSH candidates (near-dups).
 
     Candidate pairs join back to the per-doc shingle ARRAYS and the
@@ -302,7 +330,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hundred here), never corpus², and no shingle-level shuffle at all.
     """
     arrs = _shingle_arrays(spark, sf_dir)
-    cands = lsh_candidate_pairs(spark, sf_dir)
+    cands = lsh_candidate_pairs(spark, sf_dir, bucket_cap=bucket_cap)
     common = F.size(F.array_intersect("arr_a", "arr_b"))
     return (
         cands.join(
@@ -327,9 +355,64 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-contract arm: every LSH candidate verified, whatever the
+    bucket sizes. On a saturated vocabulary candidate count IS the
+    exact-output lower bound (measured α 1.22 at 500 k docs);
+    ``ngram_jaccard_capped_neardups`` below is the scale-path sibling."""
+    return _ngram_jaccard(spark, sf_dir, bucket_cap=None)
+
+
+LSH_BUCKET_CAP = 64  # stop-bucket cap for the capped scale-path variant
+
+
+def ngram_jaccard_capped_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path LSH verify: band buckets holding > LSH_BUCKET_CAP docs
+    are treated as non-discriminative signature collisions and skipped
+    before pair expansion (the LSH analog of the PPJoin stop-shingle df
+    cap, prefix_filter_capped_neardups). Deterministic — the kept-bucket
+    rule is a pure function of the data — and survivors get the same
+    exact Jaccard + threshold + top-100; candidate count is bounded by
+    cap·(band entries) ∝ corpus instead of Σb²."""
+    return _ngram_jaccard(spark, sf_dir, bucket_cap=LSH_BUCKET_CAP)
+
+
 NGRAM_JACCARD_SQL = f"""
 WITH arrs AS ({_SHINGLE_ARRAYS_SQL}),
 cands AS ({LSH_PAIRS_SQL}),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(aa.sh_arr, ab.sh_arr)) AS common,
+         len(aa.sh_arr) AS na, len(ab.sh_arr) AS nb
+  FROM cands c
+  JOIN arrs aa ON aa.doc_id = c.doc_a
+  JOIN arrs ab ON ab.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6) AS jaccard
+FROM scored
+WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
+      >= {JACCARD_THRESHOLD}
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 100
+"""
+
+LSH_PAIRS_CAPPED_SQL = f"""
+WITH bands AS MATERIALIZED ({_BAND_SQL}),
+kept AS (
+  SELECT band, band_sig FROM bands GROUP BY band, band_sig
+  HAVING COUNT(*) > 1 AND COUNT(*) <= {LSH_BUCKET_CAP}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN kept k ON a.band = k.band AND a.band_sig = k.band_sig
+JOIN bands b ON b.band = k.band AND b.band_sig = k.band_sig
+WHERE a.doc_id < b.doc_id
+"""
+
+NGRAM_JACCARD_CAPPED_SQL = f"""
+WITH arrs AS ({_SHINGLE_ARRAYS_SQL}),
+cands AS ({LSH_PAIRS_CAPPED_SQL}),
 scored AS (
   SELECT c.doc_a, c.doc_b,
          len(list_intersect(aa.sh_arr, ab.sh_arr)) AS common,

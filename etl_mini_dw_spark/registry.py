@@ -1569,6 +1569,15 @@ _register(
     _tseries.FORECAST_RECONCILIATION_SQL,
 )
 
+# --- round 9: stop-bucket capped LSH verify (scale-path sibling of ----------
+# ext_ngram_jaccard_neardups, the same mitigation that took the PPJoin
+# from alpha 1.40 to 0.99-linear)
+_register(
+    "ext_ngram_jaccard_capped",
+    dedup.ngram_jaccard_capped_neardups,
+    dedup.NGRAM_JACCARD_CAPPED_SQL,
+)
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). The rotation is fully
