@@ -219,6 +219,12 @@ FLOORS = {
     "ext_group_sequential_lift": 1.09,
     "ext_zipf_fit": 0.46,
     "ext_lorenz_concentration": 1.03,
+    # r9: last >2 s lines without recorded floors (VERDICT r8 task #3)
+    # + the new capped LSH verify arm. Min-of-3 isolated, start load 0.39.
+    "ext_revenue_role_playing_dates": 1.45,
+    "validate_overlaps_product": 2.08,
+    "validate_overlaps_salesperson": 1.83,
+    "ext_ngram_jaccard_capped": 0.63,
 }
 
 
