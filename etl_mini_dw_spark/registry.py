@@ -1622,7 +1622,7 @@ _DRIVER_WINDOW_DEFER = [
     "ext_nation_share_of_region",
 ]
 def _driver_green_rounds(root: str | None = None) -> dict[str, int]:
-    """name → EARLIEST round with a SUCCESSFUL driver correctness row.
+    """name → LATEST round with a SUCCESSFUL driver correctness row.
 
     The external driver writes CORRECTNESS_r{N}.json (first-50-only) into
     the repo root each round; reading them here makes the rotation
@@ -1640,10 +1640,13 @@ def _driver_green_rounds(root: str | None = None) -> dict[str, int]:
     forever). Legacy rows that predate hash reporting but carry
     ``rows_match`` and no err are kept as checked.
 
-    The earliest-green round drives the all-checked steady state
+    The LATEST-green round drives the all-checked steady state
     (r6 VERDICT task #6): once nothing is unchecked, the window fills
-    with the OLDEST green rows first, so every round re-confirms the
-    stalest results instead of no-oping.
+    with the names whose most-recent confirmation is oldest, so the
+    window ROTATES through the registry round-over-round. (r9 fix: this
+    originally kept the EARLIEST round, which made the steady-state
+    window re-check the same r1-era names forever — a name re-confirmed
+    last round sorted as if it were still stale.)
     """
     import glob
     import json
@@ -1671,7 +1674,7 @@ def _driver_green_rounds(root: str | None = None) -> dict[str, int]:
                 # legacy / reduced-signal row: no comparison error recorded
                 ok = v.get("rows_match") is True and v.get("hash_match") is None
             if ok:
-                seen[k] = min(seen.get(k, rnd), rnd)
+                seen[k] = max(seen.get(k, rnd), rnd)
     return seen
 
 

@@ -107,9 +107,10 @@ def test_deferred_names_trail_the_unchecked_block():
         assert unchecked[-len(live_defer) :] == live_defer
 
 
-def test_green_rounds_keep_earliest(tmp_path):
-    """_driver_green_rounds must record the EARLIEST green round per name
-    (freshness key for the steady-state re-float), ignoring failed rows."""
+def test_green_rounds_keep_latest(tmp_path):
+    """_driver_green_rounds must record the LATEST green round per name
+    (freshness key for the steady-state rotation — a re-confirmed name
+    drops to the back of the backlog), ignoring failed rows."""
     (tmp_path / "CORRECTNESS_r03.json").write_text(
         json.dumps({
             "q_a": {"rows_match": True, "schema_match": True,
@@ -126,14 +127,15 @@ def test_green_rounds_keep_earliest(tmp_path):
         })
     )
     got = registry._driver_green_rounds(str(tmp_path))
-    assert got == {"q_a": 3, "q_b": 5}
+    assert got == {"q_a": 5, "q_b": 5}
 
 
 def test_all_green_steady_state_refloats_oldest():
-    """Once every query is checked, the window must fill with the OLDEST
-    green rows first (freshness re-verification), never no-op. Pinned on
-    the LIVE ordering restricted to the checked block — stable because
-    earliest-green rounds never change once recorded."""
+    """Once every query is checked, the window must fill with the names
+    whose most-recent confirmation is OLDEST (true rotation: a name
+    re-confirmed last round drops to the back), never no-op. Pinned on
+    the LIVE ordering restricted to the checked block — consistent by
+    construction since both sides read the same green map."""
     green = registry._driver_green_rounds()
     names = list(registry.QUERIES)
     # semantics-changed names are force-floated ahead of the backlog and
