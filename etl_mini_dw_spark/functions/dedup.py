@@ -260,19 +260,25 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate pairs sharing ≥1 LSH band bucket (a < b).
 
-    Formulated as bucket → sorted member list → map-side pair expansion
-    (HOF) instead of a bucket self-join: a self-join would re-compute the
-    whole minhash pipeline on both sides, and at 100 TB the per-bucket
-    expansion also bounds the blow-up to Σb² over bucket sizes with no
-    shuffle beyond the one bucket groupBy. (The oracle keeps the
-    equivalent self-join formulation — DuckDB CTEs evaluate once.)
-
     ``bucket_cap`` is the stop-bucket rule (the LSH analog of the
     PPJoin's stop-shingle df cap): a bucket holding more than cap docs
     is a non-discriminative signature collision — on a saturated
     vocabulary bucket sizes grow with the corpus and pairs quadratically
     (measured α 1.22 at 500 k docs, r8 SCALE_PROOF) — so the capped
-    variant skips it, bounding expansion to cap·Σb ∝ corpus.
+    variant skips it, bounding expansion to cap·Σb ∝ corpus. Capped
+    buckets are ≤cap members, so the map-side HOF pair expansion is the
+    optimal plan there (one shuffle, ≤cap·(cap−1)/2 structs per buffer).
+
+    The UNCAPPED (exact-contract) arm must instead STREAM: the HOF
+    expansion materializes a bucket's full m(m−1)/2 pair array in one
+    buffer, and on a saturated signature space bucket sizes grow with
+    the corpus — at 4.5 M fixture docs concurrent mega-bucket buffers
+    exhausted a 48 g heap and killed the JVM via a full-GC heartbeat
+    storm (SCALE_PROOF.md r9). The band-key self-join below is
+    value-identical (it is exactly the oracle's formulation) and
+    sort-merge/shuffled-hash joins buffer one O(m) key group with disk
+    spill, so a mega-bucket degrades to slow-but-streaming; Σb² output
+    rows remain the exact contract's own lower bound.
     """
     bands = _band_sigs(_minhash_arrays(spark, sf_dir))
     if bucket_cap is not None:
@@ -291,23 +297,28 @@ def lsh_candidate_pairs(
         buckets = bands.groupBy("band", "band_sig").agg(
             F.array_sort(F.collect_list("doc_id")).alias("ds")
         )
-    else:
-        buckets = (
-            bands.groupBy("band", "band_sig")
-            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-            .filter(F.size("ds") > 1)
+        return (
+            buckets.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ds, (a, i) ->"
+                        " transform(slice(ds, i + 2, size(ds) - i - 1),"
+                        " b -> struct(a AS doc_a, b AS doc_b))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.doc_a", "p.doc_b")
+            .distinct()
         )
+    # both join sides are the SAME DataFrame over the checkpointed
+    # minhash frame, so the signature pipeline is computed once and the
+    # per-side band projection is 4 cached-array md5s per doc.
+    b_a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    b_b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
     return (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds, (a, i) ->"
-                    " transform(slice(ds, i + 2, size(ds) - i - 1),"
-                    " b -> struct(a AS doc_a, b AS doc_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
+        b_a.join(b_b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
 
@@ -563,9 +574,15 @@ def _simhash64_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash64_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs at hamming ≤ K via the 4×16-bit banded search.
 
-    bucket groupBy (band_idx, band_val) → in-bucket pair expansion
-    (Σb² bound, same shape as ``lsh_candidate_pairs``) → exact
-    ``bit_count(a ^ b)`` verification on candidates only.
+    Candidates = band-key SELF-JOIN on (band_idx, band_val) → exact
+    ``bit_count(a ^ b)`` verification on candidates only. The join (not
+    a groupBy + in-bucket HOF expansion) is deliberate: a 16-bit band
+    domain is FIXED, so bucket occupancy grows linearly with the corpus
+    and an HOF expansion materializes each bucket's m(m−1)/2 pair array
+    in one task buffer — the allocation shape that killed the uncapped
+    minhash arm at 4.5 M docs (SCALE_PROOF.md r9). The join streams one
+    O(m) key group at a time with disk spill; Σb² output rows are the
+    exact hamming contract's own candidate lower bound.
     """
     sk = _simhash64_sketches(spark, sf_dir).localCheckpoint(eager=False)
     bands = F.array(
@@ -577,24 +594,17 @@ def simhash64_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(SIMHASH64_BANDS)
         ]
     )
-    buckets = (
-        sk.select("doc_id", F.explode(bands).alias("bv"))
-        .select("doc_id", "bv.band_idx", "bv.band_val")
-        .groupBy("band_idx", "band_val")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
+    banded = sk.select("doc_id", F.explode(bands).alias("bv")).select(
+        "doc_id", "bv.band_idx", "bv.band_val"
     )
     cands = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds, (a, i) ->"
-                    " transform(slice(ds, i + 2, size(ds) - i - 1),"
-                    " b -> struct(a AS doc_a, b AS doc_b))))"
-                )
-            ).alias("p")
+        banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
+        .join(
+            banded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_val"),
+            ["band_idx", "band_val"],
         )
-        .select("p.doc_a", "p.doc_b")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
     return (

@@ -788,3 +788,37 @@ def test_cpu_fanout_exchanges_survive(spark, sf_dir):
     plan = _plan(dedup.edit_distance_neardups(spark, sf_dir))
     assert re.search(r"hashpartitioning\(doc_id#\d+L?, \d+\), REPARTITION_BY_NUM", plan), plan[:2000]
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+# Class 3 (r9) — single-buffer in-bucket pair expansion on an UNCAPPED
+# bucket domain: flatten(transform(ds, ...)) over a collect_list bucket
+# materializes the bucket's full m(m-1)/2 pair array in ONE task buffer.
+# On a saturated signature space bucket sizes grow with the corpus, and
+# at 4.5M fixture docs concurrent mega-bucket buffers exhausted the 48g
+# heap (full-GC heartbeat storm, JVM death — SCALE_PROOF.md r9). Uncapped
+# candidate generators must therefore STREAM via a band-key self-join
+# (O(m) spill-able key groups); the HOF expansion is only legal where a
+# bucket cap bounds the buffer (<= cap*(cap-1)/2 structs).
+
+
+def test_uncapped_pair_expansion_streams(spark, sf_dir):
+    from etl_mini_dw_spark.functions import dedup
+
+    # uncapped arms: no single-buffer HOF pair expansion anywhere
+    for name, df in (
+        ("lsh_candidate_pairs", dedup.lsh_candidate_pairs(spark, sf_dir)),
+        ("simhash64_neardups", dedup.simhash64_neardups(spark, sf_dir)),
+    ):
+        plan = _plan(df)
+        assert "flatten(transform(" not in plan, (name, plan[:2000])
+        # the streaming formulation joins on the band key; at fixture
+        # scale Catalyst may pick broadcast or sort-merge — either is a
+        # join, not a Generate over bucket arrays
+        assert "Join" in plan, (name, plan[:2000])
+
+    # detector sanity (guards against a vacuous check if explain output
+    # ever changes shape): the CAPPED arm keeps the bounded HOF expansion
+    capped = dedup.lsh_candidate_pairs(
+        spark, sf_dir, bucket_cap=dedup.LSH_BUCKET_CAP
+    )
+    assert "flatten(transform(" in _plan(capped)
