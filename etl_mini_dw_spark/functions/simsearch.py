@@ -1347,3 +1347,143 @@ SELECT bucket,
        round(MAX(ratio), 6) AS max_ratio
 FROM binned GROUP BY 1 ORDER BY bucket
 """
+
+
+# --- Matryoshka truncation quality ------------------------------------------
+#
+# Kusupati et al. (2022), "Matryoshka Representation Learning": modern
+# embedding models are trained so a PREFIX of the vector is itself a
+# usable lower-dim embedding. Before switching an ANN index to truncated
+# vectors (4x less memory at 16 of 64 dims), the owner measures how much
+# of the full-dim top-k survives the truncation: per-query overlap@k
+# between the exact 64-d cosine top-k and the renormalized first-16-dims
+# top-k. The number this report ends with IS the recall the truncated
+# index would serve.
+#
+# Determinism: both rankings use round-6 cosines with the (cosine desc,
+# cand_id) total tie-break, so the two top-k SETS are identical across
+# engines and the overlap join is exact-integer.
+#
+# Scale: both rankings pass shard_topk_prune (no corpus-sized per-query
+# window); the overlap join is on (query, cand) over <= Q*k rows. The
+# corpus is scanned twice (once per ranking) — still linear, no
+# all-pairs beyond the fixed Q query rows.
+
+MATRYOSHKA_DIMS = 16
+MATRYOSHKA_K = 10
+
+_DOT_N = (
+    "aggregate(zip_with(slice({a}, 1, {d}), slice({b}, 1, {d}),"
+    " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NORM_N = (
+    "sqrt(aggregate(transform(slice({a}, 1, {d}), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+)
+_DOT_N_SQL = (
+    "list_sum(list_transform(range(1, {d} + 1),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM_N_SQL = (
+    "sqrt(list_sum(list_transform(range(1, {d} + 1),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+)
+
+
+def _topk_at_dims(emb: DataFrame, d: int, k: int) -> DataFrame:
+    """(query_id, cand_id) — exact top-k by cosine over the first ``d``
+    dims (renormalized), shard-pruned before the final ranking window."""
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.expr(_NORM_N.format(a="embedding", d=d)).alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        F.expr(_NORM_N.format(a="embedding", d=d)).alias("cn"),
+    )
+    cos = F.round(
+        F.expr(_DOT_N.format(a="qv", b="cv", d=d)) / (F.col("qn") * F.col("cn")), 6
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", cos)
+    )
+    pruned = shard_topk_prune(
+        scored, ["query_id"], [F.col("cosine").desc(), F.col("cand_id")], k, "cand_id"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id")
+    )
+
+
+def matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, k, n_overlap, overlap_frac): per-query overlap@k between
+    the full-dim top-k and the truncated-prefix top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = _topk_at_dims(emb, 64, MATRYOSHKA_K)
+    trunc = _topk_at_dims(emb, MATRYOSHKA_DIMS, MATRYOSHKA_K)
+    hits = (
+        full.join(trunc, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id")
+    )
+    return (
+        qs.join(F.broadcast(hits), "query_id", "left")
+        .fillna(0, subset=["n_overlap"])
+        .select(
+            "query_id",
+            F.lit(MATRYOSHKA_K).cast("int").alias("k"),
+            "n_overlap",
+            F.round(
+                F.col("n_overlap").cast("double") / F.lit(float(MATRYOSHKA_K)), 6
+            ).alias("overlap_frac"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _matryoshka_topk_sql(d: int) -> str:
+    return f"""
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+    FROM (
+      SELECT q.query_id, c.cand_id,
+             round({_DOT_N_SQL.format(a="q.qv", b="c.cv", d=d)}
+                   / ({_NORM_N_SQL.format(a="q.qv", d=d)}
+                      * {_NORM_N_SQL.format(a="c.cv", d=d)}), 6) AS cosine
+      FROM (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id < {N_QUERIES}) q,
+           (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings) c
+      WHERE q.query_id <> c.cand_id
+    )
+  ) WHERE rank <= {MATRYOSHKA_K}
+"""
+
+
+MATRYOSHKA_SQL = f"""
+WITH full_k AS ({_matryoshka_topk_sql(64)}),
+trunc_k AS ({_matryoshka_topk_sql(MATRYOSHKA_DIMS)}),
+hits AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM full_k JOIN trunc_k USING (query_id, cand_id)
+  GROUP BY 1
+)
+SELECT q.vec_id AS query_id,
+       CAST({MATRYOSHKA_K} AS INTEGER) AS k,
+       COALESCE(n_overlap, 0) AS n_overlap,
+       round(CAST(COALESCE(n_overlap, 0) AS DOUBLE) / {MATRYOSHKA_K}.0, 6) AS overlap_frac
+FROM (SELECT vec_id FROM embeddings WHERE vec_id < {N_QUERIES}) q
+LEFT JOIN hits ON q.vec_id = hits.query_id
+ORDER BY query_id
+"""

@@ -1651,3 +1651,163 @@ SELECT look, cut_date, n_a, n_b, mean_diff, z,
        CAST(CASE WHEN abs(z) >= obf_bound THEN 1 ELSE 0 END AS INTEGER) AS crossed
 FROM scored ORDER BY look
 """
+
+
+# ---------------------------------------------------------------------------
+# Two-way fixed-effects (within) estimator
+#
+# The workhorse of observational panel inference (Wooldridge 2010 ch.10;
+# the regression the DiD report is a 2x2 special case of): regress the
+# cell outcome on the cell regressor AFTER sweeping out unit and period
+# means,
+#
+#   y~_it = y_it - mean_i - mean_t + mean,   beta = sum(x~ y~)/sum(x~^2)
+#
+# Panel here: unit = customer nation, period = order month, y = cell
+# revenue in integer cents, x = cell order count. beta_pooled (no
+# effects) is reported next to beta_within — the gap IS the
+# cross-sectional confound the fixed effects absorb.
+#
+# Determinism: cell sums are exact BIGINTs; unit/period/grand means are
+# correctly-rounded doubles of identical integers; the demeaned products
+# are round-6'd PER CELL then summed as DECIMAL(38,6) (order-free), so
+# no double ever accumulates across rows. Pooled sufficient statistics
+# are exact DECIMAL(38,0) sums (the trend-slope pattern).
+#
+# Scale: one (unit, period) aggregate over the fact join; everything
+# after runs on the n_units x n_periods cell frame (metadata-sized:
+# group-key cardinality, not row count). Dimension side broadcast.
+
+
+def panel_fixed_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_units, n_periods, n_cells, beta_pooled, beta_within):
+    revenue-on-volume slope before and after two-way demeaning."""
+    cust = typed_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    panel = (
+        typed_table(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_nationkey").alias("u"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("t"),
+            F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("u", "t")
+        .agg(
+            F.sum("cents").cast("bigint").alias("y"),
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+        )
+        .localCheckpoint(eager=False)  # unit/period/grand means all read it
+    )
+    ui = panel.groupBy("u").agg(
+        F.sum("y").cast("bigint").alias("syu"),
+        F.sum("x").cast("bigint").alias("sxu"),
+        F.count(F.lit(1)).cast("bigint").alias("nu"),
+    )
+    ti = panel.groupBy("t").agg(
+        F.sum("y").cast("bigint").alias("syt"),
+        F.sum("x").cast("bigint").alias("sxt"),
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+    )
+    g = panel.agg(
+        F.sum("y").cast("bigint").alias("syg"),
+        F.sum("x").cast("bigint").alias("sxg"),
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.countDistinct("u").cast("bigint").alias("n_units"),
+        F.countDistinct("t").cast("bigint").alias("n_periods"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    yt = (
+        dbl("y")
+        - dbl("syu") / dbl("nu")
+        - dbl("syt") / dbl("nt")
+        + dbl("syg") / dbl("ng")
+    )
+    xt = (
+        dbl("x")
+        - dbl("sxu") / dbl("nu")
+        - dbl("sxt") / dbl("nt")
+        + dbl("sxg") / dbl("ng")
+    )
+    within = (
+        panel.join(F.broadcast(ui), "u")
+        .join(F.broadcast(ti), "t")
+        .crossJoin(F.broadcast(g))
+        .agg(
+            F.sum(F.round(yt * xt, 6).cast("decimal(38,6)")).alias("num"),
+            F.sum(F.round(xt * xt, 6).cast("decimal(38,6)")).alias("den"),
+        )
+    )
+    n = dbl("ng")
+    pnum = n * dbl("sxy") - dbl("sxg") * dbl("syg")
+    pden = n * dbl("sxx") - dbl("sxg") * dbl("sxg")
+    return (
+        g.crossJoin(F.broadcast(within))
+        .select(
+            "n_units",
+            "n_periods",
+            F.col("ng").alias("n_cells"),
+            F.when(pden > 0, F.round(pnum / pden, 6)).alias("beta_pooled"),
+            F.when(
+                F.col("den") > 0,
+                F.round(F.col("num").cast("double") / F.col("den").cast("double"), 6),
+            ).alias("beta_within"),
+        )
+    )
+
+
+PANEL_FE_SQL = """
+WITH panel AS (
+  SELECT c_nationkey AS u, strftime(o_orderdate, '%Y-%m') AS t,
+         -- the decimal INGEST cast mirrors typed_table (raw parquet is
+         -- DOUBLE; Spark's exact-money contract rounds to 2 dp first)
+         CAST(SUM(CAST(floor(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT)) AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+ui AS (SELECT u, CAST(SUM(y) AS BIGINT) AS syu, CAST(SUM(x) AS BIGINT) AS sxu,
+              CAST(COUNT(*) AS BIGINT) AS nu FROM panel GROUP BY 1),
+ti AS (SELECT t, CAST(SUM(y) AS BIGINT) AS syt, CAST(SUM(x) AS BIGINT) AS sxt,
+              CAST(COUNT(*) AS BIGINT) AS nt FROM panel GROUP BY 1),
+g AS (
+  SELECT CAST(SUM(y) AS BIGINT) AS syg, CAST(SUM(x) AS BIGINT) AS sxg,
+         CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxx,
+         CAST(COUNT(DISTINCT u) AS BIGINT) AS n_units,
+         CAST(COUNT(DISTINCT t) AS BIGINT) AS n_periods
+  FROM panel
+),
+within AS (
+  SELECT
+    SUM(CAST(round((CAST(y AS DOUBLE) - CAST(syu AS DOUBLE) / nu
+                    - CAST(syt AS DOUBLE) / nt + CAST(syg AS DOUBLE) / ng)
+                   * (CAST(x AS DOUBLE) - CAST(sxu AS DOUBLE) / nu
+                      - CAST(sxt AS DOUBLE) / nt + CAST(sxg AS DOUBLE) / ng), 6)
+             AS DECIMAL(38,6))) AS num,
+    SUM(CAST(round((CAST(x AS DOUBLE) - CAST(sxu AS DOUBLE) / nu
+                    - CAST(sxt AS DOUBLE) / nt + CAST(sxg AS DOUBLE) / ng)
+                   * (CAST(x AS DOUBLE) - CAST(sxu AS DOUBLE) / nu
+                      - CAST(sxt AS DOUBLE) / nt + CAST(sxg AS DOUBLE) / ng), 6)
+             AS DECIMAL(38,6))) AS den
+  FROM panel JOIN ui USING (u) JOIN ti USING (t) CROSS JOIN g
+)
+SELECT n_units, n_periods, ng AS n_cells,
+       CASE WHEN CAST(ng AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sxg AS DOUBLE) * CAST(sxg AS DOUBLE) > 0
+            THEN round((CAST(ng AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sxg AS DOUBLE) * CAST(syg AS DOUBLE))
+                       / (CAST(ng AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sxg AS DOUBLE) * CAST(sxg AS DOUBLE)), 6)
+       END AS beta_pooled,
+       CASE WHEN den > 0
+            THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+       END AS beta_within
+FROM g CROSS JOIN within
+"""

@@ -1960,3 +1960,237 @@ SELECT CAST(-1 AS INT) AS rep,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS boot_total
 FROM orders
 """
+
+
+# --- Hill tail-index estimator ----------------------------------------------
+#
+# Hill (1975): for a heavy-tailed value distribution, the maximum-
+# likelihood tail exponent over the top-k order statistics is
+#   alpha = k / SUM_{i=1..k} (ln x_(i) - ln x_(k+1)).
+# The "how heavy is the revenue tail" number behind whale-customer risk
+# and sampling-cap decisions (and the order-statistics cousin of
+# ext_zipf_fit's rank-frequency slope).
+#
+# Determinism: the top-(k+1) selection is a TOTAL (value desc, orderkey)
+# order; each ln is round-6'd and converted to exact integer micro-units
+# (the zipf_fit pattern), so the sum is an order-free BIGINT and no
+# double accumulates across rows. Final alpha is one round-6 division.
+#
+# Scale: the top-k never runs a global window — shard_topk_prune keeps
+# shard-local top-(k+1) first, so the final ranking window sees
+# <= 64*(k+1) rows regardless of corpus size.
+
+HILL_TOP_K = 500
+
+
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (k, x_ref, hill_alpha): Hill tail-index of o_totalprice
+    over the top-k order statistics."""
+    from etl_mini_dw_spark.functions.simsearch import shard_topk_prune
+
+    k = HILL_TOP_K
+    ords = typed_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("v")
+    )
+    head = shard_topk_prune(
+        ords, [], [F.col("v").desc(), F.col("o_orderkey")], k + 1, "o_orderkey"
+    )
+    w = Window.orderBy(F.col("v").desc(), F.col("o_orderkey"))
+    ranked = (
+        head.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k + 1)
+        .select(
+            "r",
+            F.expr(
+                "CAST(floor(round(ln(v), 6) * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("lv"),
+            "v",
+        )
+    )
+    st = ranked.agg(
+        F.sum(F.when(F.col("r") <= k, F.col("lv"))).cast("bigint").alias("s_top"),
+        F.max(F.when(F.col("r") == k + 1, F.col("lv"))).alias("l_ref"),
+        F.max(F.when(F.col("r") == k + 1, F.col("v"))).alias("x_ref"),
+    )
+    den = F.col("s_top") - F.lit(k).cast("bigint") * F.col("l_ref")
+    return st.select(
+        F.lit(k).cast("int").alias("k"),
+        F.round(F.col("x_ref"), 2).alias("x_ref"),
+        F.when(
+            den > 0,
+            F.round(F.lit(float(k) * 1_000_000.0) / den.cast("double"), 6),
+        ).alias("hill_alpha"),
+    )
+
+
+HILL_TAIL_SQL = f"""
+WITH typed AS (
+  -- the decimal INGEST cast mirrors typed_table (raw parquet is DOUBLE)
+  SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS v
+  FROM orders
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY v DESC, o_orderkey) AS r,
+         CAST(floor(round(ln(v), 6) * 1000000.0 + 0.5) AS BIGINT) AS lv,
+         v
+  FROM typed
+),
+st AS (
+  SELECT CAST(SUM(CASE WHEN r <= {HILL_TOP_K} THEN lv END) AS BIGINT) AS s_top,
+         MAX(CASE WHEN r = {HILL_TOP_K} + 1 THEN lv END) AS l_ref,
+         MAX(CASE WHEN r = {HILL_TOP_K} + 1 THEN v END) AS x_ref
+  FROM ranked WHERE r <= {HILL_TOP_K} + 1
+)
+SELECT CAST({HILL_TOP_K} AS INTEGER) AS k,
+       round(x_ref, 2) AS x_ref,
+       CASE WHEN s_top - {HILL_TOP_K} * l_ref > 0
+            THEN round({HILL_TOP_K} * 1000000.0
+                       / CAST(s_top - {HILL_TOP_K} * l_ref AS DOUBLE), 6)
+       END AS hill_alpha
+FROM st
+"""
+
+
+# --- 1-D Wasserstein drift (earth-mover distance on a fixed grid) -----------
+#
+# W1 between each market segment's account-balance distribution and the
+# global one, computed on a 20-bucket equi-width grid over the GLOBAL
+# [min, max]: W1 = SUM_b |CDF_seg(b) - CDF_all(b)| * width. The
+# metric-aware complement of the PSI/KS drift reports: PSI ignores HOW
+# FAR mass moved, KS only sees the worst bucket; W1 prices the transport
+# distance — the quantity distribution-shift monitoring actually wants
+# (cf. Ramdas et al. 2017 on univariate Wasserstein two-sample tests).
+#
+# Determinism: bucket ids are floor((v - mn)/w) over identical IEEE
+# doubles (correctly-rounded ops on identical inputs -> identical
+# buckets both engines); counts are exact integers; the 20-term CDF sum
+# is round-6'd at the end. The dense (segment x bucket) grid is built by
+# explicit generate_series cross join, so empty buckets carry their flat
+# CDF contribution.
+#
+# Scale: one (segment, bucket) count shuffle over the dimension table;
+# the cumulative window runs over the 5x20 metadata-sized grid
+# (SCALE.md's bounded-frame class), never over rows.
+
+W1_BUCKETS = 20
+
+
+def wasserstein_segment_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(segment, n, w1): earth-mover distance between the segment's
+    c_acctbal distribution and the global distribution."""
+    cust = typed_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").cast("double").alias("v"),
+    )
+    mm = cust.agg(
+        F.min("v").alias("_mn"),
+        F.max("v").alias("_mx"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_all"),
+    )
+    # width is guarded like quantiles.py's coarse histogram: a degenerate
+    # all-equal column must not divide by zero (ANSI floor/cast landmine)
+    width = F.greatest(
+        (F.col("_mx") - F.col("_mn")) / F.lit(float(W1_BUCKETS)), F.lit(1e-12)
+    )
+    b = F.least(
+        F.floor((F.col("v") - F.col("_mn")) / width).cast("int"),
+        F.lit(W1_BUCKETS - 1),
+    )
+    bucketed = (
+        cust.crossJoin(F.broadcast(mm))
+        .select("segment", b.alias("b"))
+        .groupBy("segment", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # grid + global marginals read it
+    )
+    segs = bucketed.select("segment").distinct()
+    grid = segs.crossJoin(
+        F.broadcast(
+            bucketed.sparkSession.range(W1_BUCKETS).select(
+                F.col("id").cast("int").alias("b")
+            )
+        )
+    )
+    gl = bucketed.groupBy("b").agg(F.sum("c").alias("c_all"))
+    dense = (
+        grid.join(bucketed, ["segment", "b"], "left")
+        .join(F.broadcast(gl), "b", "left")
+        .fillna(0, subset=["c", "c_all"])
+    )
+    wseg = Window.partitionBy("segment").orderBy("b")
+    ns = Window.partitionBy("segment")
+    cum = dense.select(
+        "segment",
+        "b",
+        (F.sum("c").over(wseg).cast("double") / F.sum("c").over(ns).cast("double")).alias(
+            "cdf_s"
+        ),
+        F.sum("c").over(ns).cast("bigint").alias("n"),
+        F.sum("c_all").over(wseg).cast("double").alias("_ca"),
+    )
+    out = (
+        cum.crossJoin(F.broadcast(mm))
+        .withColumn("cdf_a", F.col("_ca") / F.col("_n_all").cast("double"))
+        .groupBy("segment", "n")
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(F.col("cdf_s") - F.col("cdf_a"))
+                    * F.greatest(
+                        (F.col("_mx") - F.col("_mn")) / F.lit(float(W1_BUCKETS)),
+                        F.lit(1e-12),
+                    )
+                ),
+                6,
+            ).alias("w1")
+        )
+    )
+    return out.select("segment", "n", "w1").orderBy("segment")
+
+
+WASSERSTEIN_SQL = f"""
+WITH cust AS (
+  -- the decimal INGEST cast mirrors typed_table (raw parquet is DOUBLE)
+  SELECT c_mktsegment AS segment,
+         CAST(CAST(c_acctbal AS DECIMAL(14,2)) AS DOUBLE) AS v
+  FROM customer
+),
+mm AS (
+  SELECT MIN(v) AS mn, MAX(v) AS mx, CAST(COUNT(*) AS BIGINT) AS n_all FROM cust
+),
+bucketed AS (
+  SELECT segment,
+         LEAST(CAST(floor((v - mn) / GREATEST((mx - mn) / {W1_BUCKETS}.0, 1e-12)) AS INTEGER),
+               {W1_BUCKETS} - 1) AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM cust CROSS JOIN mm
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT segment, CAST(gs.b AS INTEGER) AS b
+  FROM (SELECT DISTINCT segment FROM bucketed),
+       (SELECT unnest(range({W1_BUCKETS})) AS b) gs
+),
+gl AS (SELECT b, SUM(c) AS c_all FROM bucketed GROUP BY 1),
+dense AS (
+  SELECT g.segment, g.b,
+         COALESCE(bk.c, 0) AS c,
+         COALESCE(gl.c_all, 0) AS c_all
+  FROM grid g
+  LEFT JOIN bucketed bk ON g.segment = bk.segment AND g.b = bk.b
+  LEFT JOIN gl ON g.b = gl.b
+),
+cum AS (
+  SELECT segment, b,
+         CAST(SUM(c) OVER (PARTITION BY segment ORDER BY b) AS DOUBLE)
+           / SUM(c) OVER (PARTITION BY segment) AS cdf_s,
+         CAST(SUM(c) OVER (PARTITION BY segment) AS BIGINT) AS n,
+         CAST(SUM(c_all) OVER (PARTITION BY segment ORDER BY b) AS DOUBLE) AS ca
+  FROM dense
+)
+SELECT segment, n,
+       round(SUM(abs(cdf_s - ca / n_all) * GREATEST((mx - mn) / {W1_BUCKETS}.0, 1e-12)), 6) AS w1
+FROM cum CROSS JOIN mm
+GROUP BY segment, n
+ORDER BY segment
+"""

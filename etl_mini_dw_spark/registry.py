@@ -1578,6 +1578,45 @@ _register(
     dedup.NGRAM_JACCARD_CAPPED_SQL,
 )
 
+# --- round 9: data-mixture diagnostics (plans/mixture.py) --------------------
+from etl_mini_dw_spark.plans import mixture
+
+_register(
+    "ext_source_js_divergence",
+    mixture.source_js_divergence,
+    mixture.SOURCE_JS_SQL,
+)
+_register(
+    "ext_temperature_sampling_weights",
+    mixture.temperature_sampling_weights,
+    mixture.TEMPERATURE_WEIGHTS_SQL,
+)
+_register(
+    "ext_loo_source_contribution",
+    mixture.loo_source_contribution,
+    mixture.LOO_SOURCE_SQL,
+)
+
+# --- round 9: tail index + metric-aware drift + panel FE ---------------------
+_register("ext_hill_tail_index", _stats.hill_tail_index, _stats.HILL_TAIL_SQL)
+_register(
+    "ext_wasserstein_segment_drift",
+    _stats.wasserstein_segment_drift,
+    _stats.WASSERSTEIN_SQL,
+)
+_register(
+    "ext_panel_fixed_effects",
+    _experiment.panel_fixed_effects,
+    _experiment.PANEL_FE_SQL,
+)
+
+# --- round 9: Matryoshka truncation quality (simsearch.py) -------------------
+_register(
+    "ext_matryoshka_overlap",
+    simsearch.matryoshka_overlap,
+    simsearch.MATRYOSHKA_SQL,
+)
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). The rotation is fully

@@ -822,3 +822,24 @@ def test_uncapped_pair_expansion_streams(spark, sf_dir):
         spark, sf_dir, bucket_cap=dedup.LSH_BUCKET_CAP
     )
     assert "flatten(transform(" in _plan(capped)
+
+
+def test_matryoshka_windows_are_shard_pruned(spark, sf_dir):
+    """Both matryoshka rankings (full-dim and truncated) score the whole
+    corpus per query, so each must pass the shard tournament before its
+    per-query window — two _shard-partitioned windowspecdefinitions."""
+    from etl_mini_dw_spark.functions import simsearch
+
+    plan = _plan(simsearch.matryoshka_overlap(spark, sf_dir))
+    hits = re.findall(r"windowspecdefinition\(query_id#\d+L?, _shard#", plan)
+    assert len(hits) >= 2, plan[:3000]
+
+
+def test_hill_head_window_is_shard_pruned(spark, sf_dir):
+    """The Hill top-(k+1) selection must shard-prune before the final
+    bounded ranking window (the zipf-head pattern: the only unpartitioned
+    window runs over <= 64*(k+1) survivor rows)."""
+    from etl_mini_dw_spark.plans import stats as stats_mod
+
+    plan = _plan(stats_mod.hill_tail_index(spark, sf_dir))
+    assert "_shard" in plan, plan[:3000]
