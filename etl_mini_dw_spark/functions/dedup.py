@@ -571,37 +571,69 @@ def _simhash64_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select("doc_id", h.alias("simhash"))
 
 
-def simhash64_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs at hamming ≤ K via the 4×16-bit banded search.
+_SIMHASH64_BLOCK_WIDTHS = [11, 11, 11, 11, 10, 10]  # six blocks over 64 bits
 
-    Candidates = band-key SELF-JOIN on (band_idx, band_val) → exact
-    ``bit_count(a ^ b)`` verification on candidates only. The join (not
-    a groupBy + in-bucket HOF expansion) is deliberate: a 16-bit band
-    domain is FIXED, so bucket occupancy grows linearly with the corpus
-    and an HOF expansion materializes each bucket's m(m−1)/2 pair array
-    in one task buffer — the allocation shape that killed the uncapped
-    minhash arm at 4.5 M docs (SCALE_PROOF.md r9). The join streams one
-    O(m) key group at a time with disk spill; Σb² output rows are the
-    exact hamming contract's own candidate lower bound.
+
+def _simhash64_probe_keys() -> list[tuple[int, int, int]]:
+    """All C(6,3)=20 block triples — the Manku multiprobe combinations."""
+    from itertools import combinations
+
+    return list(combinations(range(len(_SIMHASH64_BLOCK_WIDTHS)), 3))
+
+
+def simhash64_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at hamming ≤ K=3 via Manku-style multiprobe blocks.
+
+    The r9 scale measurement KILLED the previous 4×16-bit banded form at
+    4.5 M docs: a 16-bit band domain is 4·65 536 = 262 144 cells TOTAL,
+    and the diag measured it already saturated at 1.5 M docs (260 572
+    occupied cells; max cell 459 → 1338 and Σc² 294 M → 2.61 B across a
+    ×3 step — candidate volume ∝ n² FOREVER, the fixed-cardinality
+    blocking-key defect class from r8's entity-resolution fix, plus a
+    heap OOM in the 2.6 B-row candidate stream). The pigeonhole itself
+    was the bottleneck, not the pair-expansion mechanics.
+
+    Fix (Manku, Jain & Das Sarma 2007, the simhash dedup paper): split
+    the sketch into SIX blocks (~11 bits) instead of four; hamming ≤ 3
+    flips bits in at most 3 blocks, so some specific TRIPLE of blocks
+    matches exactly — probe all C(6,3) = 20 triples with ~32-bit
+    compound keys. The compound key space is ~2^32 (non-saturating at
+    any realistic corpus), so cell occupancy stays O(n/2^32) and
+    candidates are collision- or true-duplicate-driven, never
+    band-domain-driven. Value-identical to the banded form (both are
+    exact supersets of hamming ≤ 3 → same verified output); the oracle
+    keeps the simpler 4-band spelling as the executable spec.
+    Per-doc fan-out rises 4 → 20 probe rows — the linear price for the
+    quadratic cure (same trade as IVF multiprobe).
     """
     sk = _simhash64_sketches(spark, sf_dir).localCheckpoint(eager=False)
-    bands = F.array(
+    offs = []
+    off = 0
+    for w in _SIMHASH64_BLOCK_WIDTHS:
+        offs.append((off, (1 << w) - 1))
+        off += w
+    blk = [
+        F.expr(f"shiftright(simhash, {o}) & {m}") for o, m in offs
+    ]
+    probes = F.array(
         *[
             F.struct(
-                F.lit(b).alias("band_idx"),
-                F.expr(f"shiftright(simhash, {b * 16}) & 65535").alias("band_val"),
+                F.lit(ci).alias("combo"),
+                blk[i].alias("v1"),
+                blk[j].alias("v2"),
+                blk[k].alias("v3"),
             )
-            for b in range(SIMHASH64_BANDS)
+            for ci, (i, j, k) in enumerate(_simhash64_probe_keys())
         ]
     )
-    banded = sk.select("doc_id", F.explode(bands).alias("bv")).select(
-        "doc_id", "bv.band_idx", "bv.band_val"
+    keyed = sk.select("doc_id", F.explode(probes).alias("p")).select(
+        "doc_id", "p.combo", "p.v1", "p.v2", "p.v3"
     )
     cands = (
-        banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
+        keyed.select(F.col("doc_id").alias("doc_a"), "combo", "v1", "v2", "v3")
         .join(
-            banded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_val"),
-            ["band_idx", "band_val"],
+            keyed.select(F.col("doc_id").alias("doc_b"), "combo", "v1", "v2", "v3"),
+            ["combo", "v1", "v2", "v3"],
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
@@ -1097,9 +1129,12 @@ def prefix_filter_capped_neardups(spark: SparkSession, sf_dir: str) -> DataFrame
     return _prefix_filter(spark, sf_dir, df_cap=PREFIX_DF_CAP)
 
 
-def _prefix_filter(
+def _prefix_candidates(
     spark: SparkSession, sf_dir: str, df_cap: int | None
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
+    """(ranked, cands) — the shared candidate-generation half of the
+    PPJoin pipeline, split out so diagnostics can count/time the
+    candidate stage in isolation (scripts/diag_ppjoin_doc9.py)."""
     hashed = (
         _shingle_hash_arrays(spark, sf_dir)
         .select("doc_id", F.array_distinct("hs").alias("hs"))
@@ -1152,6 +1187,13 @@ def _prefix_filter(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    return ranked, cands
+
+
+def _prefix_filter(
+    spark: SparkSession, sf_dir: str, df_cap: int | None
+) -> DataFrame:
+    ranked, cands = _prefix_candidates(spark, sf_dir, df_cap)
     arrs = ranked.select("doc_id", "sorted_toks", "n")
     common = F.size(F.array_intersect("arr_a", "arr_b"))
     jac = F.round(

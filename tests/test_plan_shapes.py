@@ -843,3 +843,15 @@ def test_hill_head_window_is_shard_pruned(spark, sf_dir):
 
     plan = _plan(stats_mod.hill_tail_index(spark, sf_dir))
     assert "_shard" in plan, plan[:3000]
+
+
+def test_simhash64_probes_multiblock_keys(spark, sf_dir):
+    """r9: the simhash64 candidate join must key on the C(6,3) multiprobe
+    block triples (combo, v1, v2, v3) — NOT the saturated 4x16-bit band
+    domain (262k cells total; measured candidate volume ~n^2 and a heap
+    OOM at 4.5M docs). Reverting to (band_idx, band_val) keys fails."""
+    from etl_mini_dw_spark.functions import dedup
+
+    plan = _plan(dedup.simhash64_neardups(spark, sf_dir))
+    assert "combo" in plan and "v1" in plan and "v3" in plan, plan[:3000]
+    assert "band_val" not in plan, plan[:3000]
