@@ -301,3 +301,103 @@ SELECT 'top_overlap', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
 FROM tiled WHERE q_tile = {QS_TILES}
 ORDER BY kind, q_tile, s_tile
 """
+
+
+# --- Per-source frequency capping --------------------------------------------
+#
+# The domain/source frequency cap every web-corpus recipe applies before
+# mixing (C4 and successors cap per-domain page counts so one crawl
+# artifact cannot dominate the mixture): keep at most FREQ_CAP docs per
+# source, selected by a deterministic per-doc hash rank (uniform "random"
+# that survives backfills and repartitions — the sampling.py contract),
+# and report what the cap did to each source's doc/char mass.
+#
+# Determinism: the keep set is a TOTAL (md5-hex, doc_id) order per
+# source; all reported masses are exact integer sums; shares round-6.
+#
+# Scale: the per-source selection passes shard_topk_prune (a bare
+# Window.partitionBy(source) holds one source's entire corpus slice in
+# one task — sources are few and corpus-sized, the worst window shape),
+# so no task ever ranks more than corpus/n_shards rows; the final
+# window sees <= 64*cap rows per source.
+
+FREQ_CAP = 20
+
+
+def freq_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_kept, chars_total, chars_kept, share_kept):
+    effect of a FREQ_CAP-docs-per-source cap under deterministic hash
+    selection."""
+    from etl_mini_dw_spark.functions.simsearch import shard_topk_prune
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.md5(F.concat_ws(":", F.lit("cap"), F.col("doc_id").cast("string"))).alias(
+                "h"
+            ),
+        )
+        .localCheckpoint(eager=False)  # totals + keep-selection both read it
+    )
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+    )
+    pruned = shard_topk_prune(
+        docs, ["source"], [F.col("h"), F.col("doc_id")], FREQ_CAP, "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(F.col("h"), F.col("doc_id"))
+    kept = (
+        pruned.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= FREQ_CAP)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+        )
+    )
+    return (
+        totals.join(F.broadcast(kept), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "chars_total",
+            "chars_kept",
+            F.round(
+                F.col("n_kept").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("share_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+FREQ_CAP_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+         md5('cap' || ':' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+totals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS chars_total
+  FROM docs GROUP BY 1
+),
+kept AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+  FROM (
+    SELECT source, n_chars,
+           row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS r
+    FROM docs)
+  WHERE r <= {FREQ_CAP}
+  GROUP BY 1
+)
+SELECT source, n_docs, n_kept, chars_total, chars_kept,
+       round(CAST(n_kept AS DOUBLE) / n_docs, 6) AS share_kept
+FROM totals JOIN kept USING (source)
+ORDER BY source
+"""

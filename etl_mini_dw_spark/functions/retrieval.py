@@ -347,11 +347,10 @@ RRF_SCALE = 10**12
 RRF_TOP_K = 10
 
 
-def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(q_doc, rank, doc_id, r_lex, r_sem, rrf_scaled): top-10 fused
-    candidates per query doc from BM25 ∪ multiprobe-LSH hamming rankings
-    (semantic arm re-blocked in r8 — see the module note above; values
-    changed vs the pre-r8 brute-force arm, registry recheck entry)."""
+def _sem_arm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_doc, doc_id, r_sem) — the multiprobe sign-LSH hamming arm's
+    top-10 per query (shared by the RRF fusion and the RBO agreement
+    report; extracted verbatim so the two stay value-locked)."""
     from etl_mini_dw_spark.functions.simsearch import (
         LSH_DIMS,
         _bucket_expr_spark,
@@ -359,9 +358,6 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard_topk_prune,
     )
 
-    lex = bm25_topk(spark, sf_dir).select(
-        "q_doc", "doc_id", F.col("rank").alias("r_lex")
-    )
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         _sig_expr_spark(True).alias("sig_lo"),
@@ -396,11 +392,22 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = shard_topk_prune(
         scored, ["q_doc"], [F.col("hamming"), F.col("doc_id")], BM25_TOP_K, "doc_id"
     )
-    sem = (
+    return (
         pruned.withColumn("r_sem", F.row_number().over(w_sem).cast("int"))
         .filter(F.col("r_sem") <= BM25_TOP_K)
         .select("q_doc", "doc_id", "r_sem")
     )
+
+
+def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_doc, rank, doc_id, r_lex, r_sem, rrf_scaled): top-10 fused
+    candidates per query doc from BM25 ∪ multiprobe-LSH hamming rankings
+    (semantic arm re-blocked in r8 — see the module note above; values
+    changed vs the pre-r8 brute-force arm, registry recheck entry)."""
+    lex = bm25_topk(spark, sf_dir).select(
+        "q_doc", "doc_id", F.col("rank").alias("r_lex")
+    )
+    sem = _sem_arm_topk(spark, sf_dir)
     # fuse by UNION + one tiny aggregate rather than a full-outer join:
     # a full outer of two derived frames compiles to SortMergeJoin
     # (Spark cannot broadcast FullOuter), and the union form needs no
@@ -546,4 +553,146 @@ FROM (
   SELECT *, row_number() OVER (PARTITION BY q_doc ORDER BY lex_rank) AS r
   FROM j)
 WHERE r <= {HN_TOP}
+"""
+
+
+# --- Rank-biased overlap between the two hybrid arms -------------------------
+#
+# Webber, Moffat & Zobel (2010): RBO is the top-weighted agreement
+# measure between two rankings — the diagnostic a retrieval owner reads
+# BEFORE tuning RRF fusion weights ("do the arms even disagree enough
+# for fusion to matter?"). Kendall/Spearman need conjoint lists; RBO is
+# defined on truncated, non-conjoint top-k lists, which is exactly what
+# the two arms produce.
+#
+#   RBO_base = (1-p) * SUM_{d=1..k} p^(d-1) * |L_d ∩ S_d| / d
+#   RBO_ext  = RBO_base + p^k * |L_k ∩ S_k| / k   (residual extrapolation)
+#
+# A doc contributes to every depth d >= max(r_lex, r_sem), so overlap_d
+# needs only the inner join of the two k-bounded arm lists — never the
+# corpora. Determinism: overlaps are exact integers; the <= k-term
+# weighted sum is round-6'd (p^(d-1) is one libm pow per depth on both
+# engines — sub-ulp risk absorbed by the rounding).
+#
+# 100 TB shape: both arms are the already-bounded (queries x k) frames
+# (BM25 postings-bounded, LSH probe-bounded, both shard-pruned); the
+# depth grid explodes k rows per overlap pair. Nothing data-sized.
+
+RBO_P = 0.9
+
+
+def rbo_arm_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_doc, n_both, rbo_base, rbo_ext): per-query rank-biased overlap
+    between the lexical (BM25) and semantic (multiprobe-LSH) arm
+    rankings at depth k=BM25_TOP_K."""
+    k = BM25_TOP_K
+    lex = bm25_topk(spark, sf_dir).select(
+        "q_doc", "doc_id", F.col("rank").alias("r_lex")
+    )
+    sem = _sem_arm_topk(spark, sf_dir)
+    both = lex.join(sem, ["q_doc", "doc_id"]).select(
+        "q_doc", F.greatest("r_lex", "r_sem").alias("m")
+    )
+    # every query that appears in EITHER arm gets a row (0 overlap kept)
+    qs = (
+        lex.select("q_doc").unionByName(sem.select("q_doc")).distinct()
+    )
+    depth = both.select(
+        "q_doc", F.explode(F.sequence(F.col("m"), F.lit(k))).alias("d")
+    )
+    per_depth = depth.groupBy("q_doc", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("overlap_d")
+    )
+    wsum = per_depth.groupBy("q_doc").agg(
+        F.sum(
+            F.pow(F.lit(RBO_P), F.col("d").cast("double") - F.lit(1.0))
+            * F.col("overlap_d").cast("double")
+            / F.col("d").cast("double")
+        ).alias("_s"),
+        F.max(F.when(F.col("d") == k, F.col("overlap_d")))
+        .cast("bigint")
+        .alias("_nk"),
+    )
+    return (
+        qs.join(F.broadcast(wsum), "q_doc", "left")
+        .select(
+            "q_doc",
+            F.coalesce(F.col("_nk"), F.lit(0)).cast("bigint").alias("n_both"),
+            F.round(
+                (F.lit(1.0) - F.lit(RBO_P)) * F.coalesce(F.col("_s"), F.lit(0.0)), 6
+            ).alias("rbo_base"),
+            F.round(
+                (F.lit(1.0) - F.lit(RBO_P)) * F.coalesce(F.col("_s"), F.lit(0.0))
+                + F.pow(F.lit(RBO_P), F.lit(float(k)))
+                * F.coalesce(F.col("_nk"), F.lit(0)).cast("double")
+                / F.lit(float(k)),
+                6,
+            ).alias("rbo_ext"),
+        )
+        .orderBy("q_doc")
+    )
+
+
+def rbo_arm_agreement_sql() -> str:
+    from etl_mini_dw_spark.functions.simsearch import (
+        _bucket_expr_sql,
+        _probe_buckets_expr_sql,
+        _sig_expr_sql,
+    )
+
+    k = BM25_TOP_K
+    return f"""
+WITH lex AS (
+  SELECT q_doc, doc_id, rank AS r_lex FROM ({BM25_TOPK_SQL})
+),
+sig AS (
+  SELECT vec_id, {_sig_expr_sql(True)} AS sig_lo, {_sig_expr_sql(False)} AS sig_hi,
+         {_bucket_expr_sql()} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_doc, sig_lo AS q_lo, sig_hi AS q_hi,
+         unnest({_probe_buckets_expr_sql("bucket")}) AS probe_bucket
+  FROM sig WHERE vec_id % {QUERY_STRIDE} = 0
+),
+sem0 AS (
+  SELECT q.q_doc, s.vec_id AS doc_id,
+         bit_count(xor(q.q_lo, s.sig_lo)) + bit_count(xor(q.q_hi, s.sig_hi))
+           AS hamming
+  FROM q JOIN sig s ON s.bucket = q.probe_bucket AND s.vec_id <> q.q_doc
+),
+sem AS (
+  SELECT q_doc, doc_id, CAST(r AS INTEGER) AS r_sem FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_doc ORDER BY hamming, doc_id)
+              AS r
+    FROM sem0) WHERE r <= {k}
+),
+ovl AS (
+  SELECT q_doc, GREATEST(r_lex, r_sem) AS m
+  FROM lex JOIN sem USING (q_doc, doc_id)
+),
+qs AS (
+  SELECT DISTINCT q_doc FROM (
+    SELECT q_doc FROM lex UNION ALL SELECT q_doc FROM sem)
+),
+per_depth AS (
+  SELECT q_doc, d, CAST(COUNT(*) AS BIGINT) AS overlap_d
+  FROM (SELECT q_doc, unnest(range(m, {k} + 1)) AS d FROM ovl)
+  GROUP BY 1, 2
+),
+wsum AS (
+  SELECT q_doc,
+         SUM(pow({RBO_P}, CAST(d AS DOUBLE) - 1.0)
+             * CAST(overlap_d AS DOUBLE) / d) AS s,
+         CAST(MAX(CASE WHEN d = {k} THEN overlap_d END) AS BIGINT) AS nk
+  FROM per_depth GROUP BY 1
+)
+SELECT qs.q_doc,
+       CAST(COALESCE(nk, 0) AS BIGINT) AS n_both,
+       round((1.0 - {RBO_P}) * COALESCE(s, 0.0), 6) AS rbo_base,
+       round((1.0 - {RBO_P}) * COALESCE(s, 0.0)
+             + pow({RBO_P}, {float(k)}) * CAST(COALESCE(nk, 0) AS DOUBLE) / {float(k)}, 6)
+         AS rbo_ext
+FROM qs LEFT JOIN wsum USING (q_doc)
+ORDER BY q_doc
 """

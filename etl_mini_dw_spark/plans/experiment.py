@@ -1811,3 +1811,374 @@ SELECT n_units, n_periods, ng AS n_cells,
        END AS beta_within
 FROM g CROSS JOIN within
 """
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR screen over per-nation lifts
+#
+# The multiple-testing control the inference kit was missing: the CUPED /
+# permutation / sequential reports each test ONE contrast; a platform
+# reading a 25-nation breakdown and flagging every |z| > 1.96 inflates
+# false discoveries ~12x at m=25. BH (1995) fixes the FALSE DISCOVERY
+# RATE: sort p ascending (= |z| descending), find the largest k with
+# p_(k) <= k*q/m, reject ranks 1..k*.
+#
+# Engine portability: neither engine ships an inverse normal CDF, so the
+# per-rank |z| thresholds Phi^-1(1 - k*q/(2m)) are computed ONCE at
+# import by bisection on math.erf (pure stdlib, deterministic) and
+# inlined as round-6 literals in BOTH expression trees — the
+# O'Brien–Fleming-bounds precedent (group_sequential_lift). z is
+# round-6'd BEFORE every comparison (wide-decimal rule) and ties rank
+# on the nation key, so the rejection SET is identical cross-engine.
+#
+# Scale: one (nation, arm) sufficient-statistics shuffle (exact BIGINT /
+# DECIMAL(38,0) first+second moments); everything after runs on the
+# 25-row frame (the metadata window class).
+
+BH_Q = 0.10  # target false-discovery rate
+BH_M = 25  # number of nation-level hypotheses
+
+
+def _inv_norm_upper(p_tail: float) -> float:
+    """z with P(Z > z) = p_tail, by bisection on math.erf (stdlib-only,
+    deterministic across platforms at the 6-dp rounding used below)."""
+    import math
+
+    lo, hi = 0.0, 40.0
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if 0.5 * (1.0 - math.erf(mid / math.sqrt(2.0))) > p_tail:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
+BH_THRESHOLDS = [
+    round(_inv_norm_upper(k * BH_Q / (2.0 * BH_M)), 6) for k in range(1, BH_M + 1)
+]
+
+
+def bh_fdr_nation_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nation, n_a, n_b, z_abs, bh_rank, bh_threshold, rejected): the
+    25 per-nation hash-split revenue lifts screened at FDR q=0.10."""
+    from pyspark.sql import Window
+
+    cust = typed_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = typed_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("bigint")).alias("y")
+    )
+    units = cust.join(per_cust, "c_custkey", "left").select(
+        F.col("c_nationkey").alias("nation"),
+        F.when(
+            F.pmod(F.col("c_custkey") * F.lit(HASH_MULT), F.lit(HASH_MOD))
+            < AB_ARM_CUT,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("in_a"),
+        F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y"),
+    )
+    yd = F.col("y").cast("decimal(19,0)")
+    per = units.groupBy("nation").agg(
+        F.sum("in_a").cast("bigint").alias("n_a"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("in_a") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum(F.when(F.col("in_a") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sb"),
+        F.sum(F.when(F.col("in_a") == 1, yd * yd).otherwise(F.lit(0)))
+        .cast("decimal(38,0)")
+        .alias("qa"),
+        F.sum(F.when(F.col("in_a") == 0, yd * yd).otherwise(F.lit(0)))
+        .cast("decimal(38,0)")
+        .alias("qb"),
+    )
+    # ANSI landmine (CLAUDE.md): Catalyst can evaluate a CASE branch's
+    # division before the branch guard — divisors must be UNCONDITIONALLY
+    # nonzero. greatest(n, 2) == n whenever the n_a/n_b > 1 guard passes,
+    # so the guarded value is unchanged; the unguarded value is unused.
+    na = F.greatest(F.col("n_a").cast("double"), F.lit(2.0))
+    nb = F.greatest(F.col("n_b").cast("double"), F.lit(2.0))
+    ma = F.col("sa").cast("double") / na
+    mb = F.col("sb").cast("double") / nb
+    va = (F.col("qa").cast("double") - na * ma * ma) / (na - F.lit(1.0))
+    vb = (F.col("qb").cast("double") - nb * mb * mb) / (nb - F.lit(1.0))
+    se2 = va / na + vb / nb
+    z_abs = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0),
+        F.round(F.abs((ma - mb) / F.sqrt(se2)), 6),
+    ).otherwise(F.lit(0.0))
+    scored = per.select("nation", "n_a", "n_b", z_abs.alias("z_abs"))
+    w = Window.orderBy(F.col("z_abs").desc(), F.col("nation"))
+    thr = F.element_at(
+        F.array(*[F.lit(t) for t in BH_THRESHOLDS]), F.col("bh_rank")
+    )
+    ranked = (
+        scored.withColumn("bh_rank", F.row_number().over(w).cast("int"))
+        .withColumn("bh_threshold", thr)
+        .withColumn(
+            "_crossed_rank",
+            F.when(F.col("z_abs") >= F.col("bh_threshold"), F.col("bh_rank")),
+        )
+    )
+    kstar = ranked.agg(
+        F.coalesce(F.max("_crossed_rank"), F.lit(0)).cast("int").alias("_kstar")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .select(
+            "nation",
+            "n_a",
+            "n_b",
+            "z_abs",
+            "bh_rank",
+            "bh_threshold",
+            F.when(F.col("bh_rank") <= F.col("_kstar"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("rejected"),
+        )
+        .orderBy("bh_rank")
+    )
+
+
+def bh_fdr_nation_screen_sql() -> str:
+    thr_rows = ", ".join(
+        f"({k + 1}, {t})" for k, t in enumerate(BH_THRESHOLDS)
+    )
+    return f"""
+WITH units AS (
+  SELECT c.c_nationkey AS nation,
+         CASE WHEN (c.c_custkey * {HASH_MULT}) % {HASH_MOD} < {AB_ARM_CUT}
+              THEN 1 ELSE 0 END AS in_a,
+         CAST(COALESCE(o.y, 0) AS BIGINT) AS y
+  FROM customer c LEFT JOIN (
+    SELECT o_custkey,
+           SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS y
+    FROM orders GROUP BY 1) o ON c.c_custkey = o.o_custkey
+),
+per AS (
+  SELECT nation,
+         CAST(SUM(in_a) AS BIGINT) AS n_a,
+         CAST(SUM(1 - in_a) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN in_a = 1 THEN y ELSE 0 END) AS BIGINT) AS sa,
+         CAST(SUM(CASE WHEN in_a = 0 THEN y ELSE 0 END) AS BIGINT) AS sb,
+         CAST(SUM(CASE WHEN in_a = 1
+                       THEN CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+                       ELSE 0 END) AS DECIMAL(38,0)) AS qa,
+         CAST(SUM(CASE WHEN in_a = 0
+                       THEN CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+                       ELSE 0 END) AS DECIMAL(38,0)) AS qb
+  FROM units GROUP BY 1
+),
+scored AS (
+  SELECT nation, n_a, n_b,
+         CASE WHEN n_a > 1 AND n_b > 1
+               AND (CAST(qa AS DOUBLE) - n_a * (CAST(sa AS DOUBLE) / GREATEST(n_a, 2)) * (CAST(sa AS DOUBLE) / GREATEST(n_a, 2))) / (GREATEST(n_a, 2) - 1.0) / GREATEST(n_a, 2)
+                 + (CAST(qb AS DOUBLE) - n_b * (CAST(sb AS DOUBLE) / GREATEST(n_b, 2)) * (CAST(sb AS DOUBLE) / GREATEST(n_b, 2))) / (GREATEST(n_b, 2) - 1.0) / GREATEST(n_b, 2) > 0
+              THEN round(abs((CAST(sa AS DOUBLE) / GREATEST(n_a, 2) - CAST(sb AS DOUBLE) / GREATEST(n_b, 2))
+                   / sqrt((CAST(qa AS DOUBLE) - n_a * (CAST(sa AS DOUBLE) / GREATEST(n_a, 2)) * (CAST(sa AS DOUBLE) / GREATEST(n_a, 2))) / (GREATEST(n_a, 2) - 1.0) / GREATEST(n_a, 2)
+                        + (CAST(qb AS DOUBLE) - n_b * (CAST(sb AS DOUBLE) / GREATEST(n_b, 2)) * (CAST(sb AS DOUBLE) / GREATEST(n_b, 2))) / (GREATEST(n_b, 2) - 1.0) / GREATEST(n_b, 2))), 6)
+              ELSE 0.0 END AS z_abs
+  FROM per
+),
+thr(bh_rank, bh_threshold) AS (VALUES {thr_rows}),
+ranked AS (
+  SELECT s.*, CAST(row_number() OVER (ORDER BY z_abs DESC, nation) AS INTEGER)
+                AS bh_rank
+  FROM scored s
+),
+kstar AS (
+  SELECT CAST(COALESCE(MAX(CASE WHEN r.z_abs >= CAST(t.bh_threshold AS DOUBLE)
+                                THEN r.bh_rank END), 0) AS INTEGER) AS ks
+  FROM ranked r JOIN thr t USING (bh_rank)
+)
+SELECT nation, n_a, n_b, z_abs, bh_rank,
+       CAST(t.bh_threshold AS DOUBLE) AS bh_threshold,
+       CAST(CASE WHEN bh_rank <= ks THEN 1 ELSE 0 END AS INTEGER) AS rejected
+FROM ranked JOIN thr t USING (bh_rank) CROSS JOIN kstar
+ORDER BY bh_rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Coarsened Exact Matching ATT
+#
+# Iacus, King & Porro (2012): coarsen the covariates into discrete
+# strata, keep only strata containing BOTH treated and control units,
+# estimate the treatment effect as the treated-share-weighted mean of
+# within-stratum outcome differences. The observational-causal
+# counterpart of the A/B kit (here "treatment" = customer sits in the
+# EUROPE region — a deliberately confounded assignment the matching has
+# to de-bias), reported next to the naive difference so the reader sees
+# the confound the matching removed.
+#
+# Strata: market segment x 20-bucket equi-width account-balance band
+# (the wasserstein grid rule; identical IEEE bucket ids both engines).
+# Determinism: every stratum statistic is an exact BIGINT sum; the
+# weighted ATT is assembled from correctly-rounded per-stratum doubles
+# whose weights are integer ratios, round-6 at the end.
+#
+# Scale: one (stratum) aggregate over the dimension-sized customer
+# frame joined to per-customer revenue (fact-side partial agg); the
+# matching algebra runs on the <= |segments| x 20 stratum frame.
+
+CEM_BANDS = 20
+CEM_TREATED_REGION = "EUROPE"
+
+
+def cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_treated, n_control, n_strata_matched, treated_matched,
+    naive_diff, att): coarsened-exact-matching ATT of EUROPE membership
+    on customer revenue (cents)."""
+    cust = typed_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    nat = typed_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = typed_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    orders = typed_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("bigint")).alias("y")
+    )
+    units = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(per_cust, "c_custkey", "left")
+        .select(
+            F.when(F.col("r_name") == CEM_TREATED_REGION, 1)
+            .otherwise(0)
+            .alias("tr"),
+            "c_mktsegment",
+            F.col("c_acctbal").cast("double").alias("bal"),
+            F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y"),
+        )
+        .localCheckpoint(eager=False)  # min/max + strata both read it
+    )
+    mm = units.agg(F.min("bal").alias("_mn"), F.max("bal").alias("_mx"))
+    width = F.greatest(
+        (F.col("_mx") - F.col("_mn")) / F.lit(float(CEM_BANDS)), F.lit(1e-12)
+    )
+    band = F.least(
+        F.floor((F.col("bal") - F.col("_mn")) / width).cast("int"),
+        F.lit(CEM_BANDS - 1),
+    )
+    strata = (
+        units.crossJoin(F.broadcast(mm))
+        .select("tr", "c_mktsegment", band.alias("band"), "y")
+        .groupBy("c_mktsegment", "band")
+        .agg(
+            F.sum("tr").cast("bigint").alias("nt"),
+            F.sum(F.lit(1) - F.col("tr")).cast("bigint").alias("nc"),
+            F.sum(F.when(F.col("tr") == 1, F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias("syt"),
+            F.sum(F.when(F.col("tr") == 0, F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias("syc"),
+        )
+    )
+    m = F.when((F.col("nt") > 0) & (F.col("nc") > 0), 1).otherwise(0)
+    tot = strata.agg(
+        F.sum("nt").cast("bigint").alias("n_treated"),
+        F.sum("nc").cast("bigint").alias("n_control"),
+        F.sum(m).cast("bigint").alias("n_strata_matched"),
+        F.sum(F.when(m == 1, F.col("nt")).otherwise(0))
+        .cast("bigint")
+        .alias("treated_matched"),
+        F.sum("syt").cast("bigint").alias("syt_all"),
+        F.sum("syc").cast("bigint").alias("syc_all"),
+        # ATT numerator: sum over matched strata of nt_s * (mean_t - mean_c),
+        # each term a correctly-rounded double of exact integers, round-6'd
+        # per stratum then summed over the <= |segments|*bands strata
+        F.sum(
+            F.when(
+                m == 1,
+                F.round(
+                    F.col("nt").cast("double")
+                    * (
+                        F.col("syt").cast("double") / F.col("nt").cast("double")
+                        - F.col("syc").cast("double") / F.col("nc").cast("double")
+                    ),
+                    6,
+                ).cast("decimal(38,6)"),
+            ).otherwise(F.lit(0).cast("decimal(38,6)"))
+        ).alias("_att_num"),
+    )
+    return tot.select(
+        "n_treated",
+        "n_control",
+        "n_strata_matched",
+        "treated_matched",
+        F.round(
+            F.col("syt_all").cast("double") / F.col("n_treated").cast("double")
+            - F.col("syc_all").cast("double") / F.col("n_control").cast("double"),
+            6,
+        ).alias("naive_diff"),
+        F.when(
+            F.col("treated_matched") > 0,
+            F.round(
+                F.col("_att_num").cast("double")
+                / F.col("treated_matched").cast("double"),
+                6,
+            ),
+        ).alias("att"),
+    )
+
+
+def cem_att_sql() -> str:
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+),
+units AS (
+  SELECT CASE WHEN r.r_name = '{CEM_TREATED_REGION}' THEN 1 ELSE 0 END AS tr,
+         c.c_mktsegment,
+         CAST(CAST(c.c_acctbal AS DECIMAL(14,2)) AS DOUBLE) AS bal,
+         CAST(COALESCE(o.y, 0) AS BIGINT) AS y
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  LEFT JOIN per_cust o ON c.c_custkey = o.o_custkey
+),
+mm AS (SELECT MIN(bal) AS mn, MAX(bal) AS mx FROM units),
+strata AS (
+  SELECT c_mktsegment,
+         LEAST(CAST(floor((bal - mn) / GREATEST((mx - mn) / {CEM_BANDS}.0, 1e-12))
+                    AS INTEGER), {CEM_BANDS} - 1) AS band,
+         CAST(SUM(tr) AS BIGINT) AS nt,
+         CAST(SUM(1 - tr) AS BIGINT) AS nc,
+         CAST(SUM(CASE WHEN tr = 1 THEN y ELSE 0 END) AS BIGINT) AS syt,
+         CAST(SUM(CASE WHEN tr = 0 THEN y ELSE 0 END) AS BIGINT) AS syc
+  FROM units CROSS JOIN mm
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(SUM(nt) AS BIGINT) AS n_treated,
+         CAST(SUM(nc) AS BIGINT) AS n_control,
+         CAST(SUM(CASE WHEN nt > 0 AND nc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_strata_matched,
+         CAST(SUM(CASE WHEN nt > 0 AND nc > 0 THEN nt ELSE 0 END) AS BIGINT)
+           AS treated_matched,
+         CAST(SUM(syt) AS BIGINT) AS syt_all,
+         CAST(SUM(syc) AS BIGINT) AS syc_all,
+         SUM(CASE WHEN nt > 0 AND nc > 0
+                  THEN CAST(round(nt * (CAST(syt AS DOUBLE) / nt
+                                        - CAST(syc AS DOUBLE) / nc), 6)
+                            AS DECIMAL(38,6))
+                  ELSE CAST(0 AS DECIMAL(38,6)) END) AS att_num
+  FROM strata
+)
+SELECT n_treated, n_control, n_strata_matched, treated_matched,
+       round(CAST(syt_all AS DOUBLE) / n_treated
+             - CAST(syc_all AS DOUBLE) / n_control, 6) AS naive_diff,
+       CASE WHEN treated_matched > 0
+            THEN round(CAST(att_num AS DOUBLE) / treated_matched, 6)
+       END AS att
+FROM tot
+"""

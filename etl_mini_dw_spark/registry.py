@@ -1617,6 +1617,28 @@ _register(
     simsearch.MATRYOSHKA_SQL,
 )
 
+# --- round 9 wave 2: arm-agreement RBO + FDR screening ------------------------
+from etl_mini_dw_spark.functions import retrieval as _retrieval
+
+_register(
+    "ext_rbo_arm_agreement",
+    _retrieval.rbo_arm_agreement,
+    _retrieval.rbo_arm_agreement_sql(),
+)
+_register(
+    "ext_bh_fdr_nation_screen",
+    _experiment.bh_fdr_nation_screen,
+    _experiment.bh_fdr_nation_screen_sql(),
+)
+
+# --- round 9 wave 3: observational matching + source frequency capping --------
+_register("ext_cem_att", _experiment.cem_att, _experiment.cem_att_sql())
+_register(
+    "ext_freq_cap_per_source",
+    curation.freq_cap_per_source,
+    curation.FREQ_CAP_SQL,
+)
+
 # --- driver-visibility ordering ---------------------------------------------
 # The external driver's correctness gate compares only the FIRST 50
 # ``queries()`` entries (registration order). The rotation is fully
