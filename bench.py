@@ -238,6 +238,7 @@ def _memo_warmers():
     from etl_mini_dw_spark import fixtures_spec as spec
     from etl_mini_dw_spark.api import dim_state
     from etl_mini_dw_spark.functions import cluster, dedup, pq, text
+    from etl_mini_dw_spark.plans.graph import cooccur_edges_memo
     from etl_mini_dw_spark.registry import _fact_initial_memo
 
     return [
@@ -254,6 +255,9 @@ def _memo_warmers():
         ),
         ("fact_initial_resolved", lambda s, d: [_fact_initial_memo(s, d)]),
         ("kmeans_assign", lambda s, d: [cluster._assign_memo(s, d)]),
+        # r09: shared co-occurrence edge set (pagerank/triangle/kcore/
+        # assortativity all start from it)
+        ("graph_edges", lambda s, d: [cooccur_edges_memo(s, d)]),
         (
             "dim_states",
             lambda s, d: [dim_state(s, d, k) for k in spec.DIMS],

@@ -58,6 +58,26 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _codebooks_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL subspace codebooks trained in one fused loop: (m, code, cv).
+
+    r09 optimization (guide §1.2 — fix the distributed algorithm first):
+    the four per-subspace k-means loops are independent and structurally
+    identical, so one loop over the exploded (vec_id, m, sv) frame runs
+    the SAME integer arithmetic per (m, code) key with 4× fewer jobs,
+    checkpoints and shuffles (2 iterations total instead of 8). The
+    per-(m, code) sums are value-identical to the per-subspace runs —
+    grouping by m cannot mix subspaces — so the trained centroids are
+    bit-identical (pq oracle-parity tests re-run green).
+    """
+    return stage_memo(
+        spark,
+        sf_dir,
+        "pq_codebooks_all",
+        lambda: _train_all(_subs_all(_quantized(spark, sf_dir))),
+    )
+
+
 def _codebook(spark: SparkSession, sf_dir: str, m: int) -> DataFrame:
     """Subspace-m codebook, trained ONCE per (session, sf-dir).
 
@@ -65,13 +85,17 @@ def _codebook(spark: SparkSession, sf_dir: str, m: int) -> DataFrame:
     both registered queries share the same staged centroids — training
     is the expensive stage and must not re-run per consumer (the same
     staged-frame rule as `dedup._memo`; first cut of this module trained
-    every codebook twice and benched 2x slower).
+    every codebook twice and benched 2x slower). Since r09 the training
+    itself is fused across subspaces (`_codebooks_all`); this returns
+    the m-slice of the shared staged frame.
     """
     return stage_memo(
         spark,
         sf_dir,
         f"pq_codebook_{m}",
-        lambda: _train_sub(_sub(_quantized(spark, sf_dir), m)),
+        lambda: _codebooks_all(spark, sf_dir)
+        .filter(F.col("m") == m)
+        .select("code", "cv"),
     )
 
 
@@ -91,18 +115,39 @@ def _assign_sub(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _train_sub(vecs: DataFrame) -> DataFrame:
-    """Deterministic integer k-means codebook for ONE subspace: (code, cv)."""
+def _subs_all(df: DataFrame) -> DataFrame:
+    """All subspace slices in one frame: (vec_id, m, sv)."""
+    return df.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("qv", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
+        ).alias("m", "sv"),
+    )
+
+
+def _train_all(vecs: DataFrame) -> DataFrame:
+    """Deterministic integer k-means for ALL subspaces at once:
+    (m, code, cv) — per-(m, code) arithmetic identical to the previous
+    per-subspace `_train_sub` loops (see `_codebooks_all`)."""
     cents = vecs.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("code"), F.col("sv").alias("cv")
+        "m", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
     )
     for _ in range(PQ_ITERS):
-        members = _assign_sub(vecs, cents).join(vecs, "vec_id")
-        sums = members.groupBy("code").agg(
+        scored = vecs.join(F.broadcast(cents), "m").select(
+            "m", "vec_id", "code", F.expr(_DIST.format(a="sv", b="cv")).alias("dist")
+        )
+        best = scored.groupBy("m", "vec_id").agg(
+            F.min(F.struct("dist", "code")).alias("w")
+        )
+        members = best.select("m", "vec_id", F.col("w.code").alias("code")).join(
+            vecs, ["m", "vec_id"]
+        )
+        sums = members.groupBy("m", "code").agg(
             F.count(F.lit(1)).alias("n"),
             *[F.sum(F.col("sv")[i]).alias(f"s{i}") for i in range(PQ_SUB)],
         )
         cents = sums.select(
+            "m",
             "code",
             F.array(
                 *[

@@ -256,6 +256,23 @@ def fact_initial(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_datekey(resolve_dimensions(facts, dims), dd).select(*FACT_COLS)
 
 
+def fact_initial_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One lazily-checkpointed resolved initial fact per (session, sf-dir).
+
+    Shared by every consumer that needs the resolved initial fact as an
+    INPUT (validations, mart, reconcile, the Merkle diff pair) — the
+    build is billed once (bench's `memo:fact_initial_resolved` line);
+    ``fact_sales_initial`` itself stays un-memoized so its bench line
+    keeps measuring the real build.
+    """
+    return stage_memo(
+        spark,
+        sf_dir,
+        "fact_initial_resolved",
+        lambda: fact_initial(spark, sf_dir).localCheckpoint(eager=False),
+    )
+
+
 def fact_increment(
     state0: DataFrame, resolved: DataFrame, dims: dict[str, DataFrame]
 ) -> DataFrame:

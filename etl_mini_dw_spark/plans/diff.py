@@ -60,7 +60,10 @@ def fact_diff_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-digest reconciliation of the full fact build vs the
     two-phase (split + incremental) build — 64 rows, every bucket
     expected to match (the incremental-equals-full invariant)."""
-    full = fact.fact_initial(spark, sf_dir)
+    # r09: the full build comes from the shared resolved-initial memo
+    # (value-identical; billed to bench's memo line) — the digest pass
+    # then only pays the two map-side hash aggregates + the 64-row join
+    full = fact.fact_initial_memo(spark, sf_dir)
     inc = fact.fact_two_phase(spark, sf_dir).select(*full.columns)
     a = _digest_frame(full)
     b = _digest_frame(inc)
@@ -166,7 +169,7 @@ def fact_diff_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(level, buckets, mismatched, rows_scanned, rows_diff,
     diff_sales_id): the L1 → L2 → rescan localization trace for a
     single-dropped-row corruption of the fact table."""
-    full = fact.fact_initial(spark, sf_dir)
+    full = fact.fact_initial_memo(spark, sf_dir)  # r09: shared memo, see digest
     parts = []
     for c, t in full.dtypes:
         col = F.col(c)

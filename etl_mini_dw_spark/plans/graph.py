@@ -53,30 +53,36 @@ nodes AS (SELECT DISTINCT src AS node FROM edges)
 """
 
 
+def cooccur_edges_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared (pa, pb) co-occurrence edge set, staged once per
+    (session, sf-dir).
+
+    r09 optimization: the four graph operators (pagerank, triangle
+    count, k-core peel, degree assortativity) all start from the SAME
+    distinct-incidence self-join — the most expensive stage of each —
+    and previously each rebuilt it. One lazily-checkpointed frame now
+    feeds all four (billed to bench's `memo:graph_edges` line); the
+    edge values are identical by construction.
+    """
+    from etl_mini_dw_spark.sources.tables import stage_memo
+
+    def build() -> DataFrame:
+        li = (
+            typed_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        return cooccurrence_edges(li).localCheckpoint(eager=False)
+
+    return stage_memo(spark, sf_dir, "graph_cooccur_edges", build)
+
+
 def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-scaled PageRank (3 iterations) over part co-occurrence.
 
     Returns (p_partkey, rank_scaled) — rank in 10^12 fixed-point.
     """
-    li = (
-        typed_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    g = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= MIN_COOCCUR_ORDERS)
-        .select("pa", "pb")
-    )
+    g = cooccur_edges_memo(spark, sf_dir)
     edges = g.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         g.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
@@ -150,12 +156,7 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders); ties in the (deg, node) order are broken by node id via the
     composite integer key deg·2³² + node, portable to the oracle.
     """
-    li = (
-        typed_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    g = cooccurrence_edges(li)
+    g = cooccur_edges_memo(spark, sf_dir)  # r09: shared staged edge set
     return (
         triangle_corner_counts(g)
         .orderBy(F.col("n_triangles").desc(), "p_partkey")
@@ -306,12 +307,7 @@ def kcore_peel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pregel-as-joins shape; rounds needed in practice ≈ O(log N) for
     power-law graphs, and the trace makes partial progress observable.
     """
-    li = (
-        typed_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    g = cooccurrence_edges(li)
+    g = cooccur_edges_memo(spark, sf_dir)  # r09: shared staged edge set
     edges = (
         g.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .unionAll(g.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
@@ -394,12 +390,7 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME shuffles the pagerank/triangle family already pays; the
     output is one row. No window, no sort, no all-pairs.
     """
-    li = (
-        typed_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    g = cooccurrence_edges(li)
+    g = cooccur_edges_memo(spark, sf_dir)  # r09: shared staged edge set
     edges = g.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         g.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     ).localCheckpoint(eager=False)  # read twice: degree agg + enrichment

@@ -17,13 +17,13 @@ answer, the invariant that matters for any incremental view.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_mini_dw_spark.etl.store import ParquetStore
 from etl_mini_dw_spark.sources.tables import typed_table
+from etl_mini_dw_spark.streaming.machinery import scratch_dir
 
 ROLLUP_WM = "1998-01-01 00:00:00"  # phase split: history before, delta after
 
@@ -37,7 +37,7 @@ def _monthly(df: DataFrame) -> DataFrame:
 
 def incremental_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase maintained monthly rollup (initial load + merged delta)."""
-    store = ParquetStore(tempfile.mkdtemp(prefix="incr_rollup_"))
+    store = ParquetStore(scratch_dir(prefix="incr_rollup_"))
     orders = typed_table(spark, sf_dir, "orders").withColumn(
         "order_month", F.date_format("o_orderdate", "yyyy-MM")
     )
@@ -102,7 +102,7 @@ def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(nation, revenue, n_items): nation revenue view maintained through
     the three-term join-delta rule + additive merge, returned from the
     store after both phases."""
-    store = ParquetStore(tempfile.mkdtemp(prefix="ivm_join_"))
+    store = ParquetStore(scratch_dir(prefix="ivm_join_"))
     rev = F.col("l_extendedprice") * (
         F.lit(1).cast("decimal(4,2)") - F.col("l_discount")
     )

@@ -66,7 +66,10 @@ def _table_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "dim_customer": scd2.dim_initial(spark, sf_dir, spec.CUSTOMER),
         "dim_salesperson": scd2.dim_initial(spark, sf_dir, spec.SALESPERSON),
         "dim_product": scd2.dim_initial(spark, sf_dir, spec.PRODUCT),
-        "fact_sales": fact.fact_initial(spark, sf_dir),
+        # r09: the memoized resolved fact — this check only reads
+        # .columns, so the shared frame avoids re-analyzing the full
+        # build plan (schema is identical by construction)
+        "fact_sales": fact.fact_initial_memo(spark, sf_dir),
     }
 
 

@@ -138,14 +138,7 @@ def _fact_initial_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-runs the resolve+datekey joins. ``fact_sales_initial`` itself
     stays un-memoized so its bench line keeps measuring the real build.
     """
-    from etl_mini_dw_spark.sources.tables import stage_memo
-
-    return stage_memo(
-        spark,
-        sf_dir,
-        "fact_initial_resolved",
-        lambda: fact.fact_initial(spark, sf_dir).localCheckpoint(eager=False),
-    )
+    return fact.fact_initial_memo(spark, sf_dir)
 
 
 _register(
@@ -165,8 +158,19 @@ from etl_mini_dw_spark.oracle import validation_sql
 from etl_mini_dw_spark.plans import marts, validation
 
 def _two_phase(spark, sf_dir, dim_key):
-    d = spec.DIMS[dim_key]
-    return scd2.dim_two_phase(spark, sf_dir, d, spec.MID, spec.NOW_FIXED)
+    """Shared two-phase dim state for the 16 validation/mart consumers.
+
+    r09 optimization: route through the memoized ``api.dim_state`` (one
+    build per (session, sf-dir, dim), billed to bench's `memo:dim_states`
+    line) instead of re-running the eager dim_two_phase build — the same
+    value-identical reuse ``_fact_initial_memo`` already gives the fact
+    consumers. The ``scd2_{dim}_two_phase`` registry entries deliberately
+    keep calling ``scd2.dim_two_phase`` directly so their bench lines
+    still measure the real build (same principle as fact_sales_initial).
+    """
+    from etl_mini_dw_spark.api import dim_state
+
+    return dim_state(spark, sf_dir, dim_key)
 
 
 for _dim_key, _dim in spec.DIMS.items():

@@ -28,6 +28,7 @@ from etl_mini_dw_spark.sources.tables import (
     events_ts_to_timestamp,
     typed_table,
 )
+from etl_mini_dw_spark.streaming.machinery import scratch_dir, stream_shuffle
 
 SESSION_GAP_MIN = 30
 TOP_K_USERS = 10
@@ -202,25 +203,25 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    import tempfile
 
-    out_dir = tempfile.mkdtemp(prefix="stream_tumbling_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="stream_tumbling_ckpt_")
+    out_dir = scratch_dir(prefix="stream_tumbling_out_")
+    ckpt_dir = scratch_dir(prefix="stream_tumbling_ckpt_")
 
     def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
         # complete mode: every batch carries the full aggregate → overwrite
         batch_df.write.mode("overwrite").parquet(out_dir)
 
-    q = (
-        agg.writeStream.outputMode("complete")
-        .option("checkpointLocation", ckpt_dir)
-        .foreachBatch(_write_batch)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .option("checkpointLocation", ckpt_dir)
+            .foreachBatch(_write_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.read.schema(agg.schema).parquet(out_dir)
 
 
@@ -291,25 +292,25 @@ def streaming_dedup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
-    import tempfile
 
-    out_dir = tempfile.mkdtemp(prefix="stream_dedup_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="stream_dedup_ckpt_")
+    out_dir = scratch_dir(prefix="stream_dedup_out_")
+    ckpt_dir = scratch_dir(prefix="stream_dedup_ckpt_")
 
     def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
         # append mode: each batch carries only newly-first-seen keys
         batch_df.write.mode("append").parquet(out_dir)
 
-    q = (
-        stream.writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt_dir)
-        .foreachBatch(_write_batch)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_shuffle(spark):
+        q = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .foreachBatch(_write_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     deduped = spark.read.schema(stream.schema).parquet(out_dir)
     return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
 
@@ -355,24 +356,24 @@ def streaming_enriched_segment_counts(spark: SparkSession, sf_dir: str) -> DataF
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value").cast("decimal(38,2)").cast("double").alias("total_value"),
     )
-    import tempfile
 
-    out_dir = tempfile.mkdtemp(prefix="stream_enrich_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="stream_enrich_ckpt_")
+    out_dir = scratch_dir(prefix="stream_enrich_out_")
+    ckpt_dir = scratch_dir(prefix="stream_enrich_ckpt_")
 
     def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out_dir)
 
-    q = (
-        agg.writeStream.outputMode("complete")
-        .option("checkpointLocation", ckpt_dir)
-        .foreachBatch(_write_batch)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .option("checkpointLocation", ckpt_dir)
+            .foreachBatch(_write_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.read.schema(agg.schema).parquet(out_dir)
 
 
@@ -430,24 +431,24 @@ def streaming_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> Da
             f"p_ts <= c_ts + INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES"
         ),
     )
-    import tempfile
 
-    out_dir = tempfile.mkdtemp(prefix="stream_attr_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="stream_attr_ckpt_")
+    out_dir = scratch_dir(prefix="stream_attr_out_")
+    ckpt_dir = scratch_dir(prefix="stream_attr_ckpt_")
 
     def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_dir)
 
-    q = (
-        pairs.writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt_dir)
-        .foreachBatch(_write_batch)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_shuffle(spark):
+        q = (
+            pairs.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .foreachBatch(_write_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     joined = spark.read.schema(pairs.schema).parquet(out_dir)
     return joined.groupBy(
         F.date_format("c_ts", "yyyy-MM-dd").alias("click_day")
@@ -482,7 +483,6 @@ def streaming_merge_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a watermark, or sets a state TTL.
     """
     _ensure_session_confs(spark)
-    import tempfile
 
     from etl_mini_dw_spark.etl.store import ParquetStore
 
@@ -499,8 +499,8 @@ def streaming_merge_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value").cast("decimal(38,2)").cast("double").alias("total_value"),
     )
-    store = ParquetStore(tempfile.mkdtemp(prefix="stream_merge_store_"))
-    ckpt_dir = tempfile.mkdtemp(prefix="stream_merge_ckpt_")
+    store = ParquetStore(scratch_dir(prefix="stream_merge_store_"))
+    ckpt_dir = scratch_dir(prefix="stream_merge_ckpt_")
 
     def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
         # update mode ⇒ the batch holds only changed users; MERGE them over
@@ -511,18 +511,19 @@ def streaming_merge_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_mini_dw_spark.etl.store import IdempotentForeachBatch
 
     sink = IdempotentForeachBatch(
-        tempfile.mkdtemp(prefix="stream_merge_commits_"), _merge_batch
+        scratch_dir(prefix="stream_merge_commits_"), _merge_batch
     )
-    q = (
-        totals.writeStream.outputMode("update")
-        .option("checkpointLocation", ckpt_dir)
-        .foreachBatch(sink)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_shuffle(spark):
+        q = (
+            totals.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt_dir)
+            .foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return store.read(spark, "user_totals")
 
 
@@ -550,7 +551,6 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the watermark horizon); swap the file source for Kafka unchanged.
     """
     _ensure_session_confs(spark)
-    import tempfile
 
     path = f"{sf_dir}/events.parquet"
     raw_schema = spark.read.parquet(path).schema
@@ -577,23 +577,24 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    out_dir = tempfile.mkdtemp(prefix="stream_session_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="stream_session_ckpt_")
+    out_dir = scratch_dir(prefix="stream_session_out_")
+    ckpt_dir = scratch_dir(prefix="stream_session_ckpt_")
 
     def _append_batch(batch_df: DataFrame, _batch_id: int) -> None:
         # append mode ⇒ each batch carries only newly-closed sessions
         batch_df.write.mode("append").parquet(out_dir)
 
-    q = (
-        sess.writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt_dir)
-        .foreachBatch(_append_batch)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_shuffle(spark):
+        q = (
+            sess.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .foreachBatch(_append_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.read.schema(sess.schema).parquet(out_dir)
 
 
@@ -649,7 +650,6 @@ def streaming_hll_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     order/batching-invariant — is pinned by tests/test_approx_sketches.py.
     """
     _ensure_session_confs(spark)
-    import tempfile
 
     from etl_mini_dw_spark.etl.store import IdempotentForeachBatch, ParquetStore
     from etl_mini_dw_spark.plans.sketches import HLL_LGK
@@ -666,25 +666,26 @@ def streaming_hll_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("user_sketch"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    store = ParquetStore(tempfile.mkdtemp(prefix="stream_hll_store_"))
-    ckpt_dir = tempfile.mkdtemp(prefix="stream_hll_ckpt_")
+    store = ParquetStore(scratch_dir(prefix="stream_hll_store_"))
+    ckpt_dir = scratch_dir(prefix="stream_hll_ckpt_")
 
     def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
         store.merge_upsert(spark, batch_df, "type_sketches", keys=["event_type"])
 
     sink = IdempotentForeachBatch(
-        tempfile.mkdtemp(prefix="stream_hll_commits_"), _merge_batch
+        scratch_dir(prefix="stream_hll_commits_"), _merge_batch
     )
-    q = (
-        sketches.writeStream.outputMode("update")
-        .option("checkpointLocation", ckpt_dir)
-        .foreachBatch(sink)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_shuffle(spark):
+        q = (
+            sketches.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt_dir)
+            .foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return store.read(spark, "type_sketches").select(
         "event_type",
         F.hll_sketch_estimate("user_sketch").alias("approx_users"),
@@ -713,12 +714,11 @@ def _sentinel_landing_dir(spark: SparkSession, sf_dir: str) -> str:
     marker. mtimes are staggered so the file source replays in order.
     """
     import os
-    import tempfile
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    landing = tempfile.mkdtemp(prefix="stream_louter_landing_")
+    landing = scratch_dir(prefix="stream_louter_landing_")
     real = os.path.join(sf_dir, "events.parquet")
     os.symlink(real, os.path.join(landing, "events.parquet"))
 
@@ -799,24 +799,24 @@ def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFr
         ),
         "leftOuter",
     )
-    import tempfile
 
-    out_dir = tempfile.mkdtemp(prefix="stream_louter_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="stream_louter_ckpt_")
+    out_dir = scratch_dir(prefix="stream_louter_out_")
+    ckpt_dir = scratch_dir(prefix="stream_louter_ckpt_")
 
     def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_dir)
 
-    q = (
-        pairs.writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt_dir)
-        .foreachBatch(_write_batch)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_shuffle(spark):
+        q = (
+            pairs.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .foreachBatch(_write_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     joined = spark.read.schema(pairs.schema).parquet(out_dir)
     return (
         joined.filter(F.col("c_user") >= 0)  # drop sentinel rows
@@ -876,24 +876,24 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         .select("user_id", "event_type", "ts")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
     )
-    import tempfile
 
-    out_dir = tempfile.mkdtemp(prefix="stream_dedup_wm_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="stream_dedup_wm_ckpt_")
+    out_dir = scratch_dir(prefix="stream_dedup_wm_out_")
+    ckpt_dir = scratch_dir(prefix="stream_dedup_wm_ckpt_")
 
     def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_dir)
 
-    q = (
-        stream.writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt_dir)
-        .foreachBatch(_write_batch)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_shuffle(spark):
+        q = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .foreachBatch(_write_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     deduped = spark.read.schema(stream.schema).parquet(out_dir)
     return (
         deduped.filter(F.col("user_id") >= 0)  # drop sentinel rows
@@ -947,24 +947,24 @@ def streaming_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "category")
     )
-    import tempfile
 
-    out_dir = tempfile.mkdtemp(prefix="stream_asof_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="stream_asof_ckpt_")
+    out_dir = scratch_dir(prefix="stream_asof_out_")
+    ckpt_dir = scratch_dir(prefix="stream_asof_ckpt_")
 
     def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_dir)
 
-    q = (
-        stream.writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt_dir)
-        .foreachBatch(_write_batch)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_shuffle(spark):
+        q = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .foreachBatch(_write_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     enriched = spark.read.schema(stream.schema).parquet(out_dir)
     return enriched.groupBy("category").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -984,13 +984,12 @@ def _split_landing_dir(sf_dir: str, n_parts: int) -> str:
     actually exercises multi-micro-batch state/merge paths, unlike a
     single-file source whose whole history lands in batch 0."""
     import os
-    import tempfile
     import time as _time
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    landing = tempfile.mkdtemp(prefix="stream_cms_landing_")
+    landing = scratch_dir(prefix="stream_cms_landing_")
     tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
     ids = tbl["event_id"].to_numpy()
     for i in range(n_parts):
@@ -1020,7 +1019,6 @@ def streaming_cms_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cms_estimate, overestimate), estimate = min over d probed cells.
     """
     _ensure_session_confs(spark)
-    import tempfile
 
     from etl_mini_dw_spark.etl.store import IdempotentForeachBatch, ParquetStore
     from etl_mini_dw_spark.plans.sketches import CMS_D, _cms_bucket_spark
@@ -1049,26 +1047,27 @@ def streaming_cms_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    store = ParquetStore(tempfile.mkdtemp(prefix="stream_cms_store_"))
-    ckpt_dir = tempfile.mkdtemp(prefix="stream_cms_ckpt_")
+    store = ParquetStore(scratch_dir(prefix="stream_cms_store_"))
+    ckpt_dir = scratch_dir(prefix="stream_cms_ckpt_")
 
     def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
         # update mode ⇒ cumulative value per touched cell; MERGE overwrites
         store.merge_upsert(spark, batch_df, "cms_grid", keys=["r", "bucket"])
 
     sink = IdempotentForeachBatch(
-        tempfile.mkdtemp(prefix="stream_cms_commits_"), _merge_batch
+        scratch_dir(prefix="stream_cms_commits_"), _merge_batch
     )
-    q = (
-        grid.writeStream.outputMode("update")
-        .option("checkpointLocation", ckpt_dir)
-        .foreachBatch(sink)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_shuffle(spark):
+        q = (
+            grid.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt_dir)
+            .foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     sketch = store.read(spark, "cms_grid")
     exact = (
@@ -1159,7 +1158,6 @@ def streaming_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel_err), with the DDSketch guarantee rel_err ∈ (−2^−5, 0].
     """
     _ensure_session_confs(spark)
-    import tempfile
 
     from etl_mini_dw_spark.etl.store import IdempotentForeachBatch, ParquetStore
     from etl_mini_dw_spark.plans.sketches import (
@@ -1184,25 +1182,26 @@ def streaming_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.expr(_hdr_lb_expr("v")).alias("lb"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    store = ParquetStore(tempfile.mkdtemp(prefix="stream_hdr_store_"))
-    ckpt_dir = tempfile.mkdtemp(prefix="stream_hdr_ckpt_")
+    store = ParquetStore(scratch_dir(prefix="stream_hdr_store_"))
+    ckpt_dir = scratch_dir(prefix="stream_hdr_ckpt_")
 
     def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
         store.merge_upsert(spark, batch_df, "hdr_hist", keys=["lb"])
 
     sink = IdempotentForeachBatch(
-        tempfile.mkdtemp(prefix="stream_hdr_commits_"), _merge_batch
+        scratch_dir(prefix="stream_hdr_commits_"), _merge_batch
     )
-    q = (
-        hist.writeStream.outputMode("update")
-        .option("checkpointLocation", ckpt_dir)
-        .foreachBatch(sink)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_shuffle(spark):
+        q = (
+            hist.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt_dir)
+            .foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     sketch = store.read(spark, "hdr_hist")
     wcum = Window.orderBy("lb").rowsBetween(Window.unboundedPreceding, 0)
@@ -1320,7 +1319,6 @@ def streaming_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     false-positive rate): (probe_kind, n_probes, n_positive, rate).
     """
     _ensure_session_confs(spark)
-    import tempfile
 
     from etl_mini_dw_spark.etl.store import IdempotentForeachBatch, ParquetStore
     from etl_mini_dw_spark.functions.sampling import BLOOM_BITS, BLOOM_WORD
@@ -1360,26 +1358,27 @@ def streaming_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(landing)
     )
     filt = word_bits(stream.select("user_id"))
-    store = ParquetStore(tempfile.mkdtemp(prefix="stream_bloom_store_"))
-    ckpt_dir = tempfile.mkdtemp(prefix="stream_bloom_ckpt_")
+    store = ParquetStore(scratch_dir(prefix="stream_bloom_store_"))
+    ckpt_dir = scratch_dir(prefix="stream_bloom_ckpt_")
 
     def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
         # update mode emits the cumulative bit_or of every touched word
         store.merge_upsert(spark, batch_df, "bloom_words", keys=["word"])
 
     sink = IdempotentForeachBatch(
-        tempfile.mkdtemp(prefix="stream_bloom_commits_"), _merge_batch
+        scratch_dir(prefix="stream_bloom_commits_"), _merge_batch
     )
-    q = (
-        filt.writeStream.outputMode("update")
-        .option("checkpointLocation", ckpt_dir)
-        .foreachBatch(sink)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_shuffle(spark):
+        q = (
+            filt.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt_dir)
+            .foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     sketch = store.read(spark, "bloom_words")
     ev = typed_table(spark, sf_dir, "events")

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from etl_mini_dw_spark.sources.tables import _ensure_session_confs, events_ts_to_timestamp
+from etl_mini_dw_spark.streaming.machinery import scratch_dir, stream_shuffle
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 STATE_SCHEMA = "n bigint, total double"
@@ -61,12 +62,11 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
-    import tempfile
 
     from pyspark.sql import Window
 
-    out_dir = tempfile.mkdtemp(prefix="stream_user_totals_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="stream_user_totals_ckpt_")
+    out_dir = scratch_dir(prefix="stream_user_totals_out_")
+    ckpt_dir = scratch_dir(prefix="stream_user_totals_ckpt_")
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # update mode emits only keys touched this batch → append tagged
@@ -76,16 +76,17 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             out_dir
         )
 
-    q = (
-        out.writeStream.outputMode("update")
-        .option("checkpointLocation", ckpt_dir)
-        .foreachBatch(_write_batch)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_shuffle(spark):
+        q = (
+            out.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt_dir)
+            .foreachBatch(_write_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     # latest state per user (counts are monotone → n_events tiebreak)
     w = Window.partitionBy("user_id").orderBy(
         F.col("_batch_id").desc(), F.col("n_events").desc()
@@ -211,28 +212,28 @@ def streaming_user_cents_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
-        import tempfile
 
         from pyspark.sql import Window
 
-        out_dir = tempfile.mkdtemp(prefix="stream_tws_out_")
-        ckpt_dir = tempfile.mkdtemp(prefix="stream_tws_ckpt_")
+        out_dir = scratch_dir(prefix="stream_tws_out_")
+        ckpt_dir = scratch_dir(prefix="stream_tws_ckpt_")
 
         def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
             batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
                 "append"
             ).parquet(out_dir)
 
-        q = (
-            out.writeStream.outputMode("update")
-            .option("checkpointLocation", ckpt_dir)
-            .foreachBatch(_write_batch)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with stream_shuffle(spark):
+            q = (
+                out.writeStream.outputMode("update")
+                .option("checkpointLocation", ckpt_dir)
+                .foreachBatch(_write_batch)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         w = Window.partitionBy("user_id").orderBy(
             F.col("_batch_id").desc(), F.col("n_events").desc()
         )
