@@ -61,7 +61,26 @@ BM25_SCALE = 1_000_000  # fixed-point grid for per-term scores
 
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(q_doc, rank, doc_id, n_shared_terms, score_scaled): top-10 BM25
-    matches per query doc (self excluded), integer-exact scoring."""
+    matches per query doc (self excluded), integer-exact scoring.
+
+    r09: staged once per (session, sf-dir) — four registered queries
+    consume this ranking (the BM25 line itself, RRF fusion, RBO arm
+    agreement, hard-negative mining); the output is (queries × k) rows,
+    so the checkpoint is tiny while each re-build costs a full postings
+    pass (guide §2.4). `ext_bm25_topk` runs before its consumers in the
+    bench's sorted order, so its line is the one that pays the build.
+    """
+    from etl_mini_dw_spark.sources.tables import stage_memo
+
+    return stage_memo(
+        spark,
+        sf_dir,
+        "bm25_topk",
+        lambda: _bm25_topk_build(spark, sf_dir).localCheckpoint(eager=False),
+    )
+
+
+def _bm25_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _token_frame(spark, sf_dir).select("doc_id", "toks")
     postings = (
         toks.select(
@@ -350,7 +369,21 @@ RRF_TOP_K = 10
 def _sem_arm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(q_doc, doc_id, r_sem) — the multiprobe sign-LSH hamming arm's
     top-10 per query (shared by the RRF fusion and the RBO agreement
-    report; extracted verbatim so the two stay value-locked)."""
+    report; extracted verbatim so the two stay value-locked).
+
+    r09: staged once per (session, sf-dir) — same rationale as
+    ``bm25_topk`` (two consumers, tiny output, expensive build)."""
+    from etl_mini_dw_spark.sources.tables import stage_memo
+
+    return stage_memo(
+        spark,
+        sf_dir,
+        "sem_arm_topk",
+        lambda: _sem_arm_topk_build(spark, sf_dir).localCheckpoint(eager=False),
+    )
+
+
+def _sem_arm_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_mini_dw_spark.functions.simsearch import (
         LSH_DIMS,
         _bucket_expr_spark,

@@ -409,7 +409,10 @@ def test_bm25_qterms_broadcast_no_sort_merge(spark, sf_dir):
     set at cluster scale."""
     from etl_mini_dw_spark.functions import retrieval
 
-    plan = _plan(retrieval.bm25_topk(spark, sf_dir))
+    # assert on the pre-checkpoint builder: bm25_topk is stage-memoized
+    # since r09, so the public frame explains as a LogicalRDD (same
+    # pre-checkpoint-frame rule as the lorenz window guard)
+    plan = _plan(retrieval._bm25_topk_build(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
     assert "SortMergeJoin" not in plan
 
@@ -619,7 +622,10 @@ def test_ann_brute_force_windows_are_shard_pruned(spark, sf_dir):
         (simsearch.ann_hamming_topk, "query_id"),
         (pq.ann_pq_topk, "query_id"),
         (pq.ann_pq_refined_topk, "query_id"),
-        (retrieval.rrf_hybrid_topk, "q_doc"),
+        # the two RRF arms, pinned pre-checkpoint (both are stage-
+        # memoized since r09; the fusion consumes their LogicalRDDs)
+        (retrieval._bm25_topk_build, "q_doc"),
+        (retrieval._sem_arm_topk_build, "q_doc"),
     ):
         plan = _plan(fn(spark, sf_dir))
         assert re.search(
@@ -632,9 +638,14 @@ def test_rrf_fusion_no_sort_merge(spark, sf_dir):
     join and the signature scan must never sort-merge the corpus."""
     from etl_mini_dw_spark.functions import retrieval
 
+    # fusion itself must stay sort-merge-free; the corpus-pass pins live
+    # on the pre-checkpoint arm builders (memoized since r09)
     plan = _plan(retrieval.rrf_hybrid_topk(spark, sf_dir))
     assert "SortMergeJoin" not in plan, plan[:3000]
-    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    for build in (retrieval._bm25_topk_build, retrieval._sem_arm_topk_build):
+        arm = _plan(build(spark, sf_dir))
+        assert "SortMergeJoin" not in arm, arm[:3000]
+        assert arm.count("BroadcastHashJoin") >= 2, arm[:3000]
 
 
 def test_weighted_median_windows_group_partitioned(spark, sf_dir):
