@@ -743,22 +743,24 @@ def components_from_pairs(pairs: DataFrame) -> DataFrame:
         # rounds on the r9 part-match graph. The fixpoint is unchanged
         # (all nodes at the component min), so the returned values are
         # identical; only the trajectory shortens.
-        prop = (
+        # carry the previous label through the round so the convergence
+        # check is a filter-count over the materialized frame instead of
+        # a second join job (r09)
+        prop_old = (
             one.join(
                 labels.select(
                     F.col("node").alias("label"), F.col("label").alias("label2")
                 ),
                 "label",
             )
-            .select("node", F.least("label", "label2").alias("label"))
+            .join(labels.withColumnRenamed("label", "old"), "node")
+            .select(
+                "node", F.least("label", "label2").alias("label"), "old"
+            )
             .localCheckpoint()
         )
-        changed = (
-            prop.join(labels.withColumnRenamed("label", "old"), on="node")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = prop
+        changed = prop_old.filter(F.col("label") != F.col("old")).count()
+        labels = prop_old.select("node", "label")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))

@@ -356,7 +356,8 @@ def fact_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             _with_datekey(resolve_dimensions(f0, dims), dd)
             .select(*FACT_COLS)
-            .localCheckpoint()
+            # r09: lazy — the watermark .first() below materializes it
+            .localCheckpoint(eager=False)
         )
 
     state0 = stage_memo(spark, sf_dir, "fact_state0", build_state0)

@@ -287,10 +287,13 @@ def dim_two_phase(
     oracle-checked centerpiece for X2–X4.
     """
     # materialized once — it feeds the watermark read and three joins,
-    # standing in for the orchestrator's stored table
+    # standing in for the orchestrator's stored table. r09: lazy
+    # checkpoint — the watermark .first() below is the first action and
+    # materializes it anyway, so the eager spelling paid one extra job
+    # per dim build for nothing.
     dim0 = dim_initial(
         spark, sf_dir, dim, as_of=split, sk_strategy=sk_strategy
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # data-driven watermark advance (X8, `code/SQL_1…sql:643–651`):
     # MAX(valid_from) of the ingested batch, read back like the
     # reference's scalar tracker lookup (P11 → collect + re-inject)
