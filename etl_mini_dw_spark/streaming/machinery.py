@@ -41,8 +41,15 @@ from pyspark.sql import SparkSession
 _SHUFFLE_KEY = "spark.sql.shuffle.partitions"
 
 
-def stream_shuffle_partitions() -> int:
-    return int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+def stream_shuffle_partitions(spark: SparkSession) -> int:
+    """Default: min(8, defaultParallelism) — scale-adaptive, never more
+    state stores than cores for the KB-scale fixture state (measured at
+    4 cores: 8 partitions 7.6 s vs 4 partitions 5.4 s on the left-outer
+    line, min of 2). Production streams override via the env knob."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    if env is not None:
+        return int(env)
+    return max(1, min(8, spark.sparkContext.defaultParallelism))
 
 
 @contextlib.contextmanager
@@ -51,7 +58,7 @@ def stream_shuffle(spark: SparkSession) -> Iterator[None]:
     partitions; restore the session default afterwards (the post-sink
     batch rollups keep the caller's setting)."""
     before = spark.conf.get(_SHUFFLE_KEY)
-    spark.conf.set(_SHUFFLE_KEY, str(stream_shuffle_partitions()))
+    spark.conf.set(_SHUFFLE_KEY, str(stream_shuffle_partitions(spark)))
     try:
         yield
     finally:
