@@ -209,6 +209,18 @@ def _adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-memoized since r09 (see simsearch.ann_bruteforce_topk)."""
+    from etl_mini_dw_spark.sources.tables import stage_memo
+
+    return stage_memo(
+        spark,
+        sf_dir,
+        "ann_pq_topk",
+        lambda: _ann_pq_topk_build(spark, sf_dir).localCheckpoint(eager=False),
+    )
+
+
+def _ann_pq_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k neighbors per query by asymmetric PQ distance (ADC).
 
     Queries are the same ``vec_id < N_QUERIES`` set as the brute-force

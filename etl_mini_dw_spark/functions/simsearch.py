@@ -80,6 +80,22 @@ _NORM_SQL = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUB
 
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-memoized since r09: the recall report re-runs every index
+    path already registered as its own query; the output is
+    (queries x k) rows, so the checkpoint is tiny while each re-build
+    is a full index scan (same rationale as bm25_topk). Plan pins live
+    on the pre-checkpoint builder ``_ann_bruteforce_topk_build``."""
+    from etl_mini_dw_spark.sources.tables import stage_memo
+
+    return stage_memo(
+        spark,
+        sf_dir,
+        "ann_bruteforce_topk",
+        lambda: _ann_bruteforce_topk_build(spark, sf_dir).localCheckpoint(eager=False),
+    )
+
+
+def _ann_bruteforce_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector."""
     emb = load_table(spark, sf_dir, "embeddings")
     # norms are hoisted to one computation per *side* (Q + N folds) — the
@@ -239,6 +255,22 @@ def _probe_buckets_expr_sql(bucket: str) -> str:
 
 
 def ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-memoized since r09: the recall report re-runs every index
+    path already registered as its own query; the output is
+    (queries x k) rows, so the checkpoint is tiny while each re-build
+    is a full index scan (same rationale as bm25_topk). Plan pins live
+    on the pre-checkpoint builder ``_ivf_multiprobe_topk_build``."""
+    from etl_mini_dw_spark.sources.tables import stage_memo
+
+    return stage_memo(
+        spark,
+        sf_dir,
+        "ivf_multiprobe_topk",
+        lambda: _ivf_multiprobe_topk_build(spark, sf_dir).localCheckpoint(eager=False),
+    )
+
+
+def _ivf_multiprobe_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: probe the query's sign-LSH bucket plus all buckets
     at Hamming distance 1 (9 of 256), exact cosine within the probed
     cells, top-k per query.
@@ -435,6 +467,22 @@ FROM c
 
 
 def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-memoized since r09: the recall report re-runs every index
+    path already registered as its own query; the output is
+    (queries x k) rows, so the checkpoint is tiny while each re-build
+    is a full index scan (same rationale as bm25_topk). Plan pins live
+    on the pre-checkpoint builder ``_ann_int8_topk_build``."""
+    from etl_mini_dw_spark.sources.tables import stage_memo
+
+    return stage_memo(
+        spark,
+        sf_dir,
+        "ann_int8_topk",
+        lambda: _ann_int8_topk_build(spark, sf_dir).localCheckpoint(eager=False),
+    )
+
+
+def _ann_int8_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-stage quantized ANN: top-k by centered int8 dot product.
 
     Same query/candidate shape as ``ann_bruteforce_topk`` but the score
@@ -603,6 +651,22 @@ def _sig_expr_sql(lo: bool) -> str:
 
 
 def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-memoized since r09: the recall report re-runs every index
+    path already registered as its own query; the output is
+    (queries x k) rows, so the checkpoint is tiny while each re-build
+    is a full index scan (same rationale as bm25_topk). Plan pins live
+    on the pre-checkpoint builder ``_ann_hamming_topk_build``."""
+    from etl_mini_dw_spark.sources.tables import stage_memo
+
+    return stage_memo(
+        spark,
+        sf_dir,
+        "ann_hamming_topk",
+        lambda: _ann_hamming_topk_build(spark, sf_dir).localCheckpoint(eager=False),
+    )
+
+
+def _ann_hamming_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, rank, cand_id, hamming, cosine): top-k by sign-bit
     hamming distance per query (ties → lower cand_id), with the exact
     cosine of each retrieved candidate.

@@ -197,7 +197,8 @@ def test_pq_adc_join_is_broadcast(spark, sf_dir):
     the code frame against them with sort-merge."""
     from etl_mini_dw_spark.functions import pq
 
-    plan = _plan(pq.ann_pq_topk(spark, sf_dir))
+    # pre-checkpoint builder: ann_pq_topk is stage-memoized since r09
+    plan = _plan(pq._ann_pq_topk_build(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan[:3000]
 
 
@@ -617,10 +618,12 @@ def test_ann_brute_force_windows_are_shard_pruned(spark, sf_dir):
     from etl_mini_dw_spark.functions import pq, retrieval, simsearch
 
     for fn, key in (
-        (simsearch.ann_bruteforce_topk, "query_id"),
-        (simsearch.ann_int8_topk, "query_id"),
-        (simsearch.ann_hamming_topk, "query_id"),
-        (pq.ann_pq_topk, "query_id"),
+        # pre-checkpoint builders: the top-k frames are stage-memoized
+        # since r09 (recall report + own registry lines share them)
+        (simsearch._ann_bruteforce_topk_build, "query_id"),
+        (simsearch._ann_int8_topk_build, "query_id"),
+        (simsearch._ann_hamming_topk_build, "query_id"),
+        (pq._ann_pq_topk_build, "query_id"),
         (pq.ann_pq_refined_topk, "query_id"),
         # the two RRF arms, pinned pre-checkpoint (both are stage-
         # memoized since r09; the fusion consumes their LogicalRDDs)
