@@ -238,6 +238,7 @@ def _memo_warmers():
     from etl_mini_dw_spark import fixtures_spec as spec
     from etl_mini_dw_spark.api import dim_state
     from etl_mini_dw_spark.functions import cluster, dedup, pq, text
+    from etl_mini_dw_spark.operators import fact
     from etl_mini_dw_spark.plans.graph import cooccur_edges_memo
     from etl_mini_dw_spark.registry import _fact_initial_memo
 
@@ -254,6 +255,11 @@ def _memo_warmers():
             lambda s, d: [pq._codebook(s, d, m) for m in range(pq.PQ_M)],
         ),
         ("fact_initial_resolved", lambda s, d: [_fact_initial_memo(s, d)]),
+        # r10: shared two-phase post-state (VERDICT r9 item 4) — the
+        # Merkle diff digest consumes it; fact_sales_two_phase's own
+        # line keeps building the merge fresh (its state0 sub-build is
+        # staged here as a side effect — see BENCH_NOTES.md)
+        ("fact_two_phase_resolved", lambda s, d: [fact.fact_two_phase_memo(s, d)]),
         ("kmeans_assign", lambda s, d: [cluster._assign_memo(s, d)]),
         # r09: shared co-occurrence edge set (pagerank/triangle/kcore/
         # assortativity all start from it)
@@ -283,7 +289,21 @@ def main() -> None:
     names = [n for n in HEADLINE if n in QUERIES]
     names += [n for n in sorted(QUERIES) if n not in names]
 
+    # r10 (VERDICT r9 item 2): per-line ambient-load snapshot — the 1m
+    # load average sampled right before each line runs, recorded into
+    # BENCH_LOCAL.json (additions-only) so a reader can discount lines
+    # that ran in a contended window instead of guessing from the two
+    # whole-run load figures.
+    line_loads: dict[str, float] = {}
+
+    def _load_now() -> float:
+        try:
+            return round(os.getloadavg()[0], 2)
+        except OSError:
+            return -1.0
+
     def _run(name: str) -> float:
+        line_loads[name] = min(line_loads.get(name, 99.0), _load_now())
         t0 = time.perf_counter()
         QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
@@ -292,6 +312,7 @@ def main() -> None:
     # phase 1: force every shared staged frame; a lazy localCheckpoint
     # materializes full rows on its first action, so count() suffices
     for label, fn in _memo_warmers():
+        line_loads[f"memo:{label}"] = _load_now()
         t0 = time.perf_counter()
         for frame in fn(spark, SF_DIR):
             frame.count()
@@ -347,6 +368,10 @@ def main() -> None:
         # at start time (r6 VERDICT task #3: one clean low-load bench)
         "machine_load_avg_1m_at_start": load_start,
         "floor_ratio": floor_ratio_all,
+        # 1m load sampled immediately before each line ran (min across
+        # retries) — BENCH_LOCAL.json detail only; the compact stdout
+        # line keeps its ~2.2 KB budget
+        "line_loads": line_loads,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
         json.dump(full, f, indent=2, sort_keys=True)
@@ -359,16 +384,15 @@ def main() -> None:
     floor_ratio = {
         n: floor_ratio_all[n] for n in HEADLINE if n in floor_ratio_all
     }
-    print(
-        json.dumps(
-            {
-                **full,
-                "queries": compact_queries,
-                "floor_ratio": floor_ratio,
-                "detail": "BENCH_LOCAL.json",
-            }
-        )
-    )
+    compact = {
+        **full,
+        "queries": compact_queries,
+        "floor_ratio": floor_ratio,
+        # compact line carries only the loads of the lines it lists
+        "line_loads": {n: line_loads[n] for n in compact_queries if n in line_loads},
+        "detail": "BENCH_LOCAL.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

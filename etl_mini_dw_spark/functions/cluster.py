@@ -10,15 +10,18 @@ makes every sum exact and partition-order-invariant: the same input
 produces the SAME codebook on any cluster layout, which is what lets an
 index build be reproducible (and lets DuckDB replay it as the oracle).
 
-Execution shape per iteration (all JVM-side, no UDFs):
-- assignment: corpus ⋈ broadcast(K centroids) → squared-L2 fold →
-  argmin via ``min(struct(dist, cluster))`` — map-only over the corpus,
-  one tiny aggregate;
+Execution shape per iteration (all JVM-side, no UDFs; r10 rewrite):
+- assignment: the K×DIM integer codebook is inlined as LITERALS into a
+  map-only squared-L2 argmin expression over the corpus — no join, no
+  shuffle (the previous crossJoin-broadcast spelling already collected
+  the K centroids to the driver to broadcast them; inlining moves the
+  same K rows the same way and deletes the argmin shuffle);
 - update: ``groupBy(cluster)`` with 64 per-dimension LONG sums — partial
-  aggregation shrinks the shuffle to K×64 longs per executor core.
-Iterations are a Python loop over lazy plans (centroids localCheckpoint
-per round — K rows, negligible); rounds are fixed (ITERS), not
-convergence-polled, so the job graph is static.
+  aggregation shrinks the shuffle to K×64 longs per executor core; the
+  K-row result is read back (scalar-tracker P11 pattern) to seed the
+  next round's literals.
+Rounds are fixed (ITERS), not convergence-polled, so the job graph is
+static: one job with one tiny shuffle per round.
 """
 
 from __future__ import annotations
@@ -62,32 +65,85 @@ def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def _assign_lit(vecs: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Map-only (vec_id, qv, cluster, dist) against LITERAL centroids —
+    no join, no shuffle: the K×DIM integer codebook is inlined into the
+    argmin expression. ``array_min`` over (dist, cluster) structs uses
+    the same lexicographic comparison as ``min(struct(dist, cluster))``
+    in `_assign`, so ties break to the lowest cluster id identically."""
+    terms = []
+    for k, cv in cents:
+        arr = "array(" + ", ".join(f"{int(v)}L" for v in cv) + ")"
+        terms.append(
+            f"named_struct('dist', {_DIST.format(a='qv', b=arr)},"
+            f" 'cluster', CAST({int(k)} AS BIGINT))"
+        )
+    best = F.expr(f"array_min(array({', '.join(terms)}))")
+    # two-step projection: the argmin array is NOT cheap and is consumed
+    # by two fields — CollapseProject (SPARK-36718) keeps the alias
+    # un-inlined, so the 8-fold distance battery runs once per row, not
+    # once per consumed field (the CLAUDE.md HOF-CSE trap)
+    return vecs.select("vec_id", "qv", best.alias("_w")).select(
+        "vec_id",
+        "qv",
+        F.col("_w")["cluster"].alias("cluster"),
+        F.col("_w")["dist"].alias("dist"),
+    )
+
+
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final (vec_id, cluster, dist) after ITERS rounds of integer k-means
-    seeded with the first K vectors (deterministic init)."""
+    seeded with the first K vectors (deterministic init).
+
+    r10 (guide §1.2/§2.4): each round's centroids are read back to the
+    driver (K rows — the previous spelling already collected them to the
+    driver to BROADCAST them into a crossJoin; reading them back is the
+    reference's scalar-tracker P11 pattern at the same data volume) and
+    inlined as literals, so the assignment is a map-only expression.
+    Per round this removes the crossJoin broadcast build, the
+    groupBy(vec_id) argmin shuffle of |corpus|×K rows and the join back
+    for qv — leaving ONE tiny groupBy(cluster) shuffle per round.
+    All arithmetic stays in the same Spark integer expressions
+    (quantize, squared-L2 fold, floor(s/n + 0.5) update), so the
+    centroids and assignments are bit-identical to the joined spelling
+    (pinned by test_cluster.py and the kmeans/SemDeDup parity tests)."""
     vecs = _quantized(spark, sf_dir).localCheckpoint(eager=False)
-    centroids = vecs.filter(F.col("vec_id") < K).select(
-        F.col("vec_id").alias("cluster"), F.col("qv").alias("cv")
+    seed_rows = (
+        vecs.filter(F.col("vec_id") < K)
+        .select(F.col("vec_id").alias("cluster"), F.col("qv").alias("cv"))
+        .collect()
     )
+    cents = sorted((int(r["cluster"]), list(r["cv"])) for r in seed_rows)
     for _ in range(ITERS):
-        members = _assign(vecs, centroids).join(vecs, "vec_id")
-        # 64 per-dimension LONG sums → exact, partition-order-invariant
-        sums = members.groupBy("cluster").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(DIM)],
+        members = _assign_lit(vecs, cents)
+        # per-dimension LONG sums → exact, partition-order-invariant.
+        # posexplode + ONE sum instead of 64 column aggregates: the wide
+        # spelling spent 2–3 s/round in Catalyst planning + codegen of a
+        # 65-buffer aggregate (measured; the data itself is tiny) — the
+        # tall (cluster, i) shape compiles in ms and shuffles K×DIM longs
+        # after partial aggregation either way. n = count(1) per
+        # (cluster, i) equals the cluster's member count (qv is fixed
+        # DIM-length), and the floor(s/n + 0.5) update stays IN SPARK so
+        # the double-division semantics remain engine-pinned.
+        upd = (
+            members.select("cluster", F.posexplode("qv").alias("i", "v"))
+            .groupBy("cluster", "i")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .select(
+                "cluster",
+                "i",
+                F.floor(F.col("s").cast("double") / F.col("n") + F.lit(0.5))
+                .cast("long")
+                .alias("c"),
+            )
         )
-        centroids = sums.select(
-            "cluster",
-            F.array(
-                *[
-                    F.floor(F.col(f"s{i}").cast("double") / F.col("n") + F.lit(0.5)).cast(
-                        "long"
-                    )
-                    for i in range(DIM)
-                ]
-            ).alias("cv"),
-        ).localCheckpoint(eager=False)
-    return _assign(vecs, centroids).select(
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in upd.collect():
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["i"])] = int(r["c"])
+        cents = sorted(
+            (k, [d[i] for i in range(DIM)]) for k, d in by_cluster.items()
+        )
+    return _assign_lit(vecs, cents).select(
         "vec_id", F.col("cluster").cast("bigint").alias("cluster"), F.col("dist").cast("bigint").alias("dist")
     )
 

@@ -287,13 +287,16 @@ def dim_two_phase(
     oracle-checked centerpiece for X2–X4.
     """
     # materialized once — it feeds the watermark read and three joins,
-    # standing in for the orchestrator's stored table. r09: lazy
-    # checkpoint — the watermark .first() below is the first action and
-    # materializes it anyway, so the eager spelling paid one extra job
-    # per dim build for nothing.
+    # standing in for the orchestrator's stored table. r10: EAGER again
+    # (reverts r9's lazy flip, VERDICT r9 item 1): the driver saw
+    # memo:dim_states elevated in both r9 runs, and local A/B probes
+    # agree — eager min 11.9 s vs lazy min 13.2 s for the 3-dim build
+    # (min of 3, fresh process each). Materializing via the checkpoint's
+    # own count-job and running the watermark agg over cached blocks
+    # beats interleaving block persistence into the agg job.
     dim0 = dim_initial(
         spark, sf_dir, dim, as_of=split, sk_strategy=sk_strategy
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     # data-driven watermark advance (X8, `code/SQL_1…sql:643–651`):
     # MAX(valid_from) of the ingested batch, read back like the
     # reference's scalar tracker lookup (P11 → collect + re-inject)

@@ -62,9 +62,12 @@ def fact_diff_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected to match (the incremental-equals-full invariant)."""
     # r09: the full build comes from the shared resolved-initial memo
     # (value-identical; billed to bench's memo line) — the digest pass
-    # then only pays the two map-side hash aggregates + the 64-row join
+    # then only pays the two map-side hash aggregates + the 64-row join.
+    # r10 (VERDICT r9 item 4): the incremental side likewise comes from
+    # the shared two-phase memo (billed to memo:fact_two_phase_resolved)
+    # instead of a per-query rebuild of the whole merge.
     full = fact.fact_initial_memo(spark, sf_dir)
-    inc = fact.fact_two_phase(spark, sf_dir).select(*full.columns)
+    inc = fact.fact_two_phase_memo(spark, sf_dir).select(*full.columns)
     a = _digest_frame(full)
     b = _digest_frame(inc)
     joined = (

@@ -11,10 +11,11 @@ ext_streaming_left_outer_attribution, min of 3):
   stream left-outer join line reads 24.0 s; at 8 it reads 6.2 s — the
   state here is KB-scale and the extra partitions are pure commit
   overhead (guide §2.2: fewer, larger partitions). ``SPARK_GRAFT_STREAM_SHUFFLE``
-  parameterizes it (default 8): a production stream with GB-scale state
-  raises it to match state volume — the knob is sized to STATE, not to
-  cluster cores, which is why the local default does not follow
-  $SPARK_GRAFT_CPUS.
+  parameterizes it (default ``min(8, defaultParallelism)``, scale-
+  adaptive): a production stream with GB-scale state raises it to match
+  state volume — the knob is sized to STATE, not to cluster cores,
+  which is why the local default caps at 8 rather than following
+  $SPARK_GRAFT_CPUS upward.
 - **Scratch placement.** Checkpoint metadata, state deltas and the
   bounded sink are per-run scratch (re-created from the parquet inputs
   every invocation); putting them on a RAM-backed tmpdir removes fsync
@@ -48,7 +49,12 @@ def stream_shuffle_partitions(spark: SparkSession) -> int:
     line, min of 2). Production streams override via the env knob."""
     env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
     if env is not None:
-        return int(env)
+        try:
+            return max(1, int(env))
+        except ValueError as e:
+            raise ValueError(
+                f"SPARK_GRAFT_STREAM_SHUFFLE must be an integer, got {env!r}"
+            ) from e
     return max(1, min(8, spark.sparkContext.defaultParallelism))
 
 
@@ -65,12 +71,62 @@ def stream_shuffle(spark: SparkSession) -> Iterator[None]:
         spark.conf.set(_SHUFFLE_KEY, before)
 
 
+# Minimum free bytes before /dev/shm is considered usable scratch: a
+# bounded-replay fixture round-trips the landing copy + checkpoint +
+# sink (tens of MB at bench scale); 1 GiB of headroom keeps a Docker
+# default 64 MB shm (or a nearly-full one) from ENOSPC-ing mid-stream.
+_SHM_MIN_FREE_BYTES = 1 << 30
+
+
+def _shm_usable(path: str = "/dev/shm") -> bool:
+    if not (os.path.isdir(path) and os.access(path, os.W_OK)):
+        return False
+    try:
+        st = os.statvfs(path)
+    except OSError:
+        return False
+    return st.f_bavail * st.f_frsize >= _SHM_MIN_FREE_BYTES
+
+
 def scratch_dir(prefix: str) -> str:
-    """Per-run scratch dir (checkpoints, bounded sinks, landing dirs)."""
+    """Per-run scratch dir (checkpoints, bounded sinks, landing dirs).
+
+    Prefers RAM-backed ``/dev/shm`` only when it has ≥1 GiB free
+    (ADVICE r9: a small or full tmpfs must fall back to the system
+    tempdir rather than ENOSPC mid-query); ``SPARK_GRAFT_STREAM_TMP``
+    overrides unconditionally. Callers remove their scratch on success;
+    a crashed run's leftovers are bounded by the per-run mkdtemp and
+    swept by the OS tmpfs lifecycle."""
     base = os.environ.get("SPARK_GRAFT_STREAM_TMP")
-    if base is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+    if base is None and _shm_usable():
         base = "/dev/shm/etl_mini_dw_scratch"
     if base:
         os.makedirs(base, exist_ok=True)
+        _purge_stale(base)
         return tempfile.mkdtemp(prefix=prefix, dir=base)
     return tempfile.mkdtemp(prefix=prefix)
+
+
+_PURGE_AGE_SECONDS = 24 * 3600
+
+
+def _purge_stale(base: str) -> None:
+    """Best-effort sweep of scratch left by crashed/old runs (ADVICE r9:
+    RAM-backed scratch otherwise accumulates across runs). Only entries
+    older than a day are touched, so a concurrent live session's scratch
+    (hours at most) is never at risk; all errors are swallowed — purging
+    is hygiene, never correctness."""
+    import shutil
+    import time
+
+    try:
+        cutoff = time.time() - _PURGE_AGE_SECONDS
+        for name in os.listdir(base):
+            path = os.path.join(base, name)
+            try:
+                if os.path.getmtime(path) < cutoff:
+                    shutil.rmtree(path, ignore_errors=True)
+            except OSError:
+                continue
+    except OSError:
+        pass
