@@ -717,6 +717,11 @@ def components_from_pairs(pairs: DataFrame) -> DataFrame:
     undirected edge list (columns ``doc_a``, ``doc_b``); returns
     (doc_id, component = min node id of the component). Shared by the
     text (jaccard) and embedding (cosine) near-dup graphs."""
+    # edges/labels stay EAGER: round 0's single job references labels at
+    # three points (neighbor join, union self-branch, composition) — a
+    # lazy block would race its own first materialization there and
+    # could recompute an expensive caller-supplied `pairs` lineage
+    # (ext_neardup_components passes the raw jaccard-pair plan)
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
@@ -727,25 +732,37 @@ def components_from_pairs(pairs: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
     while True:
-        one = (
-            edges.join(labels, edges.doc_b == labels.node)
-            .select(F.col("doc_a").alias("node"), F.col("label"))
-            .unionByName(labels.select("node", "label"))
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
         # r09: pointer-doubling hop (guide §1.2 — fewer rounds beats
         # cheaper rounds). A label is always a node id of the same
         # component, so composing through the label table (label →
         # labels[label], which is ≤ label and still in-component) lets
         # propagation distance double per round: convergence in
-        # O(log diameter) rounds instead of O(diameter) — measured 8 → 4
-        # rounds on the r9 part-match graph. The fixpoint is unchanged
-        # (all nodes at the component min), so the returned values are
-        # identical; only the trajectory shortens.
-        # carry the previous label through the round so the convergence
-        # check is a filter-count over the materialized frame instead of
-        # a second join job (r09)
+        # O(log diameter) rounds instead of O(diameter). The fixpoint is
+        # unchanged (all nodes at the component min), so the returned
+        # values are identical; only the trajectory shortens.
+        # r10 (VERDICT r9 item 5): the union's self-branch carries an
+        # is_self flag so the node's OLD label rides the same aggregate
+        # (old = the self row's label) — one labels-join per round
+        # instead of two — and the round's checkpoint is lazy, so the
+        # convergence count is the job that materializes it: 2 jobs and
+        # 4 shuffles per round collapse to 1 job and 3 shuffles, with
+        # value-identical labels (pinned by the components parity tests).
+        one = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .select(
+                F.col("doc_a").alias("node"),
+                F.col("label"),
+                F.lit(0).alias("is_self"),
+            )
+            .unionByName(
+                labels.select("node", "label", F.lit(1).alias("is_self"))
+            )
+            .groupBy("node")
+            .agg(
+                F.min("label").alias("label"),
+                F.max(F.when(F.col("is_self") == 1, F.col("label"))).alias("old"),
+            )
+        )
         prop_old = (
             one.join(
                 labels.select(
@@ -753,11 +770,10 @@ def components_from_pairs(pairs: DataFrame) -> DataFrame:
                 ),
                 "label",
             )
-            .join(labels.withColumnRenamed("label", "old"), "node")
             .select(
                 "node", F.least("label", "label2").alias("label"), "old"
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = prop_old.filter(F.col("label") != F.col("old")).count()
         labels = prop_old.select("node", "label")

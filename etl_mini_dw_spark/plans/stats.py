@@ -1132,13 +1132,55 @@ def spearman_rank_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist = gs.filter(F.col(v).isNotNull()).select(
             F.col(v).alias("val"), "cnt"
         )
-        rmap = hist.select(
-            "val",
-            "cnt",
-            (2 * F.coalesce(F.sum("cnt").over(wb), F.lit(0)) + F.col("cnt") + 1)
-            .cast("bigint")
-            .alias("r2"),
-        ).localCheckpoint(eager=False)
+        if v == "l_extendedprice":
+            # r10: the near-unique variable's cumulative window ran as a
+            # SINGLE-partition pass over |distinct| ≈ |corpus| rows — the
+            # one global row window left in this plan and its 100 TB
+            # bottleneck. Decompose exactly like the bucketed SK
+            # strategy (scd2.assign_surrogate_keys): a monotone value
+            # bucket's prefix sum (window over the tiny bucket
+            # histogram) + a per-bucket cumulative window (parallel,
+            # bounded by one bucket's distinct values). cum_below(val) =
+            # bucket_prefix + within-bucket prefix, exact for any tie
+            # multiplicity — r2 is bit-identical to the global-window
+            # spelling (oracle unchanged).
+            b = F.floor(F.col("val").cast("double") / F.lit(64.0)).cast("bigint")
+            hb = hist.withColumn("_b", b)
+            bh = hb.groupBy("_b").agg(F.sum("cnt").alias("_bc"))
+            w_pre = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+            bpre = bh.select(
+                "_b", F.coalesce(F.sum("_bc").over(w_pre), F.lit(0)).alias("_pre")
+            )
+            w_in = Window.partitionBy("_b").orderBy("val").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            rmap = (
+                hb.join(F.broadcast(bpre), "_b")
+                .select(
+                    "val",
+                    "cnt",
+                    (
+                        2
+                        * (
+                            F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+                            + F.col("_pre")
+                        )
+                        + F.col("cnt")
+                        + 1
+                    )
+                    .cast("bigint")
+                    .alias("r2"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        else:
+            rmap = hist.select(
+                "val",
+                "cnt",
+                (2 * F.coalesce(F.sum("cnt").over(wb), F.lit(0)) + F.col("cnt") + 1)
+                .cast("bigint")
+                .alias("r2"),
+            ).localCheckpoint(eager=False)
         # s/ss from the histogram: Σcnt·r2 and Σcnt·r2² (cnt cast down per
         # the decimal-portability note so the product keeps precision)
         sv = rmap.agg(
