@@ -388,44 +388,53 @@ def power_iteration_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable across engines whose native `%`/`div` disagree on negative
     operands; the pmod-adjusted numerator is exactly divisible by m, so
     both sides use pure integer division and no double ever enters the
-    renormalization (exact at ANY corpus size, not just |y·127| < 2^53). Three unrolled rounds in ONE lazy plan (the PageRank
-    pattern); output is the final integer direction per dimension —
-    exact-hash comparable, no float ever leaves a row.
+    renormalization (exact at ANY corpus size, not just |y·127| < 2^53).
+
+    r10 shape (same planning-cost fix as the k-means rewrite): the
+    3-round unrolled single plan compiled 3 × (crossJoin + a 64-column
+    aggregate) — seconds of Catalyst/codegen for milliseconds of data
+    work. Now each round inlines w as a 64-literal array (map-only s),
+    computes y via posexplode + groupBy(d) with ONE integer sum
+    (partial-aggregable — the exchange carries ≤64 longs per partition),
+    and reads the 64-row y back to the driver (the same scalar-tracker
+    read-back the k-means codebook uses). The w ← ⌊y·127 / max|y|⌋
+    renormalization runs in Python ints: Python `//` IS floor division,
+    identical to the pmod identity above for every sign, and exact at
+    arbitrary precision — so the emitted weights are bit-identical to
+    the in-plan spelling (exceptAll 0/0 pinned at three SFs) and no
+    float enters anywhere.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.expr(_PI_CODE.format(a="embedding")).alias("c")
     ).localCheckpoint(eager=False)
 
-    w_frame = spark.range(1).select(
-        F.expr(f"array_repeat(CAST(1 AS BIGINT), {DIM})").alias("w")
-    )
+    w = [1] * DIM
     for _ in range(PI_ITERS):
-        s = emb.crossJoin(F.broadcast(w_frame)).select(
+        arr = "array(" + ", ".join(f"{int(v)}L" for v in w) + ")"
+        s = emb.select(
             "c",
             F.expr(
-                "aggregate(zip_with(c, w, (x, wd) -> (x - 128) * wd),"
+                f"aggregate(zip_with(c, {arr}, (x, wd) -> (x - 128) * wd),"
                 " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
             ).alias("s"),
         )
-        y_aggs = [
-            F.sum(F.col("s") * (F.col("c")[d] - 128)).alias(f"y{d}") for d in range(DIM)
-        ]
-        y_row = s.agg(*y_aggs)
-        y_arr = y_row.select(
-            F.array(*[F.col(f"y{d}") for d in range(DIM)]).alias("y")
+        y_rows = (
+            s.select("s", F.posexplode("c").alias("d", "x"))
+            .groupBy("d")
+            .agg(F.sum(F.col("s") * (F.col("x") - 128)).alias("y"))
+            .collect()
         )
-        # divisor m is structurally nonzero: greatest(…, 1) floors it at 1
-        # even for an all-zero y vector (r6 ADVICE pmod audit)
-        m = F.expr("greatest(array_max(transform(y, v -> abs(v))), CAST(1 AS BIGINT))")
-        w_frame = y_arr.select(m.alias("m"), "y").select(
-            F.expr(
-                f"transform(y, v -> (v * {PI_SCALE} - pmod(v * {PI_SCALE}, m))"
-                f" div m)"
-            ).alias("w")
-        )
-    return w_frame.select(F.posexplode("w").alias("dim_idx", "w")).select(
-        F.col("dim_idx").cast("bigint").alias("dim_idx"), F.col("w").alias("weight")
+        y = [0] * DIM
+        for r in y_rows:
+            y[int(r["d"])] = int(r["y"])
+        # divisor m is structurally nonzero: floored at 1 even for an
+        # all-zero y vector (r6 ADVICE pmod audit)
+        m = max(1, max(abs(v) for v in y))
+        w = [(v * PI_SCALE) // m for v in y]
+    w_frame = spark.createDataFrame(
+        [(i, w[i]) for i in range(DIM)], "dim_idx bigint, weight bigint"
     )
+    return w_frame.select("dim_idx", "weight")
 
 
 def power_iteration_sql() -> str:

@@ -545,55 +545,42 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     trusting ANN indexes (a dead dimension or exploding scale breaks
     IVF/PQ codebooks silently).
 
-    Scale design: NOT a posexplode + groupBy(dim) — that shuffles
-    n_vectors × EMB_DIM rows. Instead one ``agg`` with 4·EMB_DIM
-    JVM-side partial aggregates (sum, sum², min, max per coordinate):
-    map-side combine reduces every partition to ONE row of width 4·64,
-    the merge is a single tiny reduce, zero data-sized shuffle. The
-    1-row result is then unpacked to (dim_idx, stats) rows driver-free
-    via an array-of-structs explode. Float sums are order-dependent in
-    the low bits → mean/std rounded to 6 on both sides (repo precedent:
-    cosines); min/max are order-free and compared exact. sqrt is gated
-    on var > 0 identically on both sides (DuckDB raises on negatives).
+    Shape (r10 rewrite): posexplode + groupBy(dim_idx) with 5 aggregates
+    — the SAME tall shape the oracle's unnest/GROUP BY uses. The r5 wide
+    spelling (one agg of 4·EMB_DIM = 257 column aggregates) avoided a
+    shuffle the tall shape never actually pays: partial aggregation
+    combines the exploded rows map-side to ≤EMB_DIM rows per partition,
+    so the exchange carries K×partitions tiny rows either way — while
+    the 257-buffer aggregate spent ~2 s in Catalyst planning + codegen
+    of one enormous method (measured; same disease as the r10 k-means
+    update fix). Float sums remain order-dependent in the low bits →
+    mean/std rounded to 6 on both sides (repo precedent: cosines);
+    min/max are order-free and compared exact; sqrt is gated on var > 0
+    identically on both sides (DuckDB raises on negatives). Old-vs-new
+    compared exceptAll 0/0 at sf0.001/0.01/0.1.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for i in range(EMB_DIM):
-        v = F.col("embedding")[i].cast("double")
-        aggs += [
-            F.sum(v).alias(f"s{i}"),
-            F.sum(v * v).alias(f"q{i}"),
-            F.min(v).alias(f"mn{i}"),
-            F.max(v).alias(f"mx{i}"),
-        ]
-    row = emb.agg(*aggs)
-    unpacked = row.select(
-        "n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).cast("bigint").alias("dim_idx"),
-                        F.col(f"s{i}").alias("s"),
-                        F.col(f"q{i}").alias("q"),
-                        F.col(f"mn{i}").alias("mn"),
-                        F.col(f"mx{i}").alias("mx"),
-                    )
-                    for i in range(EMB_DIM)
-                ]
-            )
-        ).alias("d"),
+    per = emb.select(F.posexplode("embedding").alias("dim_idx", "v0")).select(
+        F.col("dim_idx").cast("bigint").alias("dim_idx"),
+        F.col("v0").cast("double").alias("v"),
     )
-    mean = F.col("d.s") / F.col("n")
-    var = F.col("d.q") / F.col("n") - mean * mean
+    agg = per.groupBy("dim_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("q") / F.col("n") - mean * mean
     std = F.when(var > 0, F.sqrt(var)).otherwise(F.lit(0.0))
-    return unpacked.select(
-        F.col("d.dim_idx").alias("dim_idx"),
-        F.col("n").cast("bigint").alias("n"),
+    return agg.select(
+        "dim_idx",
+        "n",
         F.round(mean, 6).alias("mean_v"),
         F.round(std, 6).alias("std_v"),
-        F.col("d.mn").alias("min_v"),
-        F.col("d.mx").alias("max_v"),
+        F.col("mn").alias("min_v"),
+        F.col("mx").alias("max_v"),
     )
 
 
@@ -972,42 +959,54 @@ def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     label_b — the diagonal rows are the self-check (cos 1.0) and the
     off-diagonal the drift signal.
 
-    Scale design: like ``embedding_dim_stats``, this is NOT a
-    posexplode + groupBy(label, dim) (which shuffles n_vectors x 64
-    rows). One ``groupBy(label)`` with 64 JVM-side SUM partials reduces
-    every partition map-side to |labels| rows of width 64; the pairwise
-    matrix is then a broadcast self-join of that |labels|-row frame —
-    zero data-sized shuffle at any corpus size. Float sums are
-    order-dependent in the low bits -> cosine rounded to 6 on both
-    sides (repo precedent: cosines); the norm sqrt operand is a sum of
-    squares, exactly >= 0 on both engines, so no sqrt gate is needed.
+    Shape (r10 rewrite, same fix as ``embedding_dim_stats``): the r8
+    wide spelling (groupBy(label) with 64 column SUMs, then a self-join
+    whose cosine unrolled into 3×64 chained column products) spent its
+    time in Catalyst planning + codegen of enormous methods, not on the
+    5 k-row data. The tall shape — posexplode → groupBy(label, dim) —
+    partial-aggregates map-side to |labels|×64 rows per partition, so
+    the exchange stays tiny at any corpus size; the per-label sums are
+    then re-assembled into a 64-array (array_sort(collect_list) over
+    unique dims — deterministic) and the cosine is a zip_with fold whose
+    i-order matches the old unrolled chain term for term. Float sums
+    remain order-dependent in the low bits -> cosine rounded to 6 on
+    both sides; old-vs-new compared exceptAll 0/0 at sf0.001/0.01/0.1.
+    The norm fold is hoisted to one column per label (never inlined in
+    the pair lambda — the CLAUDE.md shingle-norm trap).
     """
-    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")] + [
-        F.sum(F.col("embedding")[i].cast("double")).alias(f"s{i}")
-        for i in range(EMB_DIM)
-    ]
-    cent = emb.groupBy(F.col("label").cast("int").alias("label")).agg(*aggs)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("int").alias("label"), "embedding"
+    )
+    cnt = emb.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    per = emb.select("label", F.posexplode("embedding").alias("dim", "v0")).select(
+        "label", "dim", F.col("v0").cast("double").alias("v")
+    )
+    tall = per.groupBy("label", "dim").agg(F.sum("v").alias("s"))
+    cent = (
+        tall.groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, s))), x -> x.s)"
+            ).alias("vec")
+        )
+        .withColumn(
+            "nrm", F.expr("sqrt(aggregate(vec, 0D, (acc, x) -> acc + x * x))")
+        )
+        .join(cnt, "label")
+    )
     a = cent.select(
         F.col("label").alias("label_a"),
         F.col("n").alias("n_a"),
-        *[F.col(f"s{i}").alias(f"a{i}") for i in range(EMB_DIM)],
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = cent.select(
         F.col("label").alias("label_b"),
         F.col("n").alias("n_b"),
-        *[F.col(f"s{i}").alias(f"b{i}") for i in range(EMB_DIM)],
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
-    dot = None
-    na2 = None
-    nb2 = None
-    for i in range(EMB_DIM):
-        term = F.col(f"a{i}") * F.col(f"b{i}")
-        ta = F.col(f"a{i}") * F.col(f"a{i}")
-        tb = F.col(f"b{i}") * F.col(f"b{i}")
-        dot = term if dot is None else dot + term
-        na2 = ta if na2 is None else na2 + ta
-        nb2 = tb if nb2 is None else nb2 + tb
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, t) -> acc + t)")
     return (
         a.join(F.broadcast(b), F.col("label_a") <= F.col("label_b"))
         .select(
@@ -1015,7 +1014,7 @@ def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label_b",
             "n_a",
             "n_b",
-            F.round(dot / (F.sqrt(na2) * F.sqrt(nb2)), 6).alias("centroid_cos"),
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("centroid_cos"),
         )
     )
 
