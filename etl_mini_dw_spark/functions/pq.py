@@ -125,52 +125,119 @@ def _subs_all(df: DataFrame) -> DataFrame:
     )
 
 
+def _assign_all_lit(
+    vecs: DataFrame, cents: list[tuple[int, int, list[int]]]
+) -> DataFrame:
+    """(m, vec_id, code, sv): nearest sub-centroid against LITERAL
+    codebooks — map-only, no join (the r10 k-means literal-argmin shape;
+    `array_min` over (dist, code) structs ties to the lowest code like
+    `min(struct(dist, code))` in `_assign_sub`)."""
+    per_m: dict[int, list[str]] = {}
+    for m, code, cv in cents:
+        arr = "array(" + ", ".join(f"{int(v)}L" for v in cv) + ")"
+        per_m.setdefault(int(m), []).append(
+            f"named_struct('dist', {_DIST.format(a='sv', b=arr)},"
+            f" 'code', CAST({int(code)} AS BIGINT))"
+        )
+    best = None
+    for m in sorted(per_m):
+        cand = F.expr(f"array_min(array({', '.join(per_m[m])}))")["code"]
+        # every row's m matches exactly one branch (every vector carries
+        # every subspace), so the when-chain needs no otherwise
+        best = (
+            F.when(F.col("m") == m, cand)
+            if best is None
+            else best.when(F.col("m") == m, cand)
+        )
+    return vecs.select("m", "vec_id", best.alias("code"), "sv")
+
+
 def _train_all(vecs: DataFrame) -> DataFrame:
     """Deterministic integer k-means for ALL subspaces at once:
     (m, code, cv) — per-(m, code) arithmetic identical to the previous
-    per-subspace `_train_sub` loops (see `_codebooks_all`)."""
-    cents = vecs.filter(F.col("vec_id") < PQ_K).select(
-        "m", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
+    per-subspace `_train_sub` loops (see `_codebooks_all`).
+
+    r10 shape (same planning-cost fix as `cluster.kmeans_assign`): each
+    round inlines the 32-row codebook as literals (it was already
+    driver-collected for the broadcast), assigns map-only, and updates
+    via posexplode + ONE sum per (m, code, i) instead of a 17-column
+    aggregate — the wide spelling spent its time compiling plans, not on
+    the 8 k-row data. The floor(s/n + 0.5) update stays in Spark so the
+    double-division semantics remain engine-pinned; centroids are
+    bit-identical (pq parity tests + exceptAll pins)."""
+    spark = vecs.sparkSession
+    seed = (
+        vecs.filter(F.col("vec_id") < PQ_K)
+        .select("m", F.col("vec_id").alias("code"), "sv")
+        .collect()
     )
+    cents = sorted((int(r["m"]), int(r["code"]), list(r["sv"])) for r in seed)
     for _ in range(PQ_ITERS):
-        scored = vecs.join(F.broadcast(cents), "m").select(
-            "m", "vec_id", "code", F.expr(_DIST.format(a="sv", b="cv")).alias("dist")
+        upd = (
+            _assign_all_lit(vecs, cents)
+            .select("m", "code", F.posexplode("sv").alias("i", "v"))
+            .groupBy("m", "code", "i")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .select(
+                "m",
+                "code",
+                "i",
+                F.floor(F.col("s").cast("double") / F.col("n") + F.lit(0.5))
+                .cast("long")
+                .alias("c"),
+            )
         )
-        best = scored.groupBy("m", "vec_id").agg(
-            F.min(F.struct("dist", "code")).alias("w")
+        by_mc: dict[tuple[int, int], dict[int, int]] = {}
+        for r in upd.collect():
+            by_mc.setdefault((int(r["m"]), int(r["code"])), {})[int(r["i"])] = int(
+                r["c"]
+            )
+        cents = sorted(
+            (m, code, [d[i] for i in range(PQ_SUB)]) for (m, code), d in by_mc.items()
         )
-        members = best.select("m", "vec_id", F.col("w.code").alias("code")).join(
-            vecs, ["m", "vec_id"]
-        )
-        sums = members.groupBy("m", "code").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.sum(F.col("sv")[i]).alias(f"s{i}") for i in range(PQ_SUB)],
-        )
-        cents = sums.select(
-            "m",
-            "code",
-            F.array(
-                *[
-                    F.floor(
-                        F.col(f"s{i}").cast("double") / F.col("n") + F.lit(0.5)
-                    ).cast("long")
-                    for i in range(PQ_SUB)
-                ]
-            ).alias("cv"),
-        ).localCheckpoint(eager=False)
-    return cents
+    return spark.createDataFrame(
+        [(m, code, cv) for m, code, cv in cents],
+        "m int, code bigint, cv array<bigint>",
+    )
 
 
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector PQ code word: (vec_id, code_0 … code_{M-1})."""
+    """Per-vector PQ code word: (vec_id, code_0 … code_{M-1}).
+
+    r10: ONE map-only projection with the trained codebooks inlined as
+    literals (32 rows, read back from the staged frame) — the previous
+    spelling ran 4 crossJoin+groupBy argmin chains and 4 self-joins to
+    reassemble the columns. `array_min` over (dist, code) structs ties
+    identically to `_assign_sub`'s min(struct); codes exceptAll 0/0."""
+    cb = _codebooks_all(spark, sf_dir).collect()
+    by_m: dict[int, list[tuple[int, list[int]]]] = {}
+    for r in cb:
+        by_m.setdefault(int(r["m"]), []).append((int(r["code"]), list(r["cv"])))
     emb = _quantized(spark, sf_dir)
-    out = emb.select("vec_id")
+    # slices hoisted to columns so each of the 8 folds per subspace
+    # reads an attribute, not a re-evaluated slice
+    staged = emb.select(
+        "vec_id",
+        *[
+            F.slice("qv", m * PQ_SUB + 1, PQ_SUB).alias(f"sv{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    cols = [F.col("vec_id")]
     for m in range(PQ_M):
-        code_m = _assign_sub(_sub(emb, m), _codebook(spark, sf_dir, m)).select(
-            "vec_id", F.col("code").cast("int").alias(f"code_{m}")
+        terms = []
+        for code, cv in sorted(by_m[m]):
+            arr = "array(" + ", ".join(f"{int(v)}L" for v in cv) + ")"
+            terms.append(
+                f"named_struct('dist', {_DIST.format(a=f'sv{m}', b=arr)},"
+                f" 'code', CAST({int(code)} AS BIGINT))"
+            )
+        cols.append(
+            F.expr(f"array_min(array({', '.join(terms)}))")["code"]
+            .cast("int")
+            .alias(f"code_{m}")
         )
-        out = out.join(code_m, "vec_id")
-    return out
+    return staged.select(*cols)
 
 
 def _adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
